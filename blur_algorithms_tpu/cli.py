@@ -1,0 +1,112 @@
+"""CLI — reference-compatible positional form plus a modern interface.
+
+Reference ``main`` (``Source.cpp:611-641``): ``<flag> <nsmooth> <file>``
+with flags 5=pocketfft_1D, 4=FastBoxBlur, 3=pffft, 2=pocketfft_2D,
+1=baseline. Here the same positionals work (``blur 3 10 img.png``), engines
+may also be named (``blur fft_tiles 10 img.png``), and unlike the reference
+the output path, spectrum mode, benchmark sweep, and input validation are
+first-class flags instead of hard-coded paths / compile-time macros.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from blur_algorithms_tpu.api import FLAG_TO_ENGINE, Engine
+
+
+def _parse_engine(token: str) -> Engine:
+    if token.isdigit():
+        flag = int(token)
+        if flag not in FLAG_TO_ENGINE:
+            raise SystemExit(
+                f"unknown engine flag {flag}; legend: "
+                "5=fft_tiles(pocketfft_1D) 4=box(FastBoxBlur) "
+                "3=fft_tiles(pffft) 2=fft2(pocketfft_2D) 1=conv(baseline)"
+            )
+        return FLAG_TO_ENGINE[flag]
+    try:
+        return Engine(token)
+    except ValueError:
+        raise SystemExit(
+            f"unknown engine {token!r}; use a flag 1-5 or one of "
+            f"{[e.value for e in Engine]}"
+        )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="blur_algorithms_tpu",
+        description="TPU-native Gaussian/box blur via Fourier or direct convolution",
+    )
+    p.add_argument("engine", help="engine flag 1-5 (reference legend) or name")
+    p.add_argument("nsmooth", type=float, help="sigma (gaussian) / n (box: r=n^2)")
+    p.add_argument("file", help="input image (.png/.jpg/.ppm/.npy)")
+    p.add_argument("-o", "--output", default=None, help="output path (default: <in>_blurred.<ext>)")
+    p.add_argument("--kernel", choices=["gaussian", "box"], default="gaussian",
+                   help="FFT-engine kernel; 'box' is the reference's #define boxblur tent mode")
+    p.add_argument("--size-mode", choices=["smooth235", "pow2"], default="smooth235",
+                   help="FFT length planner (reference parity vs TPU-preferred)")
+    p.add_argument("--spectrum", action="store_true",
+                   help="DFT_image mode: export the log-magnitude spectrum instead of blurring")
+    p.add_argument("--bench", type=int, default=0, metavar="N",
+                   help="time N repetitions and print ms / MP/s")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    engine = _parse_engine(args.engine)
+
+    from blur_algorithms_tpu import api
+    from blur_algorithms_tpu.utils import io
+
+    img = io.read_image(args.file)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w = img.shape[:2]
+
+    if args.spectrum:
+        spec = np.asarray(api.dft_spectrum(img, max(args.nsmooth, 1.0),
+                                           size_mode=args.size_mode))
+        lo, hi = float(spec.min()), float(spec.max())
+        vis = ((spec - lo) / max(hi - lo, 1e-9) * 255.0).astype(np.uint8)
+        out_img = np.moveaxis(vis, 0, -1)
+        if out_img.shape[-1] == 1:
+            out_img = out_img[..., 0]
+    else:
+        t0 = time.perf_counter()
+        out = api.blur_u8(img, args.nsmooth, engine=engine,
+                          kernel=args.kernel, size_mode=args.size_mode)
+        out_img = np.asarray(out)
+        # per-engine wall-ms print for reference-CLI parity (Source.cpp:267 etc.)
+        print(f"{engine.value}: {(time.perf_counter() - t0) * 1e3:.3f} ms "
+              f"(first call includes compilation)")
+
+    if args.bench and not args.spectrum:
+        from blur_algorithms_tpu.utils.timing import time_fn
+
+        fn = lambda x: api.blur_u8(x, args.nsmooth, engine=engine,
+                                   kernel=args.kernel, size_mode=args.size_mode)
+        import jax.numpy as jnp
+
+        result = time_fn(fn, jnp.asarray(img), iters=args.bench,
+                         name=engine.value, megapixels=h * w / 1e6)
+        print(result)
+
+    out_path = args.output
+    if out_path is None:
+        dot = args.file.rfind(".")
+        stem, ext = (args.file[:dot], args.file[dot:]) if dot > 0 else (args.file, ".png")
+        out_path = f"{stem}_{'spectrum' if args.spectrum else 'blurred'}{ext}"
+    io.write_image(out_path, out_img)
+    print(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,82 @@
+"""FFT-convolution blur engines (XLA rFFT, single fused dispatch).
+
+Two engines, mirroring the reference's parity axes but TPU-native:
+
+* ``blur_fft2``  — the reference ``pocketfft_2D`` path (``Source.cpp:143-277``):
+  reflect-101 pad the whole image (pad + FFT growth split across sides),
+  one batched 2-D rFFT over all channels/frames, separable pointwise multiply
+  by the outer product of the two real 1-D kernel spectra, inverse, crop.
+
+* ``blur_fft_tiles`` — the reference tile engines ``pocketfft_1D`` /
+  ``pffft_`` (``Source.cpp:280-392, 429-570``): per-axis 1-D transforms with
+  reflected pads and *trailing zeros* for the FFT growth
+  (``Source.cpp:297-306``). The reference's per-row ``hybrid_loop`` +
+  ``flip_block`` transposes collapse into two batched rFFTs (axis -1, then
+  axis -2); XLA owns any layout changes.
+
+Both produce identical interior results in exact arithmetic (the growth
+region is never read by cropped outputs); they differ only in execution
+strategy and float rounding. Input/output: float32 planar ``(..., H, W)``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from blur_algorithms_tpu.ops.pad import reflect_101
+from blur_algorithms_tpu.ops.plan import BlurPlan
+
+__all__ = ["blur_fft2", "blur_fft_tiles"]
+
+
+def _mirror_full(rspec: np.ndarray, n: int) -> np.ndarray:
+    """CCS unpack (mirror around Nyquist) — reference ``Source.cpp:215-218``."""
+    full = np.zeros(n, dtype=rspec.dtype)
+    half = n // 2 + 1
+    full[:half] = rspec[:half]
+    full[half:] = rspec[1 : n - half + 1][::-1]
+    return full
+
+
+def blur_fft2(planar: jnp.ndarray, plan: BlurPlan) -> jnp.ndarray:
+    """2-D FFT convolution of float32 planar channels ``(..., H, W)``."""
+    h, w = plan.shape
+    (bt, bb), (bl, br) = plan.col.border, plan.row.border
+    fft_h, fft_w = plan.fft_shape
+
+    padded = reflect_101(planar, [(bt, bb), (bl, br)])
+    spec = jnp.fft.rfft2(padded, axes=(-2, -1))
+
+    ker_col = _mirror_full(plan.col.spectrum, fft_h)
+    ker = jnp.asarray(ker_col[:, None] * plan.row.spectrum[None, :])
+    out = jnp.fft.irfft2(spec * ker, s=(fft_h, fft_w), axes=(-2, -1))
+    return out[..., bt : bt + h, bl : bl + w]
+
+
+def _tile_pass(x: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
+    """One 1-D pass: reflect pad + trailing zeros, rFFT, xRe(ker), irFFT, crop.
+
+    The whole image's rows (or columns) form the batch of a single rFFT —
+    the TPU replacement for the reference's per-tile thread loop
+    (``Source.cpp:353-366, 520-537``).
+    """
+    pad, n, flen = axis_plan.pad, axis_plan.dim, axis_plan.fft_len
+    x = jnp.moveaxis(x, axis, -1)
+    tile = reflect_101(x, [(pad, pad)])
+    if flen > tile.shape[-1]:
+        cfg = [(0, 0)] * (tile.ndim - 1) + [(0, flen - tile.shape[-1])]
+        tile = jnp.pad(tile, cfg)
+
+    spec = jnp.fft.rfft(tile, n=flen, axis=-1)
+    spec = spec * jnp.asarray(axis_plan.spectrum)
+    out = jnp.fft.irfft(spec, n=flen, axis=-1)
+    out = out[..., pad : pad + n]
+    return jnp.moveaxis(out, -1, axis)
+
+
+def blur_fft_tiles(planar: jnp.ndarray, plan: BlurPlan) -> jnp.ndarray:
+    """Separable 1-D tile path: rows pass then columns pass."""
+    out = _tile_pass(planar, plan.row, -1)
+    out = _tile_pass(out, plan.col, -2)
+    return out

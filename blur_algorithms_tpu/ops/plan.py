@@ -1,0 +1,159 @@
+"""Trace-time blur planning: shapes, pads, FFT lengths, kernel spectra.
+
+A ``BlurPlan`` is computed once per (image shape, sigma/radius, engine
+options) on the host with NumPy and closed over by the compiled TPU program
+— the TPU-native analog of the reference's per-call setup code
+(``Source.cpp:143-176, 280-306, 429-457``): kernel sizing, pad computation,
+FFT-size growth, and kernel-spectrum precomputation.
+
+Per-axis clamping policy (documented deviation): the reference clamps the
+kernel width to the *largest* image dimension (``Source.cpp:149``) and the
+2-D path additionally clamps pads to ``dim - 1`` inside ``Reflect_101``
+(``Utils.hpp:217-220``) without shrinking the kernel — which under-reflects
+(2-D path) or reads out of range (1-D paths) for extreme sigma on elongated
+images. Here each axis independently clamps its kernel width so that
+``pad <= dim - 1`` always holds (the constraint ``README.md:33-38`` states as
+the intended invariant), and taps are re-normalized at the clamped width.
+For all non-degenerate cases (kernel fits in both dims) this is exactly the
+reference computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+import numpy as np
+
+from blur_algorithms_tpu.ops import kernels, sizes
+
+__all__ = ["AxisPlan", "BlurPlan", "make_plan"]
+
+KernelKind = Literal["gaussian", "box"]
+
+
+@dataclasses.dataclass(frozen=True)
+class AxisPlan:
+    """Per-axis geometry and spectra (axis length ``dim``)."""
+
+    dim: int
+    width: int  # effective odd kernel width on this axis
+    pad: int  # one-side reflect pad = (width - 1) // 2 * passes (clamped)
+    fft_len: int  # planned transform length
+    trailing: int  # zero fill for the tile path: fft_len - (dim + 2*pad)
+    border: tuple[int, int]  # 2-D path per-side border (pad + growth split)
+    taps: np.ndarray  # spatial taps, float32, length = support (odd)
+    spectrum: np.ndarray  # Re(rfft(wrapped taps)), float32, fft_len//2 + 1
+
+    @property
+    def support_radius(self) -> int:
+        return (int(self.taps.shape[0]) - 1) // 2
+
+
+@dataclasses.dataclass(frozen=True)
+class BlurPlan:
+    """Complete static description of one blur invocation."""
+
+    shape: tuple[int, int]  # (H, W)
+    kernel: KernelKind
+    sigma: float  # nsmooth as passed (sigma for gaussian, n for box)
+    passes: int
+    size_mode: str
+    row: AxisPlan  # axis -1 (width / rows pass)
+    col: AxisPlan  # axis -2 (height / columns pass)
+
+    @property
+    def fft_shape(self) -> tuple[int, int]:
+        return (self.col.fft_len, self.row.fft_len)
+
+
+def _axis_plan(
+    dim: int,
+    global_width: int,
+    taps_fn,
+    passes: int,
+    size_mode: str,
+) -> AxisPlan:
+    # Clamp the kernel so the reflect pad fits this axis: pad <= dim - 1.
+    width = min(global_width, 2 * (dim - 1) + 1) if dim > 1 else 1
+    if width % 2 == 0:
+        width -= 1
+    width = max(width, 1)
+    taps = taps_fn(width)
+    pad = (int(taps.shape[0]) - 1) // 2 * passes if passes else (width - 1) // 2
+    pad = min(pad, dim - 1) if dim > 1 else 0
+    min_len = dim + 2 * pad
+    fft_len = sizes.plan_fft_size(min_len, size_mode)
+    growth = fft_len - min_len
+    border = (pad + growth // 2, pad + (growth - growth // 2))
+    spectrum = kernels.real_spectrum(taps, fft_len)
+    return AxisPlan(
+        dim=dim,
+        width=width,
+        pad=pad,
+        fft_len=fft_len,
+        trailing=growth,
+        border=border,
+        taps=taps,
+        spectrum=spectrum,
+    )
+
+
+def make_plan(
+    shape: tuple[int, int],
+    nsmooth: float,
+    kernel: KernelKind = "gaussian",
+    size_mode: str = "smooth235",
+) -> BlurPlan:
+    """Plan a blur of an ``(H, W)`` image.
+
+    ``kernel="gaussian"``: true Gaussian, sigma = ``nsmooth``, one pass;
+    width from ``gaussian_window(sigma, max(H, W))`` (``Source.cpp:149``).
+
+    ``kernel="box"``: the reference's FFT tent mode (``#define boxblur``,
+    ``Source.cpp:152-156``): box length ``k = min(int(n)^2, min(H,W) - 1)``,
+    kernel = box convolved with itself (2 passes). The tent's full support
+    ``2k - 1`` is used for the pad (the reference's ``(k-1)/2*2`` under-pads
+    by one for even ``k``; see plan module docstring).
+    """
+    h, w = int(shape[0]), int(shape[1])
+    if h < 1 or w < 1:
+        raise ValueError(f"image shape must be positive, got {shape}")
+
+    if kernel == "gaussian":
+        sigma = float(nsmooth)
+        if sigma <= 0:
+            raise ValueError(f"sigma must be > 0, got {sigma}")
+        global_width = kernels.gaussian_window(sigma, max(h, w))
+
+        def taps_fn(width: int) -> np.ndarray:
+            return kernels.gaussian_kernel(sigma, width)
+
+        passes = 1
+    elif kernel == "box":
+        n = int(nsmooth)
+        if n < 1:
+            raise ValueError(f"box nsmooth must be >= 1, got {nsmooth}")
+        k_len = max(1, min(n * n, min(h, w) - 1)) if min(h, w) > 1 else 1
+        global_width = 2 * k_len - 1
+
+        def taps_fn(width: int) -> np.ndarray:
+            # Shrinking an axis re-derives the tent from a smaller box.
+            k_axis = (width + 1) // 2
+            return kernels.box_tent_kernel(k_axis)
+
+        passes = 1  # pad already covers the tent's full support
+    else:
+        raise ValueError(f"unknown kernel kind {kernel!r}")
+
+    row = _axis_plan(w, global_width, taps_fn, passes, size_mode)
+    col = _axis_plan(h, global_width, taps_fn, passes, size_mode)
+    return BlurPlan(
+        shape=(h, w),
+        kernel=kernel,
+        sigma=float(nsmooth),
+        passes=passes,
+        size_mode=size_mode,
+        row=row,
+        col=col,
+    )

@@ -1,0 +1,73 @@
+"""CLI end-to-end: reference positional form, engines, spectrum mode, IO."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from blur_algorithms_tpu.cli import main
+from blur_algorithms_tpu.utils import io
+
+
+@pytest.fixture
+def ppm_image(tmp_path, rgb_image):
+    path = tmp_path / "in.ppm"
+    io.write_image(str(path), rgb_image)
+    return path
+
+
+def test_ppm_round_trip(tmp_path, rgb_image):
+    path = tmp_path / "x.ppm"
+    io.write_image(str(path), rgb_image)
+    np.testing.assert_array_equal(io.read_image(str(path)), rgb_image)
+
+
+def test_npy_round_trip(tmp_path, rgb_image):
+    path = tmp_path / "x.npy"
+    io.write_image(str(path), rgb_image)
+    np.testing.assert_array_equal(io.read_image(str(path)), rgb_image)
+
+
+def test_reference_flag_form(ppm_image, tmp_path, rgb_image):
+    out = tmp_path / "out.ppm"
+    assert main(["3", "5", str(ppm_image), "-o", str(out)]) == 0
+    blurred = io.read_image(str(out))
+    assert blurred.shape == rgb_image.shape
+    assert blurred.std() < rgb_image.std()
+
+
+def test_named_engine_and_box(ppm_image, tmp_path):
+    out = tmp_path / "box.ppm"
+    assert main(["box", "2", str(ppm_image), "-o", str(out)]) == 0
+    assert io.read_image(str(out)).shape == io.read_image(str(ppm_image)).shape
+
+
+def test_spectrum_mode(ppm_image, tmp_path):
+    out = tmp_path / "spec.npy"
+    assert main(["2", "1", str(ppm_image), "--spectrum", "-o", str(out)]) == 0
+    spec = np.load(str(out))
+    assert spec.ndim == 3 and spec.dtype == np.uint8
+
+
+def test_default_output_name(ppm_image):
+    assert main(["1", "3", str(ppm_image)]) == 0
+    expected = str(ppm_image)[:-4] + "_blurred.ppm"
+    assert io.read_image(expected).shape == io.read_image(str(ppm_image)).shape
+
+
+def test_bad_flag_exits(ppm_image):
+    with pytest.raises(SystemExit):
+        main(["9", "3", str(ppm_image)])
+
+
+def test_module_invocation(ppm_image, tmp_path):
+    out = tmp_path / "m.ppm"
+    proc = subprocess.run(
+        [sys.executable, "-m", "blur_algorithms_tpu", "fft2", "4", str(ppm_image),
+         "-o", str(out)],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert out.exists()
