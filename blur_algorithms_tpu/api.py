@@ -4,19 +4,26 @@ The reference's engine dispatcher ``Test`` (``Source.cpp:574-608``) maps CLI
 flags to engines; that enum survives here as :class:`Engine` plus
 ``FLAG_TO_ENGINE`` for CLI parity:
 
-==== ======================== =============================
+==== ======================== ==========================================
 flag reference engine          TPU engine
-==== ======================== =============================
+==== ======================== ==========================================
 5    pocketfft_1D tiles        ``fft_tiles``
-4    FastBoxBlur               ``box``
+4    FastBoxBlur               ``box`` (effective-taps, fused/band/fft)
 3    pffft 1-D tiles           ``fft_tiles``
 2    pocketfft_2D              ``fft2``
-1    cv::GaussianBlur baseline ``conv`` (direct MXU path)
-==== ======================== =============================
+1    cv::GaussianBlur baseline ``conv`` (lax.conv direct path)
+==== ======================== ==========================================
+
+TPU-native engines beyond the parity set:
+
+* ``fused``  — Pallas tile kernel, both separable passes in VMEM (flagship);
+* ``band``   — banded-block matmul on the MXU in plain XLA;
+* ``auto``   — fused when the kernel support fits a VMEM tile, else
+  ``band``, else batched FFT for giant kernels.
 
 Every (shape, nsmooth, engine, options) tuple is a distinct jit
-specialization, cached process-wide; the compiled program fuses
-deinterleave -> blur -> interleave in one dispatch.
+specialization, cached process-wide; compiled programs fuse
+deinterleave -> blur -> interleave into one dispatch.
 """
 
 from __future__ import annotations
@@ -28,9 +35,9 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from blur_algorithms_tpu.ops import box_blur as _box
-from blur_algorithms_tpu.ops import direct_conv, fft_conv, layout, spectrum
-from blur_algorithms_tpu.ops.plan import make_plan
+from blur_algorithms_tpu.ops import band_matmul, direct_conv, fft_conv, layout, spectrum
+from blur_algorithms_tpu.ops.plan import BlurPlan, make_plan
+from blur_algorithms_tpu.pallas_kernels import fused_blur
 
 __all__ = [
     "Engine",
@@ -47,6 +54,8 @@ class Engine(str, enum.Enum):
     FFT2 = "fft2"
     FFT_TILES = "fft_tiles"
     CONV = "conv"
+    BAND = "band"
+    FUSED = "fused"
     BOX = "box"
     AUTO = "auto"
 
@@ -59,25 +68,60 @@ FLAG_TO_ENGINE = {
     1: Engine.CONV,
 }
 
-# Above this kernel width the O(N log N) FFT path beats direct convolution.
-_AUTO_CONV_MAX_WIDTH = 192
+# AUTO: beyond this support radius the banded matmul's MXU waste and VMEM
+# tile size stop paying off against the O(log N) FFT path.
+_AUTO_FUSED_MAX_RADIUS = 256
+_AUTO_BAND_MAX_RADIUS = 512
 
 
-def _resolve_engine(engine: Engine | str, width: int) -> Engine:
+def _fused_tile_ok(plan: BlurPlan) -> bool:
+    th, tw = fused_blur._pick_tile(plan)
+    return th >= 2 * plan.col.support_radius and tw >= 2 * plan.row.support_radius
+
+
+def _resolve_engine(engine: Engine | str, plan: BlurPlan) -> Engine:
     engine = Engine(engine)
-    if engine is Engine.AUTO:
-        return Engine.CONV if width <= _AUTO_CONV_MAX_WIDTH else Engine.FFT_TILES
-    return engine
+    if engine is not Engine.AUTO:
+        return engine
+    r = max(plan.col.support_radius, plan.row.support_radius)
+    if r <= _AUTO_FUSED_MAX_RADIUS and _fused_tile_ok(plan):
+        return Engine.FUSED
+    if r <= _AUTO_BAND_MAX_RADIUS:
+        return Engine.BAND
+    return Engine.FFT_TILES
 
 
-def _blur_planar(x: jnp.ndarray, plan, engine: Engine) -> jnp.ndarray:
+def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
     if engine is Engine.FFT2:
         return fft_conv.blur_fft2(x, plan)
     if engine is Engine.FFT_TILES:
         return fft_conv.blur_fft_tiles(x, plan)
     if engine is Engine.CONV:
         return direct_conv.blur_conv(x, plan)
-    raise ValueError(f"engine {engine} is not a planar FFT/conv engine")
+    if engine is Engine.BAND:
+        return band_matmul.blur_band_matmul(x, plan)
+    if engine is Engine.FUSED:
+        return fused_blur.blur_fused(x, plan, precision="bf16x3")
+    raise ValueError(f"engine {engine} is not a planar blur engine")
+
+
+def _make_box_plan(h: int, w: int, nsmooth: float, size_mode: str) -> BlurPlan:
+    # FastBoxBlur call-site semantics: radius = nsmooth^2, 2 passes
+    # (Source.cpp:587), folded into effective taps (see box_passes_kernel).
+    radius = int(float(nsmooth) * float(nsmooth))
+    return make_plan((h, w), radius, kernel="box_fast", size_mode=size_mode)
+
+
+@functools.lru_cache(maxsize=256)
+def _plan_for(
+    h: int, w: int, nsmooth: float, engine: Engine, kernel: str, size_mode: str
+) -> tuple[BlurPlan, Engine]:
+    if engine is Engine.BOX:
+        plan = _make_box_plan(h, w, nsmooth, size_mode)
+        # route the folded box taps through the fastest legal engine
+        return plan, _resolve_engine(Engine.AUTO, plan)
+    plan = make_plan((h, w), nsmooth, kernel=kernel, size_mode=size_mode)
+    return plan, _resolve_engine(engine, plan)
 
 
 @functools.lru_cache(maxsize=256)
@@ -89,17 +133,7 @@ def _compiled_planar(
     kernel: str,
     size_mode: str,
 ) -> Any:
-    h, w = shape[-2], shape[-1]
-    if engine is Engine.BOX:
-        radius = int(float(nsmooth) * float(nsmooth))
-
-        def fn(x):
-            return _box.box_blur_planar(x.astype(jnp.float32), radius, passes=2)
-
-        return jax.jit(fn)
-
-    plan = make_plan((h, w), nsmooth, kernel=kernel, size_mode=size_mode)
-    eng = _resolve_engine(engine, max(plan.row.width, plan.col.width))
+    plan, eng = _plan_for(shape[-2], shape[-1], nsmooth, engine, kernel, size_mode)
 
     def fn(x):
         return _blur_planar(x.astype(jnp.float32), plan, eng)
@@ -115,18 +149,16 @@ def _compiled_u8(
     kernel: str,
     size_mode: str,
 ) -> Any:
-    h, w = shape[-3], shape[-2]
-    if engine is Engine.BOX:
-        radius = int(float(nsmooth) * float(nsmooth))
+    plan, eng = _plan_for(shape[-3], shape[-2], nsmooth, engine, kernel, size_mode)
 
+    if eng is Engine.FUSED:
+        # keep uint8 end to end: convert + round inside the Pallas kernel
         def fn(img):
-            planar = layout.to_planar(img)
-            return layout.from_planar(_box.box_blur_planar(planar, radius, passes=2))
+            planar = jnp.moveaxis(img, -1, -3)
+            out = fused_blur.blur_fused_u8(planar, plan, precision="bf16x3")
+            return jnp.moveaxis(out, -3, -1)
 
         return jax.jit(fn)
-
-    plan = make_plan((h, w), nsmooth, kernel=kernel, size_mode=size_mode)
-    eng = _resolve_engine(engine, max(plan.row.width, plan.col.width))
 
     def fn(img):
         planar = layout.to_planar(img)
@@ -190,19 +222,43 @@ def gaussian_blur(img: jnp.ndarray, sigma: float, **kwargs) -> jnp.ndarray:
     return blur(img, sigma, **kwargs)
 
 
-def box_blur(img: jnp.ndarray, nsmooth: float, passes: int = 2) -> jnp.ndarray:
-    """FastBoxBlur-parity box blur: radius = nsmooth^2, default 2 passes."""
+def box_blur(
+    img: jnp.ndarray,
+    nsmooth: float,
+    passes: int = 2,
+    size_mode: str = "smooth235",
+) -> jnp.ndarray:
+    """FastBoxBlur-parity box blur: radius = nsmooth^2, default 2 passes.
+
+    ``passes`` sequential reflect-101 box passes are folded into one
+    effective-taps pass (mathematically identical; ``ops/kernels.py``).
+    """
     img = jnp.asarray(img)
     radius = int(float(nsmooth) * float(nsmooth))
-    if img.dtype == jnp.uint8:
-
-        @functools.partial(jax.jit, static_argnums=(1, 2))
-        def fn(x, r, p):
-            planar = layout.to_planar(x)
-            return layout.from_planar(_box.box_blur_planar(planar, r, passes=p))
-
-        return fn(img, radius, int(passes))
-    return _box.box_blur_planar(img.astype(jnp.float32), radius, passes=int(passes))
+    is_u8 = img.dtype == jnp.uint8
+    h, w = (img.shape[-3], img.shape[-2]) if is_u8 else (img.shape[-2], img.shape[-1])
+    plan = make_plan((h, w), radius, kernel="box_fast", size_mode=size_mode,
+                     box_passes=int(passes))
+    eng = _resolve_engine(Engine.AUTO, plan)
+    if is_u8:
+        if eng is Engine.FUSED:
+            fn = jax.jit(
+                lambda x: jnp.moveaxis(
+                    fused_blur.blur_fused_u8(
+                        jnp.moveaxis(x, -1, -3), plan, precision="bf16x3"
+                    ),
+                    -3,
+                    -1,
+                )
+            )
+        else:
+            fn = jax.jit(
+                lambda x: layout.from_planar(
+                    _blur_planar(layout.to_planar(x), plan, eng)
+                )
+            )
+        return fn(img)
+    return jax.jit(lambda x: _blur_planar(x.astype(jnp.float32), plan, eng))(img)
 
 
 def dft_spectrum(

@@ -88,14 +88,18 @@ def main(argv: list[str] | None = None) -> int:
               f"(first call includes compilation)")
 
     if args.bench and not args.spectrum:
-        from blur_algorithms_tpu.utils.timing import time_fn
+        # chained device timing: correct even on remote-tunnel platforms
+        # where block_until_ready does not fence (see utils/timing.py)
+        from blur_algorithms_tpu.utils.timing import time_fn_chained
 
-        fn = lambda x: api.blur_u8(x, args.nsmooth, engine=engine,
-                                   kernel=args.kernel, size_mode=args.size_mode)
         import jax.numpy as jnp
 
-        result = time_fn(fn, jnp.asarray(img), iters=args.bench,
-                         name=engine.value, megapixels=h * w / 1e6)
+        mk = lambda: (
+            lambda x: api.blur_u8(x, args.nsmooth, engine=engine,
+                                  kernel=args.kernel, size_mode=args.size_mode)
+        )
+        result = time_fn_chained(mk, jnp.asarray(img), iters=args.bench,
+                                 name=engine.value, megapixels=h * w / 1e6)
         print(result)
 
     out_path = args.output

@@ -1,0 +1,10 @@
+"""Configured blur pipelines (the framework's "model" objects)."""
+
+from blur_algorithms_tpu.models.pipeline import (
+    BlurPipeline,
+    GaussianBlur,
+    FastBoxBlur,
+    SpectrumAnalyzer,
+)
+
+__all__ = ["BlurPipeline", "GaussianBlur", "FastBoxBlur", "SpectrumAnalyzer"]

@@ -1,0 +1,117 @@
+"""Streaming blur pipelines with shape bucketing.
+
+The reference is a one-shot CLI: every call re-plans kernels and pads
+(``Source.cpp:611-641``). For production streaming on TPU the constraint is
+different: each (shape, sigma) pair is a distinct XLA program, so a pipeline
+must avoid recompiles. SURVEY.md §7 "hard parts" calls this out explicitly
+("Static-shape planning ... need a bucketing policy for the streaming case").
+
+``BlurPipeline`` fixes the blur configuration once and buckets incoming
+frame shapes: images are right/bottom reflect-padded up to the next bucket
+(multiples of ``bucket`` per axis), blurred by a cached compiled program,
+and cropped back. Padding by reflection keeps the bucketed result close to
+the exact-shape result near the crop seam but is not bit-identical to an
+exact-shape run for pixels within one kernel radius of the padded edge;
+``exact=True`` disables bucketing for parity work.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from blur_algorithms_tpu.api import Engine, blur_u8
+
+__all__ = ["BlurPipeline", "GaussianBlur", "FastBoxBlur", "SpectrumAnalyzer"]
+
+
+class BlurPipeline:
+    """Reusable, recompile-free blur for streams of variably-sized frames."""
+
+    def __init__(
+        self,
+        nsmooth: float,
+        engine: Engine | str = Engine.AUTO,
+        kernel: str = "gaussian",
+        size_mode: str = "smooth235",
+        bucket: int = 256,
+        exact: bool = False,
+    ):
+        self.nsmooth = float(nsmooth)
+        self.engine = Engine(engine)
+        self.kernel = kernel
+        self.size_mode = size_mode
+        self.bucket = int(bucket)
+        self.exact = bool(exact)
+        self._compiles = 0
+        self._calls = 0
+        self._seen: set[tuple] = set()
+
+    def _bucketed(self, h: int, w: int) -> tuple[int, int]:
+        b = self.bucket
+        return (-(-h // b) * b, -(-w // b) * b)
+
+    def __call__(self, img: np.ndarray | jnp.ndarray) -> jnp.ndarray:
+        """Blur a uint8 frame ``(H, W, C)`` or batch ``(B, H, W, C)``."""
+        img = jnp.asarray(img)
+        self._calls += 1
+        h, w = img.shape[-3], img.shape[-2]
+        if self.exact:
+            bh, bw = h, w
+        else:
+            bh, bw = self._bucketed(h, w)
+        key = (img.shape[:-3], bh, bw)
+        if key not in self._seen:
+            self._seen.add(key)
+            self._compiles += 1
+
+        if (bh, bw) != (h, w):
+            from blur_algorithms_tpu.ops.pad import reflect_101
+
+            img = reflect_101(img, [(0, bh - h), (0, bw - w)], axes=[-3, -2])
+        out = blur_u8(
+            img,
+            self.nsmooth,
+            engine=self.engine,
+            kernel=self.kernel,
+            size_mode=self.size_mode,
+        )
+        if (bh, bw) != (h, w):
+            out = out[..., :h, :w, :]
+        return out
+
+    @property
+    def stats(self) -> dict:
+        return {"calls": self._calls, "distinct_buckets": self._compiles}
+
+
+def GaussianBlur(sigma: float, **kwargs) -> BlurPipeline:
+    """True-Gaussian pipeline (reference flags 2/3/5 semantics)."""
+    return BlurPipeline(sigma, kernel="gaussian", **kwargs)
+
+
+def FastBoxBlur(nsmooth: float, **kwargs) -> BlurPipeline:
+    """FastBoxBlur pipeline (reference flag 4: radius = nsmooth^2, 2 passes)."""
+    return BlurPipeline(nsmooth, engine=Engine.BOX, **kwargs)
+
+
+class SpectrumAnalyzer:
+    """``DFT_image`` pipeline: frames -> log-magnitude spectra."""
+
+    def __init__(self, nsmooth: float = 1.0, size_mode: str = "smooth235"):
+        self.nsmooth = float(nsmooth)
+        self.size_mode = size_mode
+
+    def __call__(self, img) -> jnp.ndarray:
+        from blur_algorithms_tpu.api import dft_spectrum
+
+        return dft_spectrum(jnp.asarray(img), self.nsmooth, size_mode=self.size_mode)
+
+    def to_image(self, spec) -> np.ndarray:
+        """Normalize a spectrum map to a uint8 visualization (CLI parity)."""
+        spec = np.asarray(spec)
+        lo, hi = float(spec.min()), float(spec.max())
+        vis = (spec - lo) / max(hi - lo, 1e-9) * 255.0
+        return np.moveaxis(vis.astype(np.uint8), 0, -1)

@@ -27,6 +27,7 @@ __all__ = [
     "gaussian_window",
     "gaussian_kernel",
     "box_tent_kernel",
+    "box_passes_kernel",
     "wrap_centered",
     "real_spectrum",
 ]
@@ -81,6 +82,27 @@ def box_tent_kernel(k_len: int) -> np.ndarray:
         raise ValueError(f"box kernel length must be >= 1, got {k_len}")
     i = np.abs(np.arange(-(k_len - 1), k_len, dtype=np.float64))
     return ((k_len - i) / float(k_len) ** 2).astype(np.float32)
+
+
+def box_passes_kernel(radius: int, passes: int = 2) -> np.ndarray:
+    """Effective taps of ``passes`` sequential box blurs of radius ``radius``.
+
+    The n-fold self-convolution of ``ones(2r+1)/(2r+1)``; width
+    ``passes*2*radius + 1``. Sequential reflect-101 box passes are *exactly*
+    equivalent to one pass with these taps (a symmetric kernel preserves the
+    reflect-101 symmetry at the boundary), so the FastBoxBlur call-site
+    semantics (radius = nsmooth^2, passes = 2, ``Source.cpp:587``) collapse
+    to a single pass through any blur engine.
+    """
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    if radius == 0:
+        return np.ones(1, dtype=np.float32)
+    box = np.ones(2 * radius + 1, dtype=np.float64) / (2 * radius + 1)
+    taps = box
+    for _ in range(max(passes, 1) - 1):
+        taps = np.convolve(taps, box)
+    return taps.astype(np.float32)
 
 
 def wrap_centered(taps: np.ndarray, fft_length: int) -> np.ndarray:

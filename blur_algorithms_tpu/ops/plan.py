@@ -29,12 +29,16 @@ from blur_algorithms_tpu.ops import kernels, sizes
 
 __all__ = ["AxisPlan", "BlurPlan", "make_plan"]
 
-KernelKind = Literal["gaussian", "box"]
+KernelKind = Literal["gaussian", "box", "box_fast"]
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class AxisPlan:
-    """Per-axis geometry and spectra (axis length ``dim``)."""
+    """Per-axis geometry and spectra (axis length ``dim``).
+
+    ``eq=False``: plans hash/compare by identity so they can be jit-static
+    arguments despite holding ndarrays; the api layer caches and reuses them.
+    """
 
     dim: int
     width: int  # effective odd kernel width on this axis
@@ -50,9 +54,9 @@ class AxisPlan:
         return (int(self.taps.shape[0]) - 1) // 2
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class BlurPlan:
-    """Complete static description of one blur invocation."""
+    """Complete static description of one blur invocation (identity-hashed)."""
 
     shape: tuple[int, int]  # (H, W)
     kernel: KernelKind
@@ -104,6 +108,7 @@ def make_plan(
     nsmooth: float,
     kernel: KernelKind = "gaussian",
     size_mode: str = "smooth235",
+    box_passes: int = 2,
 ) -> BlurPlan:
     """Plan a blur of an ``(H, W)`` image.
 
@@ -143,6 +148,21 @@ def make_plan(
             return kernels.box_tent_kernel(k_axis)
 
         passes = 1  # pad already covers the tent's full support
+    elif kernel == "box_fast":
+        # FastBoxBlur parity: nsmooth here IS the radius (the api layer passes
+        # radius = int(n^2) per the reference call site, Source.cpp:587).
+        radius = int(nsmooth)
+        if radius < 0:
+            raise ValueError(f"box_fast radius must be >= 0, got {nsmooth}")
+        n_passes = max(int(box_passes), 1)
+        global_width = n_passes * 2 * radius + 1
+
+        def taps_fn(width: int) -> np.ndarray:
+            # per-axis clamp re-derives the radius from the clamped support
+            r_axis = max((width - 1) // (2 * n_passes), 0)
+            return kernels.box_passes_kernel(r_axis, n_passes)
+
+        passes = 1
     else:
         raise ValueError(f"unknown kernel kind {kernel!r}")
 

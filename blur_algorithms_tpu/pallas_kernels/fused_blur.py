@@ -1,0 +1,234 @@
+"""Fused separable-blur Pallas kernel — the flagship hot op.
+
+One VMEM-resident pass computes both separable convolution passes per output
+tile: load a uint8 (or f32) input tile plus its halo (fetched as the three
+neighboring grid blocks — no overlapping-window tensor ever touches HBM,
+which is what bounds the pure-XLA band-matmul engine), run the rows pass and
+the columns pass as banded block matmuls on the MXU, round, and write uint8.
+
+Replaces the reference's entire per-tile machinery (thread loops + pffft
+plans + flip_block transposes + interleave rounding, ``Source.cpp:510-567``)
+with a single systolic-array pipeline:
+
+    HBM u8 tile ─DMA→ VMEM ─f32→ [X @ Bw] ─→ [Bhᵀ @ Y] ─round→ HBM u8 tile
+
+The banded matrices ``B`` are the same truncated-kernel taps the FFT engines
+use (``ops/band_matmul.band_block_matrix``), so outputs are interchangeable
+with every other engine within float32 rounding.
+
+Halo handling: the input is reflect-101 padded by the kernel radius and
+zero-padded to one extra grid block per axis at trace time; each program
+reads blocks (i,j), (i,j+1), (i+1,j), (i+1,j+1) through standard pipelined
+BlockSpecs (the extra +1 blocks make every neighbor access in-bounds).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blur_algorithms_tpu.ops.band_matmul import band_block_matrix, blur_band_matmul
+from blur_algorithms_tpu.ops.layout import round_to_u8
+from blur_algorithms_tpu.ops.pad import reflect_101
+from blur_algorithms_tpu.ops.plan import BlurPlan
+
+__all__ = ["blur_fused", "blur_fused_u8"]
+
+# Off TPU the Mosaic kernel has no hardware; tests exercise the identical
+# banded-matmul math through XLA instead (set =1 to force the slow Pallas
+# interpreter for kernel-logic tests).
+_FORCE_INTERPRET = os.environ.get("BLUR_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def _split_bf16(v):
+    """f32 -> (hi, lo) bfloat16 with hi + lo capturing ~16 mantissa bits."""
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _kernel(x00, x01, x10, x11, bw_mid, bw_tail, bh_mid, bh_tail, out_ref,
+            *, rh: int, rw: int, th: int, tw: int, precision, out_u8: bool):
+    f32 = jnp.float32
+    split = precision == "bf16x3"
+
+    def to_f32(v):
+        # Mosaic has no direct u8 -> f32 cast; hop through int32.
+        return v.astype(jnp.int32).astype(f32) if v.dtype == jnp.uint8 else v.astype(f32)
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())),
+            precision=None if split else precision,
+            preferred_element_type=f32,
+        )
+
+    def rows_pass(top_ref, right_ref):
+        """Rows conv of a (rows x tw+2rw) span -> (rows x tw)."""
+        dims = ((1,), (0,))
+        if split:
+            # uint8-valued inputs are exact in bf16; split only the taps.
+            x = to_f32(top_ref).astype(jnp.bfloat16)
+            m_hi, m_lo = _split_bf16(bw_mid[...])
+            acc = dot(x, m_hi, dims) + dot(x, m_lo, dims)
+            if rw:
+                xr = to_f32(right_ref).astype(jnp.bfloat16)
+                t_hi, t_lo = _split_bf16(bw_tail[...])
+                acc = acc + dot(xr, t_hi, dims) + dot(xr, t_lo, dims)
+            return acc
+        acc = dot(to_f32(top_ref), bw_mid[...], dims)
+        if rw:
+            acc = acc + dot(to_f32(right_ref), bw_tail[...], dims)
+        return acc
+
+    # Y1: rows-convolved strip of (th + 2rh) x tw
+    y_top = rows_pass(x00[0], x01[0, :, : 2 * rw] if rw else x01[0])
+    if rh:
+        y_ext = rows_pass(
+            x10[0, : 2 * rh, :], x11[0, : 2 * rh, : 2 * rw] if rw else x11[0]
+        )
+
+    # cols pass: out[h, w] = sum_k Bh[k, h] * Y1[k, w]
+    dims_c = ((0,), (0,))
+    if split:
+        def col_dot(mat_ref, y):
+            # y is no longer integer: split both operands, drop the lo*lo term
+            m_hi, m_lo = _split_bf16(mat_ref[...])
+            y_hi, y_lo = _split_bf16(y)
+            return dot(m_hi, y_hi, dims_c) + dot(m_hi, y_lo, dims_c) + dot(
+                m_lo, y_hi, dims_c
+            )
+
+        acc = col_dot(bh_mid, y_top)
+        if rh:
+            acc = acc + col_dot(bh_tail, y_ext)
+    else:
+        acc = dot(bh_mid[...], y_top, dims_c)
+        if rh:
+            acc = acc + dot(bh_tail[...], y_ext, dims_c)
+    if out_u8:
+        acc = jnp.clip(jnp.floor(acc + 0.5), 0.0, 255.0)
+        acc = acc.astype(jnp.int32).astype(jnp.uint8)  # no direct f32 -> u8 cast
+    out_ref[0] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "tile", "precision", "out_u8")
+)
+def _blur_fused_planar(
+    planar: jnp.ndarray,
+    plan: BlurPlan,
+    tile: tuple[int, int],
+    precision,
+    out_u8: bool,
+) -> jnp.ndarray:
+    h, w = plan.shape
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    th, tw = tile
+    if th < 2 * rh or tw < 2 * rw:
+        raise ValueError(
+            f"tile {tile} smaller than halo {(2 * rh, 2 * rw)}; "
+            "use a bigger tile or the band_matmul engine"
+        )
+
+    if jax.default_backend() != "tpu" and not _FORCE_INTERPRET:
+        # CPU/GPU fallback: same banded-matmul convolution via XLA.
+        out = blur_band_matmul(planar.astype(jnp.float32), plan)
+        return round_to_u8(out) if out_u8 else out
+
+    lead = planar.shape[:-2]
+    x = planar.reshape((-1,) + planar.shape[-2:])
+    bc = x.shape[0]
+
+    nbh, nbw = -(-h // th), -(-w // tw)
+    # reflect by the radius, then zero-fill to (nb + 1) whole blocks so every
+    # neighbor block access is in-bounds.
+    x = reflect_101(x, [(rh, rh), (rw, rw)])
+    x = jnp.pad(
+        x,
+        [(0, 0), (0, (nbh + 1) * th - x.shape[-2]), (0, (nbw + 1) * tw - x.shape[-1])],
+    )
+
+    bw = band_block_matrix(plan.row.taps, tw)  # (tw + 2rw, tw)
+    bh = band_block_matrix(plan.col.taps, th)  # (th + 2rh, th)
+    bw_mid, bw_tail = jnp.asarray(bw[:tw]), jnp.asarray(bw[tw:])
+    bh_mid, bh_tail = jnp.asarray(bh[:th]), jnp.asarray(bh[th:])
+    if not rw:
+        bw_tail = jnp.zeros((1, tw), jnp.float32)  # placeholder, unused
+    if not rh:
+        bh_tail = jnp.zeros((1, th), jnp.float32)
+
+    blk = lambda di, dj: pl.BlockSpec(
+        (1, th, tw),
+        lambda c, i, j, di=di, dj=dj: (c, i + di, j + dj),
+        memory_space=pltpu.VMEM,
+    )
+    mat = lambda shape: pl.BlockSpec(
+        shape, lambda c, i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    interpret = jax.default_backend() != "tpu"
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, rh=rh, rw=rw, th=th, tw=tw,
+            precision=precision, out_u8=out_u8,
+        ),
+        interpret=interpret,
+        grid=(bc, nbh, nbw),
+        in_specs=[
+            blk(0, 0), blk(0, 1), blk(1, 0), blk(1, 1),
+            mat(bw_mid.shape), mat(bw_tail.shape),
+            mat(bh_mid.shape), mat(bh_tail.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, tw), lambda c, i, j: (c, i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (bc, nbh * th, nbw * tw), jnp.uint8 if out_u8 else jnp.float32
+        ),
+    )(x, x, x, x, bw_mid, bw_tail, bh_mid, bh_tail)
+
+    return out[:, :h, :w].reshape(lead + (h, w))
+
+
+def _pick_tile(plan: BlurPlan) -> tuple[int, int]:
+    def side(radius: int, dim: int) -> int:
+        t = max(256, 128 * ((2 * radius + 127) // 128))
+        return min(t, max(128, 128 * ((dim + 127) // 128)))
+
+    return (
+        side(plan.col.support_radius, plan.shape[0]),
+        side(plan.row.support_radius, plan.shape[1]),
+    )
+
+
+def blur_fused(
+    planar: jnp.ndarray,
+    plan: BlurPlan,
+    precision=jax.lax.Precision.HIGHEST,
+    tile: tuple[int, int] | None = None,
+) -> jnp.ndarray:
+    """Fused-tile separable blur of planar data ``(..., H, W)`` -> float32.
+
+    Accepts uint8 or float input (converted in VMEM).
+    """
+    tile = tile or _pick_tile(plan)
+    return _blur_fused_planar(planar, plan, tile, precision, out_u8=False)
+
+
+def blur_fused_u8(
+    planar_u8: jnp.ndarray,
+    plan: BlurPlan,
+    precision=jax.lax.Precision.HIGHEST,
+    tile: tuple[int, int] | None = None,
+) -> jnp.ndarray:
+    """Fused-tile blur, uint8 planar in -> uint8 planar out (rounds in VMEM)."""
+    tile = tile or _pick_tile(plan)
+    return _blur_fused_planar(planar_u8, plan, tile, precision, out_u8=True)

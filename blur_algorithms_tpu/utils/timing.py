@@ -16,7 +16,7 @@ from typing import Any, Callable
 
 import jax
 
-__all__ = ["BenchResult", "time_fn", "trace"]
+__all__ = ["BenchResult", "time_fn", "time_fn_chained", "trace"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,3 +82,61 @@ def trace(log_dir: str = "/tmp/blur_tpu_trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+def time_fn_chained(
+    make_step: Callable[[], Callable[[Any], Any]],
+    x: Any,
+    iters: int = 8,
+    reps: int = 3,
+    name: str = "fn",
+    megapixels: float | None = None,
+) -> BenchResult:
+    """Tunnel-safe device timing: chain ``iters`` steps in one ``lax.scan``.
+
+    On remote-tunnel platforms (axon) ``block_until_ready`` does not fence
+    and every host fetch pays ~30 ms RTT, so per-call wall timing is bogus.
+    This builds two jitted programs running the step 1x and ``iters``x inside
+    a scan reduced to one scalar, times scalar fetches, and reports
+    ``(t_iters - t_1) / (iters - 1)`` — RTT and the final fetch cancel.
+
+    ``make_step()`` must return a shape-preserving step ``x -> x`` (so it can
+    be chained); the step should end in the dtype it starts with.
+    """
+    import jax.numpy as jnp
+
+    step = make_step()
+
+    def chained(n: int):
+        @jax.jit
+        def f(v):
+            def body(c, _):
+                return step(c), 0.0
+
+            out, _ = jax.lax.scan(body, v, None, length=n)
+            return jnp.sum(out.astype(jnp.float32))
+
+        return f
+
+    f1, fn_ = chained(1), chained(iters)
+    float(f1(x))
+    float(fn_(x))  # compile both
+
+    def best(f):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(x))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, tn = best(f1), best(fn_)
+    per_ms = max((tn - t1) / (iters - 1) * 1e3, 1e-6)
+    return BenchResult(
+        name=name,
+        mean_ms=per_ms,
+        median_ms=per_ms,
+        min_ms=per_ms,
+        iters=iters * reps,
+        megapixels=megapixels,
+    )

@@ -6,12 +6,19 @@ The real-TPU path is exercised by bench.py / __graft_entry__.py instead.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-assign: the container exports JAX_PLATFORMS=axon (the real-TPU
+# tunnel) and its sitecustomize imports jax at interpreter startup, so the
+# env var alone is read too late — set the config explicitly as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

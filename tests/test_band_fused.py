@@ -1,0 +1,117 @@
+"""Banded-matmul engine internals and the fused Pallas kernel."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blur_algorithms_tpu import oracle
+from blur_algorithms_tpu.ops.band_matmul import (
+    band_block_matrix,
+    blur_band_matmul,
+    pick_block,
+)
+from blur_algorithms_tpu.ops.kernels import box_passes_kernel, gaussian_kernel
+from blur_algorithms_tpu.ops.plan import make_plan
+
+
+class TestBandMatrix:
+    def test_structure(self):
+        taps = np.array([1.0, 2.0, 3.0, 2.0, 1.0], dtype=np.float32)
+        mat = band_block_matrix(taps, 4)  # (4 + 4) x 4
+        assert mat.shape == (8, 4)
+        for j in range(4):
+            np.testing.assert_array_equal(mat[j : j + 5, j], taps)
+        # off-band is zero
+        assert mat[6, 0] == 0 and mat[0, 2] == 0
+
+    def test_window_matmul_is_valid_conv(self, rng):
+        taps = gaussian_kernel(2.0, 9)
+        mat = band_block_matrix(taps, 16)
+        window = rng.random(16 + 8).astype(np.float32)
+        got = window @ mat
+        want = np.convolve(window.astype(np.float64), taps[::-1], mode="valid")
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_pick_block(self):
+        assert pick_block(4096, 32) % 128 == 0
+        assert pick_block(4096, 32) >= 4 * 32
+        assert pick_block(100, 8) == 128  # clamped to lane-aligned axis
+
+
+class TestBandEngine:
+    def test_matches_direct_oracle(self, rng):
+        x = rng.random((3, 41, 57)).astype(np.float32) * 255
+        plan = make_plan((41, 57), 6.0)
+        got = np.asarray(blur_band_matmul(jnp.asarray(x), plan))
+        want = oracle.blur_direct(x, plan)
+        np.testing.assert_allclose(got, want, atol=5e-3)
+
+    def test_explicit_block_sizes_agree(self, rng):
+        x = rng.random((2, 64, 200)).astype(np.float32) * 255
+        plan = make_plan((64, 200), 4.0)
+        a = np.asarray(blur_band_matmul(jnp.asarray(x), plan, block=128))
+        b = np.asarray(blur_band_matmul(jnp.asarray(x), plan, block=256))
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+class TestBoxFold:
+    def test_effective_taps_match_sequential_convolution(self):
+        for r, p in [(1, 1), (3, 2), (4, 3)]:
+            taps = box_passes_kernel(r, p)
+            assert taps.shape == (p * 2 * r + 1,)
+            box = np.ones(2 * r + 1) / (2 * r + 1)
+            want = box
+            for _ in range(p - 1):
+                want = np.convolve(want, box)
+            np.testing.assert_allclose(taps, want, atol=1e-7)
+            assert abs(taps.sum() - 1.0) < 1e-6
+
+    def test_fold_equals_sequential_passes(self, rng):
+        """One effective-taps pass == 2 sequential reflect-101 box passes."""
+        from blur_algorithms_tpu.ops.box_blur import box_blur_planar
+
+        x = rng.random((30, 44)).astype(np.float32) * 255
+        seq = np.asarray(box_blur_planar(jnp.asarray(x), 3, passes=2))
+        plan = make_plan((30, 44), 3, kernel="box_fast", box_passes=2)
+        fold = np.asarray(blur_band_matmul(jnp.asarray(x), plan))
+        np.testing.assert_allclose(fold, seq, atol=2e-2)
+
+    def test_box_fast_plan_radius_zero(self):
+        plan = make_plan((16, 16), 0, kernel="box_fast")
+        assert plan.row.support_radius == 0
+        x = jnp.arange(256, dtype=jnp.float32).reshape(16, 16)
+        np.testing.assert_allclose(np.asarray(blur_band_matmul(x, plan)), x)
+
+
+class TestFusedKernel:
+    def test_tile_too_small_raises(self):
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import blur_fused
+
+        plan = make_plan((300, 300), 30.0)  # radius ~ 98
+        x = jnp.zeros((3, 300, 300), jnp.float32)
+        with pytest.raises(ValueError):
+            blur_fused(x, plan, tile=(128, 128))
+
+    def test_fallback_matches_oracle(self, rng):
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import blur_fused
+
+        x = rng.random((3, 50, 70)).astype(np.float32) * 255
+        plan = make_plan((50, 70), 3.0)
+        got = np.asarray(blur_fused(jnp.asarray(x), plan))
+        want = oracle.blur_direct(x, plan)
+        np.testing.assert_allclose(got, want, atol=5e-3)
+
+    @pytest.mark.skipif(
+        os.environ.get("BLUR_TPU_PALLAS_INTERPRET") != "1",
+        reason="pallas interpreter is slow; set BLUR_TPU_PALLAS_INTERPRET=1",
+    )
+    def test_interpret_mode_kernel_logic(self, rng):
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        x = rng.random((1, 24, 24)).astype(np.float32) * 255
+        plan = make_plan((24, 24), 1.0)  # width 5, radius 2
+        got = np.asarray(fused_blur.blur_fused(jnp.asarray(x), plan, tile=(8, 8)))
+        want = oracle.blur_direct(x, plan)
+        np.testing.assert_allclose(got, want, atol=1e-2)

@@ -64,9 +64,9 @@ def test_bad_flag_exits(ppm_image):
 def test_module_invocation(ppm_image, tmp_path):
     out = tmp_path / "m.ppm"
     proc = subprocess.run(
-        [sys.executable, "-m", "blur_algorithms_tpu", "fft2", "4", str(ppm_image),
+        [sys.executable, "-m", "blur_algorithms_tpu", "band", "4", str(ppm_image),
          "-o", str(out)],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=600,
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
     )
     assert proc.returncode == 0, proc.stderr

@@ -9,7 +9,7 @@ from blur_algorithms_tpu.ops.box_blur import box_blur_planar
 from blur_algorithms_tpu.ops.plan import make_plan
 
 SIGMAS = [2.0, 10.0, 50.0]
-ENGINES = [Engine.FFT2, Engine.FFT_TILES, Engine.CONV]
+ENGINES = [Engine.FFT2, Engine.FFT_TILES, Engine.CONV, Engine.BAND, Engine.FUSED]
 
 
 @pytest.mark.parametrize("engine", ENGINES)

@@ -1,0 +1,63 @@
+"""Streaming pipeline: bucketing, cache stats, model wrappers."""
+
+import numpy as np
+import pytest
+
+from blur_algorithms_tpu import oracle
+from blur_algorithms_tpu.models import (
+    BlurPipeline,
+    FastBoxBlur,
+    GaussianBlur,
+    SpectrumAnalyzer,
+)
+
+
+def _img(rng, h, w):
+    return (rng.random((h, w, 3)) * 255).astype(np.uint8)
+
+
+def test_exact_mode_matches_oracle(rng):
+    pipe = GaussianBlur(5.0, exact=True)
+    img = _img(rng, 70, 90)
+    got = np.asarray(pipe(img))
+    want = oracle.blur_u8(img, 5.0)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_bucketing_reuses_compiled_shapes(rng):
+    pipe = GaussianBlur(3.0, bucket=64)
+    shapes = [(60, 60), (64, 64), (50, 63), (61, 58), (70, 70), (100, 120)]
+    for h, w in shapes:
+        out = pipe(_img(rng, h, w))
+        assert out.shape == (h, w, 3)
+    # first four shapes bucket to (64, 64), last two to (128, 128)
+    assert pipe.stats["calls"] == 6
+    assert pipe.stats["distinct_buckets"] == 2
+
+
+def test_bucketed_interior_matches_exact(rng):
+    img = _img(rng, 90, 77)
+    exact = np.asarray(GaussianBlur(4.0, exact=True)(img)).astype(int)
+    bucketed = np.asarray(GaussianBlur(4.0, bucket=64)(img)).astype(int)
+    # interior (more than one kernel radius from the padded seam) must agree
+    from blur_algorithms_tpu.ops.plan import make_plan
+
+    r = make_plan((90, 77), 4.0).row.support_radius
+    inner = np.abs(exact[: 90 - r, : 77 - r] - bucketed[: 90 - r, : 77 - r])
+    assert inner.max() <= 1
+
+
+def test_box_pipeline(rng):
+    img = _img(rng, 64, 64)
+    out = np.asarray(FastBoxBlur(2.0, exact=True)(img))
+    assert out.shape == img.shape
+    assert out.std() < img.std()
+
+
+def test_spectrum_analyzer(rng):
+    img = _img(rng, 48, 48)
+    sa = SpectrumAnalyzer()
+    spec = sa(img)
+    assert spec.shape[0] == 3
+    vis = sa.to_image(np.asarray(spec))
+    assert vis.dtype == np.uint8 and vis.shape[-1] == 3

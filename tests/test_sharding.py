@@ -1,0 +1,66 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh.
+
+dp (frames) x sp (rows with halo exchange) must reproduce the single-device
+result exactly — including the reflect-101 borders synthesized on the
+edge shards.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blur_algorithms_tpu import oracle
+from blur_algorithms_tpu.ops.band_matmul import blur_band_matmul
+from blur_algorithms_tpu.ops.plan import make_plan
+from blur_algorithms_tpu.parallel import blur_sharded, blur_sharded_u8, make_mesh
+
+
+@pytest.fixture(scope="module")
+def frames(rng=None):
+    rng = np.random.default_rng(7)
+    return (rng.random((8, 3, 64, 48)) * 255).astype(np.float32)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("dp,sp,sigma", [(8, 1, 4.0), (4, 2, 4.0), (2, 4, 2.0), (1, 8, 1.0)])
+def test_sharded_matches_single_device(frames, dp, sp, sigma):
+    plan = make_plan((64, 48), sigma)
+    mesh = make_mesh(dp=dp, sp=sp)
+    got = np.asarray(blur_sharded(jnp.asarray(frames), plan, mesh))
+    want = np.asarray(blur_band_matmul(jnp.asarray(frames), plan))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_sharded_matches_oracle(frames):
+    plan = make_plan((64, 48), 2.0)  # radius 5 < h_loc 16
+    mesh = make_mesh(dp=2, sp=4)
+    got = np.asarray(blur_sharded(jnp.asarray(frames), plan, mesh))
+    want = oracle.blur_direct(frames, plan)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_sharded_u8_pipeline(rgb_image):
+    batch = np.stack([rgb_image] * 4)  # (4, 96, 80, C)
+    plan = make_plan((96, 80), 5.0)
+    mesh = make_mesh(dp=4, sp=2)
+    got = np.asarray(blur_sharded_u8(jnp.asarray(batch), plan, mesh))
+    want = oracle.blur_u8(rgb_image, 5.0)
+    d = np.abs(got[0].astype(int) - want.astype(int))
+    assert d.max() <= 1
+    np.testing.assert_array_equal(got[0], got[3])
+
+
+def test_radius_exceeding_shard_raises(frames):
+    plan = make_plan((64, 48), 30.0)  # radius ~ 63 on the col axis (clamped)
+    mesh = make_mesh(dp=1, sp=8)  # h_loc = 8 << radius
+    with pytest.raises(ValueError, match="exceeds local shard rows"):
+        blur_sharded(jnp.asarray(frames), plan, mesh)
+
+
+def test_bad_mesh_factor():
+    with pytest.raises(ValueError):
+        make_mesh(dp=3, sp=2)  # 6 != 8
