@@ -57,6 +57,7 @@ class Engine(str, enum.Enum):
     BAND = "band"
     FUSED = "fused"
     BOX = "box"
+    BOX_SCAN = "box_scan"  # Pallas prefix-sum kernel: O(1)/px in radius
     AUTO = "auto"
 
 
@@ -102,6 +103,14 @@ def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
         return band_matmul.blur_band_matmul(x, plan)
     if engine is Engine.FUSED:
         return fused_blur.blur_fused(x, plan, precision="bf16x3")
+    if engine is Engine.BOX_SCAN:
+        if plan.kernel != "box_fast":
+            raise ValueError("box_scan engine requires a box_fast plan")
+        from blur_algorithms_tpu.pallas_kernels.box_blur_pallas import (
+            box_blur_pallas,
+        )
+
+        return box_blur_pallas(x, int(plan.sigma), plan.box_passes)
     raise ValueError(f"engine {engine} is not a planar blur engine")
 
 
@@ -116,10 +125,17 @@ def _make_box_plan(h: int, w: int, nsmooth: float, size_mode: str) -> BlurPlan:
 def _plan_for(
     h: int, w: int, nsmooth: float, engine: Engine, kernel: str, size_mode: str
 ) -> tuple[BlurPlan, Engine]:
-    if engine is Engine.BOX:
+    if engine in (Engine.BOX, Engine.BOX_SCAN):
         plan = _make_box_plan(h, w, nsmooth, size_mode)
-        # route the folded box taps through the fastest legal engine
-        return plan, _resolve_engine(Engine.AUTO, plan)
+        if engine is Engine.BOX_SCAN:
+            return plan, Engine.BOX_SCAN
+        # fold the passes into effective taps and route through the fastest
+        # matmul engine while the support fits; beyond that the Pallas
+        # prefix-sum kernel is radius-independent and beats the FFT path
+        eng = _resolve_engine(Engine.AUTO, plan)
+        if eng is Engine.FFT_TILES:
+            eng = Engine.BOX_SCAN
+        return plan, eng
     plan = make_plan((h, w), nsmooth, kernel=kernel, size_mode=size_mode)
     return plan, _resolve_engine(engine, plan)
 
@@ -240,6 +256,8 @@ def box_blur(
     plan = make_plan((h, w), radius, kernel="box_fast", size_mode=size_mode,
                      box_passes=int(passes))
     eng = _resolve_engine(Engine.AUTO, plan)
+    if eng is Engine.FFT_TILES:
+        eng = Engine.BOX_SCAN  # radius-independent Pallas scan beats FFT here
     if is_u8:
         if eng is Engine.FUSED:
             fn = jax.jit(

@@ -39,8 +39,18 @@ def _mirror_full(rspec: np.ndarray, n: int) -> np.ndarray:
     return full
 
 
-def blur_fft2(planar: jnp.ndarray, plan: BlurPlan) -> jnp.ndarray:
-    """2-D FFT convolution of float32 planar channels ``(..., H, W)``."""
+def blur_fft2(
+    planar: jnp.ndarray, plan: BlurPlan, pallas_multiply: bool = False
+) -> jnp.ndarray:
+    """2-D FFT convolution of float32 planar channels ``(..., H, W)``.
+
+    ``pallas_multiply`` routes the spectral multiply through the explicit
+    Pallas kernel (``pallas_kernels/spectral_multiply.py``). Off by default:
+    XLA already fuses the pointwise multiply into the FFT's neighborhood, and
+    measured 4K timings favor the fused-XLA form (the Pallas version pays
+    extra HBM passes marshalling re/im), so the kernel exists for layout
+    experiments and parity with the BASELINE.json component list.
+    """
     h, w = plan.shape
     (bt, bb), (bl, br) = plan.col.border, plan.row.border
     fft_h, fft_w = plan.fft_shape
@@ -49,12 +59,21 @@ def blur_fft2(planar: jnp.ndarray, plan: BlurPlan) -> jnp.ndarray:
     spec = jnp.fft.rfft2(padded, axes=(-2, -1))
 
     ker_col = _mirror_full(plan.col.spectrum, fft_h)
-    ker = jnp.asarray(ker_col[:, None] * plan.row.spectrum[None, :])
-    out = jnp.fft.irfft2(spec * ker, s=(fft_h, fft_w), axes=(-2, -1))
+    if pallas_multiply:
+        from blur_algorithms_tpu.pallas_kernels.spectral_multiply import (
+            spectral_multiply_2d,
+        )
+
+        spec = spectral_multiply_2d(spec, ker_col, plan.row.spectrum)
+    else:
+        spec = spec * jnp.asarray(ker_col[:, None] * plan.row.spectrum[None, :])
+    out = jnp.fft.irfft2(spec, s=(fft_h, fft_w), axes=(-2, -1))
     return out[..., bt : bt + h, bl : bl + w]
 
 
-def _tile_pass(x: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
+def _tile_pass(
+    x: jnp.ndarray, axis_plan, axis: int, pallas_multiply: bool = False
+) -> jnp.ndarray:
     """One 1-D pass: reflect pad + trailing zeros, rFFT, xRe(ker), irFFT, crop.
 
     The whole image's rows (or columns) form the batch of a single rFFT —
@@ -69,14 +88,23 @@ def _tile_pass(x: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
         tile = jnp.pad(tile, cfg)
 
     spec = jnp.fft.rfft(tile, n=flen, axis=-1)
-    spec = spec * jnp.asarray(axis_plan.spectrum)
+    if pallas_multiply:
+        from blur_algorithms_tpu.pallas_kernels.spectral_multiply import (
+            spectral_multiply_rows,
+        )
+
+        spec = spectral_multiply_rows(spec, axis_plan.spectrum)
+    else:
+        spec = spec * jnp.asarray(axis_plan.spectrum)
     out = jnp.fft.irfft(spec, n=flen, axis=-1)
     out = out[..., pad : pad + n]
     return jnp.moveaxis(out, -1, axis)
 
 
-def blur_fft_tiles(planar: jnp.ndarray, plan: BlurPlan) -> jnp.ndarray:
+def blur_fft_tiles(
+    planar: jnp.ndarray, plan: BlurPlan, pallas_multiply: bool = False
+) -> jnp.ndarray:
     """Separable 1-D tile path: rows pass then columns pass."""
-    out = _tile_pass(planar, plan.row, -1)
-    out = _tile_pass(out, plan.col, -2)
+    out = _tile_pass(planar, plan.row, -1, pallas_multiply)
+    out = _tile_pass(out, plan.col, -2, pallas_multiply)
     return out

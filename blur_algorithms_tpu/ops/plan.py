@@ -65,6 +65,7 @@ class BlurPlan:
     size_mode: str
     row: AxisPlan  # axis -1 (width / rows pass)
     col: AxisPlan  # axis -2 (height / columns pass)
+    box_passes: int = 1  # for kernel="box_fast": the folded pass count
 
     @property
     def fft_shape(self) -> tuple[int, int]:
@@ -176,4 +177,5 @@ def make_plan(
         size_mode=size_mode,
         row=row,
         col=col,
+        box_passes=max(int(box_passes), 1) if kernel == "box_fast" else 1,
     )

@@ -1,0 +1,133 @@
+"""Pallas box blur: in-VMEM prefix-sum sliding windows, O(1)/pixel in radius.
+
+The reference's FastBoxBlur is a sequential sliding accumulator
+(``out[i+1] = out[i] + in[i+r+1] - in[i-r]``) — CPU-optimal, useless on a
+vector machine. The TPU-native form of the same O(N) math: an inclusive
+prefix sum (Hillis-Steele log-step scan on the VPU, lanes stay full) and a
+shifted difference, entirely VMEM-resident per tile. Cost per pixel is
+independent of the radius, so this engine owns the large-radius regime where
+the banded-matmul engine's O(r) MXU work stops paying.
+
+All ``passes`` of one axis run inside a single kernel invocation (box passes
+commute across axes, and sequential reflect-101 passes equal one wider-pad
+pass — see ``ops/kernels.box_passes_kernel``); the input is pre-padded by
+``passes * r`` per side with XLA's reflect pad.
+
+Plain ``jnp.cumsum`` on TPU measured 2.6 s for one 4K frame (it materializes
+every scan step in HBM); this kernel does the same blur in ~1 ms.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blur_algorithms_tpu.ops.pad import reflect_101
+
+__all__ = ["box_blur_pallas", "box_blur_pallas_axis"]
+
+
+def _inclusive_scan_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Hillis-Steele inclusive prefix sum along the last axis (VPU)."""
+    n = x.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    s = 1
+    while s < n:
+        shifted = pltpu.roll(x, shift=s, axis=x.ndim - 1)
+        x = x + jnp.where(col >= s, shifted, 0.0)
+        s *= 2
+    return x
+
+
+def _window_mean_last(x: jnp.ndarray, r: int, m: int) -> jnp.ndarray:
+    """Sliding mean of width ``2r + 1``: first ``m`` valid windows of ``x``."""
+    w = 2 * r + 1
+    cs = _inclusive_scan_last(x)
+    hi = cs[..., w - 1 : w - 1 + m]
+    lo = jnp.concatenate(
+        [jnp.zeros(cs.shape[:-1] + (1,), cs.dtype), cs[..., : m - 1]], axis=-1
+    )
+    return (hi - lo) * (1.0 / w)
+
+
+def _kernel(x_ref, out_ref, *, r: int, passes: int, n: int):
+    x = x_ref[0].astype(jnp.float32)
+    length = x.shape[-1]  # n + 2 * passes * r; shrinks by 2r per pass
+    for _ in range(passes):
+        x = _window_mean_last(x, r, length - 2 * r)
+        length -= 2 * r
+    out_ref[0] = x[..., :n]
+
+
+@functools.partial(jax.jit, static_argnames=("r", "passes", "tile_rows"))
+def box_blur_pallas_axis(
+    planar: jnp.ndarray, r: int, passes: int = 2, tile_rows: int = 128
+) -> jnp.ndarray:
+    """Box blur along the last axis of float32 ``(..., M, N)``; ``passes`` x."""
+    if r <= 0:
+        return planar.astype(jnp.float32)
+    n = planar.shape[-1]
+    pad = min(passes * r, n - 1) if n > 1 else 0
+    eff_r = pad // passes  # keep each pass's window inside the padded span
+    if eff_r == 0:
+        return planar.astype(jnp.float32)
+
+    lead = planar.shape[:-2]
+    x = planar.reshape((-1,) + planar.shape[-2:]).astype(jnp.float32)
+    x = reflect_101(x, [(passes * eff_r, passes * eff_r)], axes=[-1])
+
+    if jax.default_backend() != "tpu":
+        # XLA fallback: same scan-difference math
+        length = x.shape[-1]
+        for _ in range(passes):
+            cs = jnp.cumsum(x, axis=-1)
+            m = length - 2 * eff_r
+            w = 2 * eff_r + 1
+            hi = cs[..., w - 1 : w - 1 + m]
+            lo = jnp.concatenate(
+                [jnp.zeros(cs.shape[:-1] + (1,), cs.dtype), cs[..., : m - 1]],
+                axis=-1,
+            )
+            x = (hi - lo) * (1.0 / w)
+            length = m
+        return x[..., :n].reshape(lead + planar.shape[-2:])
+
+    bc, mrows, length = x.shape
+    th = min(tile_rows, -(-mrows // 8) * 8)
+    nth = -(-mrows // th)
+    x = jnp.pad(x, [(0, 0), (0, nth * th - mrows), (0, 0)])
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, r=eff_r, passes=passes, n=n),
+        grid=(bc, nth),
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, length), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, n), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bc, nth * th, n), jnp.float32),
+    )(x)
+
+    return out[:, :mrows, :].reshape(lead + planar.shape[-2:])
+
+
+def box_blur_pallas(
+    planar: jnp.ndarray, radius: int, passes: int = 2
+) -> jnp.ndarray:
+    """FastBoxBlur semantics on float32 planar ``(..., H, W)``.
+
+    ``passes`` box passes per axis (rows then columns), each width
+    ``2*radius + 1``, reflect-101 borders.
+    """
+    out = box_blur_pallas_axis(planar, radius, passes)
+    out = jnp.swapaxes(
+        box_blur_pallas_axis(jnp.swapaxes(out, -1, -2), radius, passes), -1, -2
+    )
+    return out
