@@ -65,7 +65,11 @@ def main(argv: list[str] | None = None) -> int:
     from blur_algorithms_tpu import api
     from blur_algorithms_tpu.utils import io
 
-    img = io.read_image(args.file)
+    try:
+        img = io.read_image(args.file)
+    except (FileNotFoundError, OSError) as exc:
+        # the reference segfaults on a bad path (Source.cpp:623 unchecked)
+        raise SystemExit(f"error: cannot read image {args.file!r}: {exc}")
     if img.ndim == 2:
         img = img[..., None]
     h, w = img.shape[:2]

@@ -1,0 +1,56 @@
+"""Adjoint of the blur operator — gradients for the Pallas engine.
+
+The blur is linear: ``y = Crop . ValidConv(taps) . ReflectPad101``. Its
+adjoint per axis is ``ReflectPad101^T . ValidConv(taps)^T``:
+
+* ``ValidConv^T`` = zero-pad the cotangent by ``2r`` per side and run the
+  same valid conv with flipped taps (taps are symmetric, so the same band
+  matrices and the same MXU path apply);
+* ``ReflectPad101^T`` = fold: each reflected pad sample scatters its
+  cotangent back onto the interior pixel it mirrored (positions ``1..r``
+  from the left pad, ``n-2..n-r-1`` from the right pad). Pad excess beyond
+  the ``dim-1`` clamp was zero-filled in the forward pass and contributes
+  nothing.
+
+The jnp engines (fft/band/conv) are differentiable through XLA already;
+this explicit adjoint exists so the fused Pallas kernel gets a ``custom_vjp``
+(and it is also cheaper than autodiff through an FFT pair).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from blur_algorithms_tpu.ops.band_matmul import band_conv_valid
+from blur_algorithms_tpu.ops.plan import BlurPlan
+
+__all__ = ["blur_adjoint"]
+
+
+def _adjoint_axis(ct: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
+    r = axis_plan.support_radius
+    n = axis_plan.dim
+    if r == 0:
+        return ct
+    ct = jnp.moveaxis(ct, axis, -1)
+
+    # ValidConv^T: zero-pad by 2r, valid conv (symmetric taps == flipped)
+    cfg = [(0, 0)] * (ct.ndim - 1) + [(2 * r, 2 * r)]
+    z = band_conv_valid(jnp.pad(ct, cfg), axis_plan.taps, n + 2 * r)
+
+    # ReflectPad^T: fold pad cotangents onto their mirror sources
+    out = z[..., r : r + n]
+    eff = min(r, n - 1)  # forward pad was clamped to dim - 1
+    if eff > 0:
+        left = z[..., r - eff : r][..., ::-1]  # pad pos r-1..r-eff -> src 1..eff
+        out = out.at[..., 1 : eff + 1].add(left)
+        right = z[..., r + n : r + n + eff][..., ::-1]  # -> src n-2..n-1-eff
+        out = out.at[..., n - 1 - eff : n - 1].add(right)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def blur_adjoint(ct: jnp.ndarray, plan: BlurPlan) -> jnp.ndarray:
+    """Apply the adjoint of the planned blur to cotangent ``(..., H, W)``."""
+    out = _adjoint_axis(ct.astype(jnp.float32), plan.row, -1)
+    out = _adjoint_axis(out, plan.col, -2)
+    return out

@@ -97,7 +97,10 @@ def box_blur_pallas_axis(
         return x[..., :n].reshape(lead + planar.shape[-2:])
 
     bc, mrows, length = x.shape
-    th = min(tile_rows, -(-mrows // 8) * 8)
+    # VMEM bound: in-block + scan temporaries + out-block ~ 3 * th * L * 4B;
+    # shrink the row tile for very long axes (e.g. 24000-px scans)
+    budget_rows = max(8, (6 * 1024 * 1024) // (3 * 4 * max(length, 1)) // 8 * 8)
+    th = min(tile_rows, budget_rows, -(-mrows // 8) * 8)
     nth = -(-mrows // th)
     x = jnp.pad(x, [(0, 0), (0, nth * th - mrows), (0, 0)])
 

@@ -209,6 +209,26 @@ def _pick_tile(plan: BlurPlan) -> tuple[int, int]:
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _blur_fused_diff(planar, plan, precision, tile):
+    return _blur_fused_planar(planar, plan, tile, precision, out_u8=False)
+
+
+def _blur_fused_fwd(planar, plan, precision, tile):
+    return _blur_fused_diff(planar, plan, precision, tile), None
+
+
+def _blur_fused_bwd(plan, precision, tile, _res, ct):
+    # blur is linear: VJP = the adjoint operator (ops/adjoint.py), which
+    # folds reflect-pad cotangents and reuses the banded MXU path
+    from blur_algorithms_tpu.ops.adjoint import blur_adjoint
+
+    return (blur_adjoint(ct, plan),)
+
+
+_blur_fused_diff.defvjp(_blur_fused_fwd, _blur_fused_bwd)
+
+
 def blur_fused(
     planar: jnp.ndarray,
     plan: BlurPlan,
@@ -217,9 +237,13 @@ def blur_fused(
 ) -> jnp.ndarray:
     """Fused-tile separable blur of planar data ``(..., H, W)`` -> float32.
 
-    Accepts uint8 or float input (converted in VMEM).
+    Accepts uint8 or float input (converted in VMEM). Differentiable for
+    float inputs via an explicit adjoint ``custom_vjp`` (Pallas kernels have
+    no automatic transpose).
     """
     tile = tile or _pick_tile(plan)
+    if jnp.issubdtype(jnp.asarray(planar).dtype, jnp.floating):
+        return _blur_fused_diff(planar, plan, precision, tile)
     return _blur_fused_planar(planar, plan, tile, precision, out_u8=False)
 
 

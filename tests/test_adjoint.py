@@ -1,0 +1,73 @@
+"""Adjoint correctness and differentiability of the engines."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blur_algorithms_tpu.ops.adjoint import blur_adjoint
+from blur_algorithms_tpu.ops.band_matmul import blur_band_matmul
+from blur_algorithms_tpu.ops.plan import make_plan
+from blur_algorithms_tpu.pallas_kernels.fused_blur import blur_fused
+
+
+def test_adjoint_identity(rng):
+    """<A x, y> == <x, A^T y> for the blur operator A."""
+    plan = make_plan((20, 26), 3.0)
+    x = rng.random((20, 26)).astype(np.float32)
+    y = rng.random((20, 26)).astype(np.float32)
+    ax = np.asarray(blur_band_matmul(jnp.asarray(x), plan))
+    aty = np.asarray(blur_adjoint(jnp.asarray(y), plan))
+    lhs = float(np.sum(ax.astype(np.float64) * y))
+    rhs = float(np.sum(x.astype(np.float64) * aty))
+    assert abs(lhs - rhs) < 1e-2 * max(abs(lhs), 1.0)
+
+
+def test_adjoint_identity_clamped_pad(rng):
+    # radius clamped by the small axis: the fold must still be exact
+    plan = make_plan((7, 40), 8.0)
+    x = rng.random((7, 40)).astype(np.float32)
+    y = rng.random((7, 40)).astype(np.float32)
+    ax = np.asarray(blur_band_matmul(jnp.asarray(x), plan))
+    aty = np.asarray(blur_adjoint(jnp.asarray(y), plan))
+    lhs = float(np.sum(ax.astype(np.float64) * y))
+    rhs = float(np.sum(x.astype(np.float64) * aty))
+    assert abs(lhs - rhs) < 1e-2 * max(abs(lhs), 1.0)
+
+
+def test_fused_vjp_matches_band_autodiff(rng):
+    plan = make_plan((24, 32), 2.0)
+    x = jnp.asarray(rng.random((2, 24, 32)).astype(np.float32))
+    ct = jnp.asarray(rng.random((2, 24, 32)).astype(np.float32))
+
+    _, vjp_fused = jax.vjp(lambda v: blur_fused(v, plan), x)
+    _, vjp_band = jax.vjp(lambda v: blur_band_matmul(v, plan), x)
+    (g_fused,) = vjp_fused(ct)
+    (g_band,) = vjp_band(ct)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_band), atol=2e-3
+    )
+
+
+def test_grad_through_blur_scalar_loss(rng):
+    plan = make_plan((16, 16), 1.5)
+    x = jnp.asarray(rng.random((16, 16)).astype(np.float32))
+
+    def loss(v):
+        return jnp.sum(blur_fused(v, plan) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert g.shape == x.shape
+    # numerical check on one coordinate
+    eps = 1e-3
+    e = jnp.zeros_like(x).at[8, 8].set(eps)
+    num = (loss(x + e) - loss(x - e)) / (2 * eps)
+    assert abs(float(g[8, 8]) - float(num)) < 5e-2 * max(abs(float(num)), 1.0)
+
+
+def test_jnp_engines_autodiff(rng):
+    from blur_algorithms_tpu.ops.fft_conv import blur_fft_tiles
+
+    plan = make_plan((16, 20), 2.0)
+    x = jnp.asarray(rng.random((16, 20)).astype(np.float32))
+    g = jax.grad(lambda v: jnp.sum(blur_fft_tiles(v, plan)))(x)
+    assert np.isfinite(np.asarray(g)).all()
