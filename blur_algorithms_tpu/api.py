@@ -58,6 +58,7 @@ class Engine(str, enum.Enum):
     FUSED = "fused"
     BOX = "box"
     BOX_SCAN = "box_scan"  # Pallas prefix-sum kernel: O(1)/px in radius
+    FFT_STREAM = "fft_stream"  # strip-streamed tiles for giant images
     AUTO = "auto"
 
 
@@ -80,6 +81,9 @@ def _fused_tile_ok(plan: BlurPlan) -> bool:
     return th >= 2 * plan.col.support_radius and tw >= 2 * plan.row.support_radius
 
 
+_FFT_WHOLE_IMAGE_BYTE_BUDGET = 4 << 30  # stream strips beyond ~4 GB of buffers
+
+
 def _resolve_engine(engine: Engine | str, plan: BlurPlan) -> Engine:
     engine = Engine(engine)
     if engine is not Engine.AUTO:
@@ -89,6 +93,10 @@ def _resolve_engine(engine: Engine | str, plan: BlurPlan) -> Engine:
         return Engine.FUSED
     if r <= _AUTO_BAND_MAX_RADIUS:
         return Engine.BAND
+    from blur_algorithms_tpu.ops.streamed import estimate_fft_tiles_bytes
+
+    if estimate_fft_tiles_bytes(plan) > _FFT_WHOLE_IMAGE_BYTE_BUDGET:
+        return Engine.FFT_STREAM
     return Engine.FFT_TILES
 
 
@@ -111,6 +119,10 @@ def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
         )
 
         return box_blur_pallas(x, int(plan.sigma), plan.box_passes)
+    if engine is Engine.FFT_STREAM:
+        from blur_algorithms_tpu.ops.streamed import blur_fft_tiles_streamed
+
+        return blur_fft_tiles_streamed(x, plan)
     raise ValueError(f"engine {engine} is not a planar blur engine")
 
 
@@ -172,6 +184,17 @@ def _compiled_u8(
         def fn(img):
             planar = jnp.moveaxis(img, -1, -3)
             out = fused_blur.blur_fused_u8(planar, plan, precision="bf16x3")
+            return jnp.moveaxis(out, -3, -1)
+
+        return jax.jit(fn)
+
+    if eng is Engine.FFT_STREAM:
+        # uint8 strips in/out: only one full-size f32 intermediate exists
+        from blur_algorithms_tpu.ops.streamed import blur_fft_tiles_streamed_u8
+
+        def fn(img):
+            planar = jnp.moveaxis(img, -1, -3)
+            out = blur_fft_tiles_streamed_u8(planar, plan)
             return jnp.moveaxis(out, -3, -1)
 
         return jax.jit(fn)

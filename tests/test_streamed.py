@@ -1,0 +1,46 @@
+"""Strip-streamed FFT engine: equality with the whole-image path + routing."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from blur_algorithms_tpu import Engine
+from blur_algorithms_tpu.api import _resolve_engine
+from blur_algorithms_tpu.ops.fft_conv import blur_fft_tiles
+from blur_algorithms_tpu.ops.plan import make_plan
+from blur_algorithms_tpu.ops.streamed import (
+    blur_fft_tiles_streamed,
+    estimate_fft_tiles_bytes,
+)
+
+
+def test_streamed_equals_whole_image(rng):
+    x = rng.random((3, 70, 90)).astype(np.float32) * 255
+    plan = make_plan((70, 90), 6.0)
+    whole = np.asarray(blur_fft_tiles(jnp.asarray(x), plan))
+    for strip in [16, 64, 128]:
+        streamed = np.asarray(
+            blur_fft_tiles_streamed(jnp.asarray(x), plan, strip=strip)
+        )
+        np.testing.assert_allclose(streamed, whole, atol=1e-3)
+
+
+def test_strip_not_dividing_rows(rng):
+    x = rng.random((1, 33, 47)).astype(np.float32)
+    plan = make_plan((33, 47), 2.0)
+    whole = np.asarray(blur_fft_tiles(jnp.asarray(x), plan))
+    streamed = np.asarray(blur_fft_tiles_streamed(jnp.asarray(x), plan, strip=10))
+    np.testing.assert_allclose(streamed, whole, atol=1e-3)
+
+
+def test_memory_estimate_scales():
+    small = make_plan((1080, 1920), 10.0)
+    giant = make_plan((24000, 14500), 155.0)
+    assert estimate_fft_tiles_bytes(small) < estimate_fft_tiles_bytes(giant)
+    assert estimate_fft_tiles_bytes(giant) > 4 << 30
+
+
+def test_auto_routes_giant_to_stream():
+    giant = make_plan((24000, 14500), 155.0)  # radius ~514 > band limit
+    assert _resolve_engine(Engine.AUTO, giant) is Engine.FFT_STREAM
+    normal = make_plan((1080, 1920), 10.0)
+    assert _resolve_engine(Engine.AUTO, normal) is Engine.FUSED
