@@ -59,6 +59,7 @@ class Engine(str, enum.Enum):
     BOX = "box"
     BOX_SCAN = "box_scan"  # Pallas prefix-sum kernel: O(1)/px in radius
     FFT_STREAM = "fft_stream"  # strip-streamed tiles for giant images
+    CASCADE = "cascade"  # huge sigma as k composed MXU blurs (approximation)
     AUTO = "auto"
 
 
@@ -161,6 +162,12 @@ def _compiled_planar(
     kernel: str,
     size_mode: str,
 ) -> Any:
+    if Engine(engine) is Engine.CASCADE:
+        from blur_algorithms_tpu.ops.cascade import blur_cascade
+
+        return jax.jit(
+            lambda x: blur_cascade(x.astype(jnp.float32), nsmooth, size_mode)
+        )
     plan, eng = _plan_for(shape[-2], shape[-1], nsmooth, engine, kernel, size_mode)
 
     def fn(x):
@@ -177,6 +184,16 @@ def _compiled_u8(
     kernel: str,
     size_mode: str,
 ) -> Any:
+    if Engine(engine) is Engine.CASCADE:
+        from blur_algorithms_tpu.ops.cascade import blur_cascade_u8
+
+        def fn(img):
+            planar = jnp.moveaxis(img, -1, -3)
+            out = blur_cascade_u8(planar, nsmooth, size_mode)
+            return jnp.moveaxis(out, -3, -1)
+
+        return jax.jit(fn)
+
     plan, eng = _plan_for(shape[-3], shape[-2], nsmooth, engine, kernel, size_mode)
 
     if eng is Engine.FUSED:
