@@ -119,7 +119,8 @@ def _kernel(x00, x01, x10, x11, bw_mid, bw_tail, bh_mid, bh_tail, out_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("plan", "tile", "precision", "out_u8")
+    jax.jit,
+    static_argnames=("plan", "tile", "precision", "out_u8", "pre_padded_col"),
 )
 def _blur_fused_planar(
     planar: jnp.ndarray,
@@ -127,6 +128,7 @@ def _blur_fused_planar(
     tile: tuple[int, int],
     precision,
     out_u8: bool,
+    pre_padded_col: bool = False,
 ) -> jnp.ndarray:
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
@@ -136,10 +138,23 @@ def _blur_fused_planar(
             f"tile {tile} smaller than halo {(2 * rh, 2 * rw)}; "
             "use a bigger tile or the band_matmul engine"
         )
+    if pre_padded_col and planar.shape[-2] != h + 2 * rh:
+        raise ValueError(
+            f"pre_padded_col expects {h + 2 * rh} rows, got {planar.shape[-2]}"
+        )
 
     if jax.default_backend() != "tpu" and not _FORCE_INTERPRET:
         # CPU/GPU fallback: same banded-matmul convolution via XLA.
-        out = blur_band_matmul(planar.astype(jnp.float32), plan)
+        from blur_algorithms_tpu.ops.band_matmul import band_conv_valid
+
+        x = planar.astype(jnp.float32)
+        if pre_padded_col:
+            xt = jnp.moveaxis(x, -2, -1)
+            x = jnp.moveaxis(band_conv_valid(xt, plan.col.taps, h), -1, -2)
+            pr = reflect_101(x, [(rw, rw)], axes=[-1])
+            out = band_conv_valid(pr, plan.row.taps, w)
+        else:
+            out = blur_band_matmul(x, plan)
         return round_to_u8(out) if out_u8 else out
 
     lead = planar.shape[:-2]
@@ -147,9 +162,11 @@ def _blur_fused_planar(
     bc = x.shape[0]
 
     nbh, nbw = -(-h // th), -(-w // tw)
-    # reflect by the radius, then zero-fill to (nb + 1) whole blocks so every
-    # neighbor block access is in-bounds.
-    x = reflect_101(x, [(rh, rh), (rw, rw)])
+    # reflect by the radius (unless the caller provided halo rows, e.g. the
+    # sharded path's ppermute exchange), then zero-fill to (nb + 1) whole
+    # blocks so every neighbor block access is in-bounds.
+    pads = [(0, 0), (rh, rh)] if not pre_padded_col else [(0, 0), (0, 0)]
+    x = reflect_101(x, [pads[1], (rw, rw)], axes=[-2, -1])
     x = jnp.pad(
         x,
         [(0, 0), (0, (nbh + 1) * th - x.shape[-2]), (0, (nbw + 1) * tw - x.shape[-1])],
@@ -256,3 +273,23 @@ def blur_fused_u8(
     """Fused-tile blur, uint8 planar in -> uint8 planar out (rounds in VMEM)."""
     tile = tile or _pick_tile(plan)
     return _blur_fused_planar(planar_u8, plan, tile, precision, out_u8=True)
+
+
+def blur_fused_haloed(
+    planar: jnp.ndarray,
+    plan: BlurPlan,
+    precision="bf16x3",
+    tile: tuple[int, int] | None = None,
+) -> jnp.ndarray:
+    """Fused blur whose row axis carries pre-supplied halo context.
+
+    Input ``(..., H + 2*rh, W)`` where the extra ``rh`` rows on each side
+    came from somewhere else (another device's shard via ``ppermute``, a
+    previous pipeline stage); output ``(..., H, W)`` float32. The column
+    (W) borders still reflect locally. This is the per-shard compute step
+    of the multi-chip path (``parallel/sharded.py``).
+    """
+    tile = tile or _pick_tile(plan)
+    return _blur_fused_planar(
+        planar, plan, tile, precision, out_u8=False, pre_padded_col=True
+    )

@@ -2,14 +2,13 @@
 
 Layout: planar float32 ``(B, C, H, W)`` sharded ``P("dp", None, "sp", None)``.
 
-* rows pass — each device holds full rows of its H-shard: entirely local
-  (reflect-101 at the true left/right borders).
-* cols pass — needs ``r`` rows of context above and below each H-shard:
-  interior halos travel over ICI via two ``jax.lax.ppermute`` shifts
-  (down-neighbor and up-neighbor); the global top/bottom devices synthesize
-  their missing halo by local reflect-101, exactly reproducing the
-  single-chip border math. The result is bitwise the same convolution the
-  single-device engines compute, just partitioned.
+Each shard-local step is the *same fused Pallas kernel* as the single-chip
+flagship (``blur_fused_haloed``): the only distributed work is one halo
+exchange of ``r`` raw input rows per shard boundary — two ``jax.lax.ppermute``
+shifts over ICI — before the kernel runs. The global top/bottom shards
+synthesize their missing halo by local reflect-101, reproducing the
+single-chip border math exactly, so the sharded result equals the
+single-device result up to float rounding.
 
 This is the TPU-native replacement for what the reference could never do:
 its ``flip_block`` transpose between row/col passes (``Source.cpp:367,384``)
@@ -26,58 +25,28 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from blur_algorithms_tpu.ops.band_matmul import band_conv_valid
 from blur_algorithms_tpu.ops.layout import round_to_u8
 from blur_algorithms_tpu.ops.pad import reflect_101
-from blur_algorithms_tpu.ops.plan import BlurPlan
+from blur_algorithms_tpu.ops.plan import BlurPlan, make_plan
 
 __all__ = ["blur_sharded", "blur_sharded_u8"]
 
 
-def _local_cols_pass(block: jnp.ndarray, plan: BlurPlan, n_sp: int) -> jnp.ndarray:
-    """Column pass on one H-shard ``(b, c, h_loc, W)`` with ICI halos."""
-    r = plan.col.support_radius
-    if r == 0:
-        return block
-    h_loc = block.shape[-2]
-    if r > h_loc - 1:
+def _local_plan(plan: BlurPlan, h_loc: int, w: int) -> BlurPlan:
+    """Per-shard plan: same kernel/taps, local row count."""
+    local = make_plan(
+        (h_loc, w),
+        plan.sigma,
+        kernel=plan.kernel,
+        size_mode=plan.size_mode,
+        box_passes=plan.box_passes,
+    )
+    if local.col.width != plan.col.width or local.row.width != plan.row.width:
         raise ValueError(
-            f"column radius {r} exceeds local shard rows {h_loc} - 1; "
-            f"use fewer sp shards or a smaller kernel"
+            f"kernel width re-clamped on the {h_loc}-row shard "
+            f"({local.col.width} vs {plan.col.width}); use fewer sp shards"
         )
-
-    if n_sp == 1:
-        padded = reflect_101(block, [(r, r)], axes=[-2])
-        out = band_conv_valid(
-            jnp.moveaxis(padded, -2, -1), plan.col.taps, h_loc
-        )
-        return jnp.moveaxis(out, -1, -2)
-
-    idx = jax.lax.axis_index("sp")
-    # interior halos: my bottom rows -> next device's top halo, and vice versa
-    from_above = jax.lax.ppermute(
-        block[..., -r:, :], "sp", [(i, i + 1) for i in range(n_sp - 1)]
-    )
-    from_below = jax.lax.ppermute(
-        block[..., :r, :], "sp", [(i + 1, i) for i in range(n_sp - 1)]
-    )
-    # global borders: reflect-101 from local rows (row 0 / row -1 not repeated)
-    reflect_top = block[..., 1 : r + 1, :][..., ::-1, :]
-    reflect_bot = block[..., -r - 1 : -1, :][..., ::-1, :]
-    top = jnp.where((idx == 0), reflect_top, from_above)
-    bot = jnp.where((idx == n_sp - 1), reflect_bot, from_below)
-
-    padded = jnp.concatenate([top, block, bot], axis=-2)
-    out = band_conv_valid(jnp.moveaxis(padded, -2, -1), plan.col.taps, h_loc)
-    return jnp.moveaxis(out, -1, -2)
-
-
-def _local_rows_pass(block: jnp.ndarray, plan: BlurPlan) -> jnp.ndarray:
-    r = plan.row.support_radius
-    if r == 0:
-        return block
-    padded = reflect_101(block, [(r, r)], axes=[-1])
-    return band_conv_valid(padded, plan.row.taps, plan.row.dim)
+    return local
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "mesh"))
@@ -91,18 +60,46 @@ def blur_sharded(planar: jnp.ndarray, plan: BlurPlan, mesh: Mesh) -> jnp.ndarray
         raise ValueError(f"batch {b} not divisible by dp={n_dp}")
     if h % n_sp:
         raise ValueError(f"height {h} not divisible by sp={n_sp}")
+    h_loc = h // n_sp
+    r = plan.col.support_radius
+    if r > h_loc - 1:
+        raise ValueError(
+            f"column radius {r} exceeds local shard rows {h_loc} - 1; "
+            f"use fewer sp shards or a smaller kernel"
+        )
+    local_plan = _local_plan(plan, h_loc, w)
 
     spec = P("dp", None, "sp", None)
     planar = jax.lax.with_sharding_constraint(
         planar.astype(jnp.float32), NamedSharding(mesh, spec)
     )
 
+    from blur_algorithms_tpu.pallas_kernels.fused_blur import blur_fused_haloed
+
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec
     )
     def run(block):
-        block = _local_rows_pass(block, plan)
-        return _local_cols_pass(block, plan, n_sp)
+        if r == 0:
+            haloed = block
+        elif n_sp == 1:
+            haloed = reflect_101(block, [(r, r)], axes=[-2])
+        else:
+            idx = jax.lax.axis_index("sp")
+            # interior halos over ICI: my edge rows -> my neighbors
+            from_above = jax.lax.ppermute(
+                block[..., -r:, :], "sp", [(i, i + 1) for i in range(n_sp - 1)]
+            )
+            from_below = jax.lax.ppermute(
+                block[..., :r, :], "sp", [(i + 1, i) for i in range(n_sp - 1)]
+            )
+            # global borders: reflect-101 (row 0 / row -1 not repeated)
+            reflect_top = block[..., 1 : r + 1, :][..., ::-1, :]
+            reflect_bot = block[..., -r - 1 : -1, :][..., ::-1, :]
+            top = jnp.where((idx == 0), reflect_top, from_above)
+            bot = jnp.where((idx == n_sp - 1), reflect_bot, from_below)
+            haloed = jnp.concatenate([top, block, bot], axis=-2)
+        return blur_fused_haloed(haloed, local_plan)
 
     return run(planar)
 
