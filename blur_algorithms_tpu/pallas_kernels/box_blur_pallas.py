@@ -32,7 +32,12 @@ __all__ = ["box_blur_pallas", "box_blur_pallas_axis"]
 
 
 def _inclusive_scan_last(x: jnp.ndarray) -> jnp.ndarray:
-    """Hillis-Steele inclusive prefix sum along the last axis (VPU)."""
+    """Hillis-Steele inclusive prefix sum along the last axis (VPU).
+
+    Statically unrolled doubling steps: Mosaic rejects ``pltpu.roll`` with a
+    traced shift ("unsupported unaligned shape"), so a fori_loop form is not
+    available; the unroll is log2(n) steps.
+    """
     n = x.shape[-1]
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     s = 1
@@ -95,6 +100,13 @@ def box_blur_pallas_axis(
             x = (hi - lo) * (1.0 / w)
             length = m
         return x[..., :n].reshape(lead + planar.shape[-2:])
+
+    # lane-align the scan axis: Mosaic's dynamic-shift roll (used by the
+    # fori_loop scan) requires aligned shapes; trailing zeros are inert
+    length0 = x.shape[-1]
+    aligned = -(-length0 // 128) * 128
+    if aligned != length0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, aligned - length0)])
 
     bc, mrows, length = x.shape
     # VMEM bound: in-block + scan temporaries + out-block ~ 3 * th * L * 4B;
