@@ -1,0 +1,94 @@
+"""Parity certification: every engine vs the CPU pocketfft oracle.
+
+Runs a sigma x engine grid (and a radius grid for the box paths) on the
+current backend, comparing uint8 outputs against ``oracle.blur_u8`` /
+naive box convolution. Writes ``benchmarks/parity_grid.json`` and prints a
+table. The acceptance gate matches BASELINE.json: max abs err <= 1 uint8
+count.
+
+Usage: python benchmarks/parity_grid.py [--hw 333 444]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--hw", nargs=2, type=int, default=[333, 444])
+    p.add_argument("--out", default="benchmarks/parity_grid.json")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from blur_algorithms_tpu import Engine, blur_u8, box_blur, oracle
+
+    h, w = args.hw
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 127 + 70 * np.sin(xx / 9.0) + 50 * np.cos(yy / 13.0) + rng.normal(0, 20, (h, w))
+    img = np.clip(
+        np.stack([base, np.roll(base, 11, 0), np.roll(base, 5, 1)], -1), 0, 255
+    ).astype(np.uint8)
+    xj = jnp.asarray(img)
+
+    sigmas = [0.5, 1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0]
+    engines = [Engine.FFT2, Engine.FFT_TILES, Engine.CONV, Engine.BAND, Engine.FUSED]
+    rows = []
+    worst = 0
+    for sigma in sigmas:
+        want = oracle.blur_u8(img, sigma)
+        for eng in engines:
+            got = np.asarray(blur_u8(xj, sigma, engine=eng))
+            d = np.abs(got.astype(int) - want.astype(int))
+            row = {
+                "case": f"gaussian s={sigma} {eng.value}",
+                "max": int(d.max()),
+                "exact": round(float((d == 0).mean()), 5),
+            }
+            rows.append(row)
+            worst = max(worst, row["max"])
+            print(json.dumps(row), flush=True)
+
+    # box paths vs naive sequential box convolution
+    from blur_algorithms_tpu.ops.plan import make_plan
+
+    for n in [1.0, 2.0, 4.0, 10.0]:
+        got = np.asarray(box_blur(xj, n))
+        plan = make_plan((h, w), int(n * n), kernel="box_fast", box_passes=2)
+        want_f = oracle.blur_direct(np.moveaxis(img, -1, 0).astype(np.float32), plan)
+        want = np.clip(np.floor(np.moveaxis(want_f, 0, -1) + 0.5), 0, 255).astype(int)
+        d = np.abs(got.astype(int) - want)
+        row = {"case": f"box n={n} (r={int(n*n)})", "max": int(d.max()),
+               "exact": round(float((d == 0).mean()), 5)}
+        rows.append(row)
+        worst = max(worst, row["max"])
+        print(json.dumps(row), flush=True)
+
+    summary = {
+        "backend": jax.default_backend(),
+        "image": [h, w, 3],
+        "worst_max_abs_err": worst,
+        "gate": "max <= 1",
+        "pass": worst <= 1,
+        "cases": rows,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"\nworst max abs err: {worst}  gate(max<=1): {'PASS' if worst <= 1 else 'FAIL'}")
+    print(f"wrote {args.out}")
+    return 0 if worst <= 1 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

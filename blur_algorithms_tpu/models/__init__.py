@@ -1,5 +1,6 @@
 """Configured blur pipelines (the framework's "model" objects)."""
 
+from blur_algorithms_tpu.models.channel_smooth import channel_smooth
 from blur_algorithms_tpu.models.pipeline import (
     BlurPipeline,
     GaussianBlur,
@@ -7,4 +8,10 @@ from blur_algorithms_tpu.models.pipeline import (
     SpectrumAnalyzer,
 )
 
-__all__ = ["BlurPipeline", "GaussianBlur", "FastBoxBlur", "SpectrumAnalyzer"]
+__all__ = [
+    "BlurPipeline",
+    "GaussianBlur",
+    "FastBoxBlur",
+    "SpectrumAnalyzer",
+    "channel_smooth",
+]

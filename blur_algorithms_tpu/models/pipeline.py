@@ -17,8 +17,6 @@ exact-shape run for pixels within one kernel radius of the padded edge;
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -21,7 +21,7 @@ import functools
 import math
 
 from blur_algorithms_tpu.ops import kernels
-from blur_algorithms_tpu.ops.plan import BlurPlan, make_plan
+from blur_algorithms_tpu.ops.plan import make_plan
 
 __all__ = ["cascade_sigmas", "blur_cascade"]
 

@@ -217,8 +217,11 @@ def _blur_fused_planar(
 
 def _pick_tile(plan: BlurPlan) -> tuple[int, int]:
     def side(radius: int, dim: int) -> int:
-        t = max(256, 128 * ((2 * radius + 127) // 128))
-        return min(t, max(128, 128 * ((dim + 127) // 128)))
+        halo_min = 128 * ((2 * radius + 127) // 128)  # tile must cover 2r
+        pref = max(256, halo_min)
+        dim_rounded = max(128, 128 * ((dim + 127) // 128))
+        # shrink toward the image size but never below the halo
+        return max(halo_min, min(pref, dim_rounded), 128)
 
     return (
         side(plan.col.support_radius, plan.shape[0]),

@@ -18,8 +18,6 @@ pffft multiply (``Source.cpp:506-507,532``).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -33,7 +33,7 @@ def main() -> int:
 
     import jax.numpy as jnp
 
-    from blur_algorithms_tpu import blur_u8, dft_spectrum
+    from blur_algorithms_tpu import blur_u8
     from blur_algorithms_tpu.models.pipeline import SpectrumAnalyzer
     from blur_algorithms_tpu.utils import io
 

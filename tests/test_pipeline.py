@@ -1,15 +1,9 @@
 """Streaming pipeline: bucketing, cache stats, model wrappers."""
 
 import numpy as np
-import pytest
 
 from blur_algorithms_tpu import oracle
-from blur_algorithms_tpu.models import (
-    BlurPipeline,
-    FastBoxBlur,
-    GaussianBlur,
-    SpectrumAnalyzer,
-)
+from blur_algorithms_tpu.models import FastBoxBlur, GaussianBlur, SpectrumAnalyzer
 
 
 def _img(rng, h, w):
