@@ -1,0 +1,83 @@
+"""Gradient-based deconvolution — the blur as a differentiable operator.
+
+The reference is forward-only C++; here the blur is a linear JAX operator
+with an explicit adjoint (``ops/adjoint.py``), so inverse problems come for
+free. This example sharpens a blurred photo by gradient descent on
+``|| blur(x) - observed ||^2 + tv_weight * TV(x)`` using the fused Pallas
+engine in both the forward and the VJP.
+
+Usage: python examples/deblur.py <image> [--sigma 3] [--steps 150]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("image")
+    p.add_argument("--sigma", type=float, default=3.0)
+    p.add_argument("--steps", type=int, default=150)
+    p.add_argument("--lr", type=float, default=1.8)
+    p.add_argument("--tv", type=float, default=1e-3)
+    p.add_argument("--out", default="deblurred.png")
+    p.add_argument("--max-dim", type=int, default=768)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from blur_algorithms_tpu.ops.plan import make_plan
+    from blur_algorithms_tpu.pallas_kernels.fused_blur import blur_fused
+    from blur_algorithms_tpu.utils import io
+
+    img = io.read_image(args.image)
+    h, w = img.shape[:2]
+    scale = max(h, w) / args.max_dim
+    if scale > 1:
+        ys = np.linspace(0, h - 1, int(h / scale)).astype(int)
+        xs = np.linspace(0, w - 1, int(w / scale)).astype(int)
+        img = img[ys][:, xs]
+    planar = jnp.asarray(np.moveaxis(img, -1, 0).astype(np.float32))
+    plan = make_plan(planar.shape[-2:], args.sigma)
+
+    observed = blur_fused(planar, plan)  # simulate the blurry capture
+
+    def loss(x):
+        # per-pixel 0.5*||Ax - b||^2: A's top eigenvalue is 1 (DC gain of a
+        # normalized kernel), so plain gradient steps with lr < 2 converge
+        data = 0.5 * jnp.sum((blur_fused(x, plan) - observed) ** 2)
+        tv = jnp.sum(jnp.abs(jnp.diff(x, axis=-1))) + jnp.sum(
+            jnp.abs(jnp.diff(x, axis=-2))
+        )
+        return data + args.tv * tv
+
+    @jax.jit
+    def step(x):
+        val, g = jax.value_and_grad(loss)(x)
+        return x - args.lr * g, val
+
+    x = observed
+    for i in range(args.steps):
+        x, val = step(x)
+        if i % 25 == 0:
+            print(f"step {i}: loss {float(val):.4f}")
+
+    recovered = np.clip(np.floor(np.moveaxis(np.asarray(x), 0, -1) + 0.5), 0, 255)
+    side = np.concatenate(
+        [np.asarray(np.moveaxis(np.asarray(observed), 0, -1)), recovered], axis=1
+    ).astype(np.uint8)
+    io.write_image(args.out, side)
+    print(f"wrote {args.out} (left: blurred observation, right: recovered)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
