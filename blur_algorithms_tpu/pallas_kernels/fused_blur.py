@@ -216,16 +216,24 @@ def _blur_fused_planar(
 
 
 def _pick_tile(plan: BlurPlan) -> tuple[int, int]:
-    def side(radius: int, dim: int) -> int:
-        halo_min = 128 * ((2 * radius + 127) // 128)  # tile must cover 2r
+    def side(radius: int, dim: int, lane: bool) -> int:
+        halo_min_unit = 128 if lane else 8
+        halo_min = halo_min_unit * ((2 * radius + halo_min_unit - 1) // halo_min_unit)
+        halo_min = max(halo_min, halo_min_unit)
+        if not lane and halo_min <= 256 <= dim:
+            # sublane dim may be any multiple of 8: prefer a tile that divides
+            # the axis exactly (zero padding waste, e.g. 240 for 2160 rows)
+            for t in range(256, max(halo_min, 128) - 1, -8):
+                if dim % t == 0:
+                    return t
         pref = max(256, halo_min)
         dim_rounded = max(128, 128 * ((dim + 127) // 128))
         # shrink toward the image size but never below the halo
-        return max(halo_min, min(pref, dim_rounded), 128)
+        return max(halo_min, min(pref, dim_rounded), halo_min_unit * 2)
 
     return (
-        side(plan.col.support_radius, plan.shape[0]),
-        side(plan.row.support_radius, plan.shape[1]),
+        side(plan.col.support_radius, plan.shape[0], lane=False),
+        side(plan.row.support_radius, plan.shape[1], lane=True),
     )
 
 
