@@ -55,17 +55,22 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=6)
     args = p.parse_args()
 
+    import jax
     import jax.numpy as jnp
 
     from blur_algorithms_tpu import Engine, blur_u8
     from blur_algorithms_tpu.utils.timing import time_fn_chained
 
-    rng = np.random.default_rng(0)
     results = []
     for x, y in reference_sizes(args.sizes):
         sigma = math.sqrt(x)  # reference: sigma = sqrt(width-ish dim)
-        img = (rng.random((x, y, 3)) * 255).astype(np.uint8)
-        xj = jnp.asarray(img)
+        # generate frames on-device: the axon tunnel moves ~2 MB/s, so host
+        # arrays would dominate the sweep at large sizes
+        xj = jax.jit(
+            lambda k: jax.random.randint(
+                k, (x, y, 3), 0, 256, dtype=jnp.int32
+            ).astype(jnp.uint8)
+        )(jax.random.PRNGKey(x))
         mp = x * y / 1e6
         row = {"h": x, "w": y, "mp": round(mp, 2), "sigma": round(sigma, 2)}
         for name in args.engines:
