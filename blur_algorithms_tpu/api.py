@@ -109,7 +109,10 @@ def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
     if engine is Engine.CONV:
         return direct_conv.blur_conv(x, plan)
     if engine is Engine.BAND:
-        return band_matmul.blur_band_matmul(x, plan)
+        # bf16 hi/lo split: same <=1-count accuracy class as the fused
+        # flagship, ~1.5x the HIGHEST emulation (call blur_band_matmul
+        # directly for full-f32 HIGHEST)
+        return band_matmul.blur_band_matmul(x, plan, precision="bf16x3")
     if engine is Engine.FUSED:
         return fused_blur.blur_fused(x, plan, precision="bf16x3")
     if engine is Engine.BOX_SCAN:

@@ -90,13 +90,29 @@ def band_conv_valid(
         )  # (nb, ..., t + 2r)
 
     mat = jnp.asarray(band_block_matrix(taps, t))  # (t + 2r, t)
-    out = jax.lax.dot_general(
-        windows,
-        mat,
-        dimension_numbers=(((windows.ndim - 1,), (0,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )  # (nb, ..., t)
+    dims = (((windows.ndim - 1,), (0,)), ((), ()))
+    if precision == "bf16x3":
+        # hi/lo bfloat16 splits, lo*lo dropped — the fused kernel's accuracy
+        # class (~1 uint8 count) at ~2.4x the HIGHEST-emulation speed
+        m_hi = mat.astype(jnp.bfloat16)
+        m_lo = (mat - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        x_hi = windows.astype(jnp.bfloat16)
+        x_lo = (windows - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a, b, dims, preferred_element_type=jnp.float32
+            )
+
+        out = dot(x_hi, m_hi) + dot(x_hi, m_lo) + dot(x_lo, m_hi)
+    else:
+        out = jax.lax.dot_general(
+            windows,
+            mat,
+            dimension_numbers=dims,
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # (nb, ..., t)
     out = jnp.moveaxis(out, 0, -2)  # (..., nb, t)
     return out.reshape(out.shape[:-2] + (total,))[..., :n_out]
 
