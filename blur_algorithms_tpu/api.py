@@ -281,6 +281,32 @@ def gaussian_blur(img: jnp.ndarray, sigma: float, **kwargs) -> jnp.ndarray:
     return blur(img, sigma, **kwargs)
 
 
+@functools.lru_cache(maxsize=256)
+def _compiled_box(
+    is_u8: bool, h: int, w: int, radius: int, passes: int, size_mode: str
+) -> Any:
+    plan = make_plan((h, w), radius, kernel="box_fast", size_mode=size_mode,
+                     box_passes=passes)
+    eng = _resolve_engine(Engine.AUTO, plan)
+    if eng is Engine.FFT_TILES:
+        eng = Engine.BOX_SCAN  # radius-independent Pallas scan beats FFT here
+    if not is_u8:
+        return jax.jit(lambda x: _blur_planar(x.astype(jnp.float32), plan, eng))
+    if eng is Engine.FUSED:
+        return jax.jit(
+            lambda x: jnp.moveaxis(
+                fused_blur.blur_fused_u8(
+                    jnp.moveaxis(x, -1, -3), plan, precision="bf16x3"
+                ),
+                -3,
+                -1,
+            )
+        )
+    return jax.jit(
+        lambda x: layout.from_planar(_blur_planar(layout.to_planar(x), plan, eng))
+    )
+
+
 def box_blur(
     img: jnp.ndarray,
     nsmooth: float,
@@ -296,30 +322,14 @@ def box_blur(
     radius = int(float(nsmooth) * float(nsmooth))
     is_u8 = img.dtype == jnp.uint8
     h, w = (img.shape[-3], img.shape[-2]) if is_u8 else (img.shape[-2], img.shape[-1])
-    plan = make_plan((h, w), radius, kernel="box_fast", size_mode=size_mode,
-                     box_passes=int(passes))
-    eng = _resolve_engine(Engine.AUTO, plan)
-    if eng is Engine.FFT_TILES:
-        eng = Engine.BOX_SCAN  # radius-independent Pallas scan beats FFT here
-    if is_u8:
-        if eng is Engine.FUSED:
-            fn = jax.jit(
-                lambda x: jnp.moveaxis(
-                    fused_blur.blur_fused_u8(
-                        jnp.moveaxis(x, -1, -3), plan, precision="bf16x3"
-                    ),
-                    -3,
-                    -1,
-                )
-            )
-        else:
-            fn = jax.jit(
-                lambda x: layout.from_planar(
-                    _blur_planar(layout.to_planar(x), plan, eng)
-                )
-            )
-        return fn(img)
-    return jax.jit(lambda x: _blur_planar(x.astype(jnp.float32), plan, eng))(img)
+    fn = _compiled_box(is_u8, h, w, radius, int(passes), size_mode)
+    return fn(img)
+
+
+@functools.lru_cache(maxsize=128)
+def _compiled_spectrum(h: int, w: int, nsmooth: float, size_mode: str) -> Any:
+    plan = make_plan((h, w), nsmooth, size_mode=size_mode)
+    return jax.jit(lambda x: spectrum.dft_spectrum_planar(x, plan))
 
 
 def dft_spectrum(
@@ -336,5 +346,7 @@ def dft_spectrum(
         planar = layout.to_planar(img)
     else:
         planar = img.astype(jnp.float32)
-    plan = make_plan(planar.shape[-2:], nsmooth, size_mode=size_mode)
-    return jax.jit(lambda x: spectrum.dft_spectrum_planar(x, plan))(planar)
+    fn = _compiled_spectrum(
+        planar.shape[-2], planar.shape[-1], float(nsmooth), size_mode
+    )
+    return fn(planar)

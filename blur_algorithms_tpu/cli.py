@@ -75,11 +75,12 @@ def main(argv: list[str] | None = None) -> int:
     h, w = img.shape[:2]
 
     if args.spectrum:
-        spec = np.asarray(api.dft_spectrum(img, max(args.nsmooth, 1.0),
-                                           size_mode=args.size_mode))
-        lo, hi = float(spec.min()), float(spec.max())
-        vis = ((spec - lo) / max(hi - lo, 1e-9) * 255.0).astype(np.uint8)
-        out_img = np.moveaxis(vis, 0, -1)
+        if args.nsmooth <= 0:
+            raise SystemExit("error: --spectrum needs nsmooth > 0 (pad geometry)")
+        from blur_algorithms_tpu.models.pipeline import SpectrumAnalyzer
+
+        analyzer = SpectrumAnalyzer(args.nsmooth, size_mode=args.size_mode)
+        out_img = analyzer.to_image(np.asarray(analyzer(img)))
         if out_img.shape[-1] == 1:
             out_img = out_img[..., 0]
     else:

@@ -60,7 +60,7 @@ class BlurPipeline:
             bh, bw = h, w
         else:
             bh, bw = self._bucketed(h, w)
-        key = (img.shape[:-3], bh, bw)
+        key = (img.shape[:-3], bh, bw, img.shape[-1])
         if key not in self._seen:
             self._seen.add(key)
             self._compiles += 1

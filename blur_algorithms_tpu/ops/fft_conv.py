@@ -66,7 +66,10 @@ def blur_fft2(
 
         spec = spectral_multiply_2d(spec, ker_col, plan.row.spectrum)
     else:
-        spec = spec * jnp.asarray(ker_col[:, None] * plan.row.spectrum[None, :])
+        # keep the two 1-D spectra as separate constants and let XLA fuse the
+        # broadcast — materializing the outer product would bake an
+        # O(fft_h * fft_w) constant into the program (~700 MB at 348 MP)
+        spec = spec * jnp.asarray(ker_col)[:, None] * jnp.asarray(plan.row.spectrum)
     out = jnp.fft.irfft2(spec, s=(fft_h, fft_w), axes=(-2, -1))
     return out[..., bt : bt + h, bl : bl + w]
 

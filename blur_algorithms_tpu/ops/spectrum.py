@@ -34,6 +34,10 @@ def dft_spectrum_planar(planar: jnp.ndarray, plan: BlurPlan) -> jnp.ndarray:
     row_ = (rows + (s0 if s0 % 2 == 0 else s0 + 1) // 2) % s0
     col_ = (cols + (s1 if s1 % 2 == 0 else s1 + 1) // 2) % s1
     half = s1 // 2 + 1
+    # replicates the reference's index math exactly; note its formula equals
+    # the true mirror (s1 - col_) only for even s1 — odd lengths would read
+    # one bin off, but the size planners (here and in the reference) only
+    # ever produce even transform lengths
     cval = np.where(col_ < half, col_, (s1 // 2) - col_ % (s1 // 2))
 
     re = jnp.real(spec)[..., row_[:, None], cval[None, :]]

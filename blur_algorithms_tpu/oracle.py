@@ -141,6 +141,8 @@ def dft_spectrum_np(planar: np.ndarray, plan: BlurPlan) -> np.ndarray:
     row_ = (rows + (s0 if s0 % 2 == 0 else s0 + 1) // 2) % s0
     col_ = (cols + (s1 if s1 % 2 == 0 else s1 + 1) // 2) % s1
     half = s1 // 2 + 1
+    # exact reference formula; == true mirror (s1 - col_) only for even s1,
+    # which is the only case either size planner produces
     cval = np.where(col_ < half, col_, (s1 // 2) - col_ % (s1 // 2))
     re = np.real(spec[..., row_[:, None], cval[None, :]]).astype(np.float32)
     return (20.0 * np.log10(np.abs(re) + np.float32(1e-5))).astype(np.float32)

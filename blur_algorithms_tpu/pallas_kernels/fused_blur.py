@@ -69,18 +69,30 @@ def _kernel(x00, x01, x10, x11, bw_mid, bw_tail, bh_mid, bh_tail, out_ref,
             preferred_element_type=f32,
         )
 
+    # uint8-valued inputs are exact in bfloat16 (integers <= 255 fit its
+    # 8-bit mantissa); float inputs need their own hi/lo split or the rows
+    # pass silently drops ~8 mantissa bits.
+    input_exact_in_bf16 = x00.dtype == jnp.uint8
+
     def rows_pass(top_ref, right_ref):
         """Rows conv of a (rows x tw+2rw) span -> (rows x tw)."""
         dims = ((1,), (0,))
         if split:
-            # uint8-valued inputs are exact in bf16; split only the taps.
-            x = to_f32(top_ref).astype(jnp.bfloat16)
             m_hi, m_lo = _split_bf16(bw_mid[...])
-            acc = dot(x, m_hi, dims) + dot(x, m_lo, dims)
+
+            def split_dots(ref, hi_mat, lo_mat):
+                xf = to_f32(ref)
+                x_hi = xf.astype(jnp.bfloat16)
+                acc = dot(x_hi, hi_mat, dims) + dot(x_hi, lo_mat, dims)
+                if not input_exact_in_bf16:
+                    x_lo = (xf - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    acc = acc + dot(x_lo, hi_mat, dims)
+                return acc
+
+            acc = split_dots(top_ref, m_hi, m_lo)
             if rw:
-                xr = to_f32(right_ref).astype(jnp.bfloat16)
                 t_hi, t_lo = _split_bf16(bw_tail[...])
-                acc = acc + dot(xr, t_hi, dims) + dot(xr, t_lo, dims)
+                acc = acc + split_dots(right_ref, t_hi, t_lo)
             return acc
         acc = dot(to_f32(top_ref), bw_mid[...], dims)
         if rw:
@@ -144,17 +156,22 @@ def _blur_fused_planar(
         )
 
     if jax.default_backend() != "tpu" and not _FORCE_INTERPRET:
-        # CPU/GPU fallback: same banded-matmul convolution via XLA.
+        # CPU/GPU fallback: same banded-matmul convolution via XLA, honoring
+        # the requested precision (band_conv_valid understands "bf16x3" too,
+        # so the accuracy class matches the TPU kernel off-device).
         from blur_algorithms_tpu.ops.band_matmul import band_conv_valid
 
+        fb_prec = precision if precision == "bf16x3" else jax.lax.Precision.HIGHEST
         x = planar.astype(jnp.float32)
         if pre_padded_col:
             xt = jnp.moveaxis(x, -2, -1)
-            x = jnp.moveaxis(band_conv_valid(xt, plan.col.taps, h), -1, -2)
+            x = jnp.moveaxis(
+                band_conv_valid(xt, plan.col.taps, h, precision=fb_prec), -1, -2
+            )
             pr = reflect_101(x, [(rw, rw)], axes=[-1])
-            out = band_conv_valid(pr, plan.row.taps, w)
+            out = band_conv_valid(pr, plan.row.taps, w, precision=fb_prec)
         else:
-            out = blur_band_matmul(x, plan)
+            out = blur_band_matmul(x, plan, precision=fb_prec)
         return round_to_u8(out) if out_u8 else out
 
     lead = planar.shape[:-2]
