@@ -80,6 +80,20 @@ class BlurPipeline:
             out = out[..., :h, :w, :]
         return out
 
+    def warmup(self, shapes, channels: int = 3, batch: tuple = ()) -> None:
+        """Pre-compile the buckets for the given (H, W) shapes.
+
+        Serving deployments call this at startup so no live request pays a
+        compile (the reference had no analog: it recompiled nothing but also
+        cached nothing, re-planning FFTs per process run).
+        """
+        import numpy as np
+
+        for h, w in shapes:
+            dummy = jnp.zeros(tuple(batch) + (h, w, channels), jnp.uint8)
+            np.asarray(self(dummy))
+        self._calls -= len(list(shapes))
+
     @property
     def stats(self) -> dict:
         return {"calls": self._calls, "distinct_buckets": self._compiles}
