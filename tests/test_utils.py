@@ -1,0 +1,68 @@
+"""Coverage for utils (io edge cases, timing harness) and api edge engines."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from blur_algorithms_tpu import Engine, blur_u8
+from blur_algorithms_tpu.utils import io
+from blur_algorithms_tpu.utils.timing import BenchResult, time_fn, time_fn_chained
+
+
+class TestIO:
+    def test_grayscale_png_round_trip(self, tmp_path, rng):
+        img = (rng.random((20, 30)) * 255).astype(np.uint8)
+        path = str(tmp_path / "g.png")
+        io.write_image(path, img)
+        back = io.read_image(path)  # PIL converts to RGB
+        assert back.shape == (20, 30, 3)
+        np.testing.assert_array_equal(back[..., 0], img)
+
+    def test_ppm_with_comments(self, tmp_path):
+        path = tmp_path / "c.ppm"
+        path.write_bytes(b"P6\n# a comment\n2 2\n255\n" + bytes(range(12)))
+        img = io.read_image(str(path))
+        assert img.shape == (2, 2, 3)
+        assert img[0, 0, 0] == 0 and img[1, 1, 2] == 11
+
+    def test_bad_ppm_magic(self, tmp_path):
+        path = tmp_path / "bad.ppm"
+        path.write_bytes(b"P3\n2 2\n255\n")
+        with pytest.raises(ValueError, match="magic"):
+            io.read_image(str(path))
+
+    def test_npy_requires_uint8(self, tmp_path):
+        path = tmp_path / "f.npy"
+        np.save(str(path), np.zeros((4, 4, 3), np.float32))
+        with pytest.raises(ValueError, match="uint8"):
+            io.read_image(str(path))
+
+
+class TestTiming:
+    def test_time_fn_reports(self):
+        r = time_fn(lambda x: x + 1, jnp.zeros(16), iters=3, warmup=1,
+                    name="t", megapixels=1.0)
+        assert isinstance(r, BenchResult)
+        assert r.min_ms <= r.median_ms
+        assert r.mpix_per_s and r.mpix_per_s > 0
+        assert "t:" in str(r)
+
+    def test_time_fn_chained_shape_preserving(self):
+        r = time_fn_chained(lambda: (lambda x: x * 2.0), jnp.ones((8, 8)),
+                            iters=3, reps=2, name="c")
+        assert r.median_ms > 0
+
+
+class TestEdgeEngines:
+    def test_fft_stream_u8_api_small(self, rng):
+        img = (rng.random((40, 50, 3)) * 255).astype(np.uint8)
+        got = np.asarray(blur_u8(jnp.asarray(img), 3.0, engine=Engine.FFT_STREAM))
+        want = np.asarray(blur_u8(jnp.asarray(img), 3.0, engine=Engine.FFT_TILES))
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_cascade_u8_api_small_sigma_single_step(self, rng):
+        img = (rng.random((40, 50, 3)) * 255).astype(np.uint8)
+        got = np.asarray(blur_u8(jnp.asarray(img), 2.0, engine=Engine.CASCADE))
+        want = np.asarray(blur_u8(jnp.asarray(img), 2.0, engine=Engine.FUSED))
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
