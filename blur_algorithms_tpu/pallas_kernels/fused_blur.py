@@ -78,21 +78,19 @@ def _kernel(x00, x01, x10, x11, bw_mid, bw_tail, bh_mid, bh_tail, out_ref,
         """Rows conv of a (rows x tw+2rw) span -> (rows x tw)."""
         dims = ((1,), (0,))
         if split:
-            m_hi, m_lo = _split_bf16(bw_mid[...])
-
-            def split_dots(ref, hi_mat, lo_mat):
+            # matrices arrive pre-split as stacked (2, K, N) bf16: [hi, lo]
+            def split_dots(ref, mat_ref):
                 xf = to_f32(ref)
                 x_hi = xf.astype(jnp.bfloat16)
-                acc = dot(x_hi, hi_mat, dims) + dot(x_hi, lo_mat, dims)
+                acc = dot(x_hi, mat_ref[0], dims) + dot(x_hi, mat_ref[1], dims)
                 if not input_exact_in_bf16:
                     x_lo = (xf - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                    acc = acc + dot(x_lo, hi_mat, dims)
+                    acc = acc + dot(x_lo, mat_ref[0], dims)
                 return acc
 
-            acc = split_dots(top_ref, m_hi, m_lo)
+            acc = split_dots(top_ref, bw_mid)
             if rw:
-                t_hi, t_lo = _split_bf16(bw_tail[...])
-                acc = acc + split_dots(right_ref, t_hi, t_lo)
+                acc = acc + split_dots(right_ref, bw_tail)
             return acc
         acc = dot(to_f32(top_ref), bw_mid[...], dims)
         if rw:
@@ -111,10 +109,9 @@ def _kernel(x00, x01, x10, x11, bw_mid, bw_tail, bh_mid, bh_tail, out_ref,
     if split:
         def col_dot(mat_ref, y):
             # y is no longer integer: split both operands, drop the lo*lo term
-            m_hi, m_lo = _split_bf16(mat_ref[...])
             y_hi, y_lo = _split_bf16(y)
-            return dot(m_hi, y_hi, dims_c) + dot(m_hi, y_lo, dims_c) + dot(
-                m_lo, y_hi, dims_c
+            return dot(mat_ref[0], y_hi, dims_c) + dot(mat_ref[0], y_lo, dims_c) + dot(
+                mat_ref[1], y_hi, dims_c
             )
 
         acc = col_dot(bh_mid, y_top)
@@ -191,12 +188,22 @@ def _blur_fused_planar(
 
     bw = band_block_matrix(plan.row.taps, tw)  # (tw + 2rw, tw)
     bh = band_block_matrix(plan.col.taps, th)  # (th + 2rh, th)
-    bw_mid, bw_tail = jnp.asarray(bw[:tw]), jnp.asarray(bw[tw:])
-    bh_mid, bh_tail = jnp.asarray(bh[:th]), jnp.asarray(bh[th:])
-    if not rw:
-        bw_tail = jnp.zeros((1, tw), jnp.float32)  # placeholder, unused
-    if not rh:
-        bh_tail = jnp.zeros((1, th), jnp.float32)
+    split = precision == "bf16x3"
+
+    def as_mat(m: np.ndarray, cols: int) -> jnp.ndarray:
+        if m.shape[0] == 0:
+            m = np.zeros((1, cols), np.float32)  # placeholder, unused
+        if not split:
+            return jnp.asarray(m)
+        # pre-split hi/lo bfloat16 halves, stacked: computed once at trace
+        # time instead of on the VPU in every grid step
+        mj = jnp.asarray(m)
+        hi = mj.astype(jnp.bfloat16)
+        lo = (mj - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.stack([hi, lo])
+
+    bw_mid, bw_tail = as_mat(bw[:tw], tw), as_mat(bw[tw:], tw)
+    bh_mid, bh_tail = as_mat(bh[:th], th), as_mat(bh[th:], th)
 
     blk = lambda di, dj: pl.BlockSpec(
         (1, th, tw),
@@ -204,7 +211,7 @@ def _blur_fused_planar(
         memory_space=pltpu.VMEM,
     )
     mat = lambda shape: pl.BlockSpec(
-        shape, lambda c, i, j: (0, 0), memory_space=pltpu.VMEM
+        shape, (lambda c, i, j: (0,) * len(shape)), memory_space=pltpu.VMEM
     )
 
     interpret = jax.default_backend() != "tpu"
