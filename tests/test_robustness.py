@@ -72,3 +72,13 @@ def test_engine_string_names():
     for name in ["fft2", "fft_tiles", "band", "fused", "auto", "conv"]:
         out = blur_u8(img, 2.0, engine=name)
         assert out.shape == img.shape
+
+
+def test_bfloat16_planar_input(rng):
+    import jax.numpy as jnp
+
+    x = jnp.asarray(rng.random((2, 40, 48)).astype(np.float32)).astype(jnp.bfloat16)
+    out = np.asarray(blur(x, 3.0, engine=Engine.BAND))
+    assert out.dtype == np.float32
+    want = np.asarray(blur(x.astype(jnp.float32), 3.0, engine=Engine.BAND))
+    np.testing.assert_allclose(out, want, atol=2e-2)  # bf16 input quantization
