@@ -16,10 +16,11 @@ flag reference engine          TPU engine
 
 TPU-native engines beyond the parity set:
 
-* ``fused``  — Pallas tile kernel, both separable passes in VMEM (flagship);
+* ``fused``  — Pallas tile kernel, both separable passes in VMEM (flagship;
+  multi-block halos extend it to kernel support radii up to ~2048);
 * ``band``   — banded-block matmul on the MXU in plain XLA;
-* ``auto``   — fused when the kernel support fits a VMEM tile, else
-  ``band``, else batched FFT for giant kernels.
+* ``auto``   — fused while its banded matrices fit VMEM (radius <= 2048),
+  else batched/streamed FFT for giant kernels.
 
 Every (shape, nsmooth, engine, options) tuple is a distinct jit
 specialization, cached process-wide; compiled programs fuse
@@ -71,15 +72,19 @@ FLAG_TO_ENGINE = {
     1: Engine.CONV,
 }
 
-# AUTO: beyond this support radius the banded matmul's MXU waste and VMEM
-# tile size stop paying off against the O(log N) FFT path.
-_AUTO_FUSED_MAX_RADIUS = 256
-_AUTO_BAND_MAX_RADIUS = 512
+# AUTO: the multi-block-halo fused kernel owns the MXU up to this support
+# radius (measured: 0.44 GP/s at r=2046 on a 67 MP frame still beats the
+# FFT paths' ~0.3 GP/s); beyond it the banded matrices outgrow VMEM and the
+# O(log N) FFT path takes over.
+_AUTO_FUSED_MAX_RADIUS = 2048
 
 
 def _fused_tile_ok(plan: BlurPlan) -> bool:
-    th, tw = fused_blur._pick_tile(plan)
-    return th >= 2 * plan.col.support_radius and tw >= 2 * plan.row.support_radius
+    try:
+        fused_blur._pick_tile(plan)
+        return True
+    except ValueError:  # no tile fits the VMEM budget at these radii
+        return False
 
 
 _FFT_WHOLE_IMAGE_BYTE_BUDGET = 4 << 30  # stream strips beyond ~4 GB of buffers
@@ -92,8 +97,6 @@ def _resolve_engine(engine: Engine | str, plan: BlurPlan) -> Engine:
     r = max(plan.col.support_radius, plan.row.support_radius)
     if r <= _AUTO_FUSED_MAX_RADIUS and _fused_tile_ok(plan):
         return Engine.FUSED
-    if r <= _AUTO_BAND_MAX_RADIUS:
-        return Engine.BAND
     from blur_algorithms_tpu.ops.streamed import estimate_fft_tiles_bytes
 
     if estimate_fft_tiles_bytes(plan) > _FFT_WHOLE_IMAGE_BYTE_BUDGET:
@@ -146,10 +149,14 @@ def _plan_for(
         if engine is Engine.BOX_SCAN:
             return plan, Engine.BOX_SCAN
         # fold the passes into effective taps and route through the fastest
-        # matmul engine while the support fits; beyond that the Pallas
-        # prefix-sum kernel is radius-independent and beats the FFT path
+        # matmul engine while that wins; the Pallas prefix-sum kernel is
+        # radius-independent (~1 GP/s) and overtakes the widening fused
+        # matmuls past r ~ 1024 (and the FFT path always)
         eng = _resolve_engine(Engine.AUTO, plan)
-        if eng is Engine.FFT_TILES:
+        if eng in (Engine.FFT_TILES, Engine.FFT_STREAM) or (
+            eng is Engine.FUSED
+            and max(plan.col.support_radius, plan.row.support_radius) > 1024
+        ):
             eng = Engine.BOX_SCAN
         return plan, eng
     plan = make_plan((h, w), nsmooth, kernel=kernel, size_mode=size_mode)
@@ -288,8 +295,11 @@ def _compiled_box(
     plan = make_plan((h, w), radius, kernel="box_fast", size_mode=size_mode,
                      box_passes=passes)
     eng = _resolve_engine(Engine.AUTO, plan)
-    if eng is Engine.FFT_TILES:
-        eng = Engine.BOX_SCAN  # radius-independent Pallas scan beats FFT here
+    if eng in (Engine.FFT_TILES, Engine.FFT_STREAM) or (
+        eng is Engine.FUSED
+        and max(plan.col.support_radius, plan.row.support_radius) > 1024
+    ):
+        eng = Engine.BOX_SCAN  # radius-independent Pallas scan wins here
     if not is_u8:
         return jax.jit(lambda x: _blur_planar(x.astype(jnp.float32), plan, eng))
     if eng is Engine.FUSED:

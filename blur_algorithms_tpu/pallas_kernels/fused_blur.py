@@ -17,9 +17,14 @@ use (``ops/band_matmul.band_block_matrix``), so outputs are interchangeable
 with every other engine within float32 rounding.
 
 Halo handling: the input is reflect-101 padded by the kernel radius and
-zero-padded to one extra grid block per axis at trace time; each program
-reads blocks (i,j), (i,j+1), (i+1,j), (i+1,j+1) through standard pipelined
-BlockSpecs (the extra +1 blocks make every neighbor access in-bounds).
+zero-padded to ``n - 1`` extra grid blocks per axis at trace time; each
+program reads an ``nh x nw`` neighborhood of grid blocks through standard
+pipelined BlockSpecs, where ``nh = 1 + ceil(2*rh / tile_h)`` (and likewise
+``nw``) — so the kernel support radius is NOT limited by the tile size.
+Small radii reduce to the classic 2x2-neighbor case; huge radii just read
+more neighbor blocks and multiply by wider banded matrices, keeping the
+whole computation on the MXU where the pure-XLA band engine goes
+HBM-bound on its materialized windows tensor.
 """
 
 from __future__ import annotations
@@ -53,8 +58,19 @@ def _split_bf16(v):
     return hi, lo
 
 
-def _kernel(x00, x01, x10, x11, bw_mid, bw_tail, bh_mid, bh_tail, out_ref,
-            *, rh: int, rw: int, th: int, tw: int, precision, out_u8: bool):
+def _kernel(*refs, rows_h: tuple, cols_w: tuple, precision, out_u8: bool):
+    """Generalized fused tile: nh*nw input blocks + nw row-matrix chunks +
+    nh col-matrix chunks -> one (th, tw) output block.
+
+    ``rows_h[di]`` / ``cols_w[dj]`` are the static row/col counts each
+    neighbor block contributes to the (th + 2rh) x (tw + 2rw) input span.
+    """
+    nh, nw = len(rows_h), len(cols_w)
+    out_ref = refs[-1]
+    x_refs = refs[: nh * nw]
+    bw_parts = refs[nh * nw : nh * nw + nw]
+    bh_parts = refs[nh * nw + nw : nh * nw + nw + nh]
+
     f32 = jnp.float32
     split = precision == "bf16x3"
 
@@ -72,55 +88,44 @@ def _kernel(x00, x01, x10, x11, bw_mid, bw_tail, bh_mid, bh_tail, out_ref,
     # uint8-valued inputs are exact in bfloat16 (integers <= 255 fit its
     # 8-bit mantissa); float inputs need their own hi/lo split or the rows
     # pass silently drops ~8 mantissa bits.
-    input_exact_in_bf16 = x00.dtype == jnp.uint8
+    input_exact_in_bf16 = x_refs[0].dtype == jnp.uint8
 
-    def rows_pass(top_ref, right_ref):
-        """Rows conv of a (rows x tw+2rw) span -> (rows x tw)."""
-        dims = ((1,), (0,))
-        if split:
-            # matrices arrive pre-split as stacked (2, K, N) bf16: [hi, lo]
-            def split_dots(ref, mat_ref):
-                xf = to_f32(ref)
+    dims_r = ((1,), (0,))
+
+    def rows_pass(di):
+        """Rows conv of the (rows_h[di] x tw+2rw) span -> (rows_h[di] x tw)."""
+        acc = None
+        for dj in range(nw):
+            x = x_refs[di * nw + dj][0, : rows_h[di], : cols_w[dj]]
+            mat = bw_parts[dj]
+            if split:
+                # matrices arrive pre-split as stacked (2, K, N) bf16: [hi, lo]
+                xf = to_f32(x)
                 x_hi = xf.astype(jnp.bfloat16)
-                acc = dot(x_hi, mat_ref[0], dims) + dot(x_hi, mat_ref[1], dims)
+                part = dot(x_hi, mat[0], dims_r) + dot(x_hi, mat[1], dims_r)
                 if not input_exact_in_bf16:
                     x_lo = (xf - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                    acc = acc + dot(x_lo, mat_ref[0], dims)
-                return acc
-
-            acc = split_dots(top_ref, bw_mid)
-            if rw:
-                acc = acc + split_dots(right_ref, bw_tail)
-            return acc
-        acc = dot(to_f32(top_ref), bw_mid[...], dims)
-        if rw:
-            acc = acc + dot(to_f32(right_ref), bw_tail[...], dims)
+                    part = part + dot(x_lo, mat[0], dims_r)
+            else:
+                part = dot(to_f32(x), mat[...], dims_r)
+            acc = part if acc is None else acc + part
         return acc
 
-    # Y1: rows-convolved strip of (th + 2rh) x tw
-    y_top = rows_pass(x00[0], x01[0, :, : 2 * rw] if rw else x01[0])
-    if rh:
-        y_ext = rows_pass(
-            x10[0, : 2 * rh, :], x11[0, : 2 * rh, : 2 * rw] if rw else x11[0]
-        )
-
-    # cols pass: out[h, w] = sum_k Bh[k, h] * Y1[k, w]
+    # cols pass: out[h, w] = sum_di Bh_part[di][k, h] * Y1_chunk[di][k, w]
     dims_c = ((0,), (0,))
-    if split:
-        def col_dot(mat_ref, y):
+    acc = None
+    for di in range(nh):
+        y = rows_pass(di)
+        mat = bh_parts[di]
+        if split:
             # y is no longer integer: split both operands, drop the lo*lo term
             y_hi, y_lo = _split_bf16(y)
-            return dot(mat_ref[0], y_hi, dims_c) + dot(mat_ref[0], y_lo, dims_c) + dot(
-                mat_ref[1], y_hi, dims_c
+            part = dot(mat[0], y_hi, dims_c) + dot(mat[0], y_lo, dims_c) + dot(
+                mat[1], y_hi, dims_c
             )
-
-        acc = col_dot(bh_mid, y_top)
-        if rh:
-            acc = acc + col_dot(bh_tail, y_ext)
-    else:
-        acc = dot(bh_mid[...], y_top, dims_c)
-        if rh:
-            acc = acc + dot(bh_tail[...], y_ext, dims_c)
+        else:
+            part = dot(mat[...], y, dims_c)
+        acc = part if acc is None else acc + part
     if out_u8:
         acc = jnp.clip(jnp.floor(acc + 0.5), 0.0, 255.0)
         acc = acc.astype(jnp.int32).astype(jnp.uint8)  # no direct f32 -> u8 cast
@@ -142,11 +147,6 @@ def _blur_fused_planar(
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
     th, tw = tile
-    if th < 2 * rh or tw < 2 * rw:
-        raise ValueError(
-            f"tile {tile} smaller than halo {(2 * rh, 2 * rw)}; "
-            "use a bigger tile or the band_matmul engine"
-        )
     if pre_padded_col and planar.shape[-2] != h + 2 * rh:
         raise ValueError(
             f"pre_padded_col expects {h + 2 * rh} rows, got {planar.shape[-2]}"
@@ -175,24 +175,33 @@ def _blur_fused_planar(
     x = planar.reshape((-1,) + planar.shape[-2:])
     bc = x.shape[0]
 
+    # Block-neighborhood size: the (t + 2r) input span covers 1 + ceil(2r/t)
+    # grid blocks along each axis (2x2 for the classic small-radius case).
+    nh = 1 + (-(-2 * rh // th) if rh else 0)
+    nw = 1 + (-(-2 * rw // tw) if rw else 0)
+    rows_h = tuple(min(th, th + 2 * rh - k * th) for k in range(nh))
+    cols_w = tuple(min(tw, tw + 2 * rw - k * tw) for k in range(nw))
+
     nbh, nbw = -(-h // th), -(-w // tw)
     # reflect by the radius (unless the caller provided halo rows, e.g. the
-    # sharded path's ppermute exchange), then zero-fill to (nb + 1) whole
+    # sharded path's ppermute exchange), then zero-fill to (nb + n - 1) whole
     # blocks so every neighbor block access is in-bounds.
     pads = [(0, 0), (rh, rh)] if not pre_padded_col else [(0, 0), (0, 0)]
     x = reflect_101(x, [pads[1], (rw, rw)], axes=[-2, -1])
     x = jnp.pad(
         x,
-        [(0, 0), (0, (nbh + 1) * th - x.shape[-2]), (0, (nbw + 1) * tw - x.shape[-1])],
+        [
+            (0, 0),
+            (0, (nbh + nh - 1) * th - x.shape[-2]),
+            (0, (nbw + nw - 1) * tw - x.shape[-1]),
+        ],
     )
 
     bw = band_block_matrix(plan.row.taps, tw)  # (tw + 2rw, tw)
     bh = band_block_matrix(plan.col.taps, th)  # (th + 2rh, th)
     split = precision == "bf16x3"
 
-    def as_mat(m: np.ndarray, cols: int) -> jnp.ndarray:
-        if m.shape[0] == 0:
-            m = np.zeros((1, cols), np.float32)  # placeholder, unused
+    def as_mat(m: np.ndarray) -> jnp.ndarray:
         if not split:
             return jnp.asarray(m)
         # pre-split hi/lo bfloat16 halves, stacked: computed once at trace
@@ -202,8 +211,9 @@ def _blur_fused_planar(
         lo = (mj - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return jnp.stack([hi, lo])
 
-    bw_mid, bw_tail = as_mat(bw[:tw], tw), as_mat(bw[tw:], tw)
-    bh_mid, bh_tail = as_mat(bh[:th], th), as_mat(bh[th:], th)
+    # chunk the band matrices to match each neighbor block's contribution
+    bw_parts = [as_mat(bw[k * tw : k * tw + cols_w[k]]) for k in range(nw)]
+    bh_parts = [as_mat(bh[k * th : k * th + rows_h[k]]) for k in range(nh)]
 
     blk = lambda di, dj: pl.BlockSpec(
         (1, th, tw),
@@ -218,47 +228,114 @@ def _blur_fused_planar(
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, rh=rh, rw=rw, th=th, tw=tw,
+            _kernel, rows_h=rows_h, cols_w=cols_w,
             precision=precision, out_u8=out_u8,
         ),
         interpret=interpret,
+        # wide-radius tiles carry big banded matrices + many neighbor blocks;
+        # Mosaic's default 16 MB scoped-vmem cap is far below the chip's VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_KERNEL_VMEM_LIMIT),
         grid=(bc, nbh, nbw),
-        in_specs=[
-            blk(0, 0), blk(0, 1), blk(1, 0), blk(1, 1),
-            mat(bw_mid.shape), mat(bw_tail.shape),
-            mat(bh_mid.shape), mat(bh_tail.shape),
-        ],
+        in_specs=(
+            [blk(di, dj) for di in range(nh) for dj in range(nw)]
+            + [mat(m.shape) for m in bw_parts]
+            + [mat(m.shape) for m in bh_parts]
+        ),
         out_specs=pl.BlockSpec(
             (1, th, tw), lambda c, i, j: (c, i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
             (bc, nbh * th, nbw * tw), jnp.uint8 if out_u8 else jnp.float32
         ),
-    )(x, x, x, x, bw_mid, bw_tail, bh_mid, bh_tail)
+    )(*([x] * (nh * nw)), *bw_parts, *bh_parts)
 
     return out[:, :h, :w].reshape(lead + (h, w))
 
 
 def _pick_tile(plan: BlurPlan) -> tuple[int, int]:
-    def side(radius: int, dim: int, lane: bool) -> int:
-        halo_min_unit = 128 if lane else 8
-        halo_min = halo_min_unit * ((2 * radius + halo_min_unit - 1) // halo_min_unit)
-        halo_min = max(halo_min, halo_min_unit)
-        if not lane and halo_min <= 256 <= dim:
-            # sublane dim may be any multiple of 8: prefer a tile that divides
-            # the axis exactly (zero padding waste, e.g. 240 for 2160 rows)
-            for t in range(256, max(halo_min, 128) - 1, -8):
-                if dim % t == 0:
-                    return t
-        pref = max(256, halo_min)
-        dim_rounded = max(128, 128 * ((dim + 127) // 128))
-        # shrink toward the image size but never below the halo
-        return max(halo_min, min(pref, dim_rounded), halo_min_unit * 2)
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    if 2 * rh <= 512 and 2 * rw <= 512:
+        # measured-good single-halo-block regime (tile >= 2r)
+        def side(radius: int, dim: int, lane: bool) -> int:
+            halo_min_unit = 128 if lane else 8
+            halo_min = halo_min_unit * (
+                (2 * radius + halo_min_unit - 1) // halo_min_unit
+            )
+            halo_min = max(halo_min, halo_min_unit)
+            if not lane and halo_min <= 256 <= dim:
+                # sublane dim may be any multiple of 8: prefer a tile that
+                # divides the axis exactly (zero padding waste, e.g. 240 for
+                # 2160 rows)
+                for t in range(256, max(halo_min, 128) - 1, -8):
+                    if dim % t == 0:
+                        return t
+            pref = max(256, halo_min)
+            dim_rounded = max(128, 128 * ((dim + 127) // 128))
+            # shrink toward the image size but never below the halo
+            return max(halo_min, min(pref, dim_rounded), halo_min_unit * 2)
 
-    return (
-        side(plan.col.support_radius, plan.shape[0], lane=False),
-        side(plan.row.support_radius, plan.shape[1], lane=True),
+        return (
+            side(rh, plan.shape[0], lane=False),
+            side(rw, plan.shape[1], lane=True),
+        )
+    return _pick_tile_wide(plan)
+
+
+# VMEM budget for the wide-radius tile search (v5e has 128 MiB; the estimate
+# below is calibrated so measured-working configs up to radius ~2048 pass).
+_WIDE_VMEM_BUDGET = 110 << 20
+# Mosaic's scoped-vmem cap passed to the kernel (default is only 16 MiB).
+_KERNEL_VMEM_LIMIT = 127 << 20
+# Effective MACs the MXU retires per HBM byte at the measured bf16x3 rate
+# (~30 GMAC/ms) against v5e's ~819 GB/s: weights the neighbor-block re-reads.
+_MACS_PER_HBM_BYTE = 37
+
+
+def _wide_tile_cost(
+    rh: int, rw: int, h: int, w: int, th: int, tw: int, in_bytes: int
+) -> float | None:
+    """Cost model (MAC-equivalents per useful output pixel) for a (th, tw)
+    tile, or None if the configuration exceeds the VMEM budget.
+
+    rows pass recomputes the vertical halo span once per consuming tile
+    (factor (th + 2rh)/th), so tall tiles amortize large vertical radii;
+    DMA is pipelined against compute, hence max() not sum.
+    """
+    nh = 1 + (-(-2 * rh // th) if rh else 0)
+    nw = 1 + (-(-2 * rw // tw) if rw else 0)
+    if nh * nw > 36:  # operand-count / MLIR-size guard
+        return None
+    vmem = (
+        int(nh * nw * th * tw * in_bytes * 1.5)  # neighbor blocks (pipelined)
+        + (tw + 2 * rw) * tw * 4  # bw hi/lo bf16 stack
+        + (th + 2 * rh) * th * 4  # bh hi/lo bf16 stack
+        + (th + 2 * rh) * tw * 4  # rows-pass strip (f32)
+        + th * tw * 4 * 2  # output block
     )
+    if vmem > _WIDE_VMEM_BUDGET:
+        return None
+    waste = (th * -(-h // th) / h) * (tw * -(-w // tw) / w)  # grid padding
+    macs = (th + 2 * rh) / th * (tw + 2 * rw) + (th + 2 * rh)
+    dma = _MACS_PER_HBM_BYTE * nh * nw * in_bytes
+    return max(macs, dma) * waste
+
+
+def _pick_tile_wide(plan: BlurPlan) -> tuple[int, int]:
+    """Tile search for kernels wider than one grid block (2r > tile)."""
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    h, w = plan.shape
+    best: tuple[float, tuple[int, int]] | None = None
+    for th in (256, 512, 768, 1024):
+        for tw in (128, 256, 512, 1024):
+            cost = _wide_tile_cost(rh, rw, h, w, th, tw, in_bytes=1)
+            if cost is not None and (best is None or cost < best[0]):
+                best = (cost, (th, tw))
+    if best is None:
+        raise ValueError(
+            f"no fused tile fits VMEM for radii {(rh, rw)}; "
+            "use the fft_stream or cascade engine"
+        )
+    return best[1]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))

@@ -86,13 +86,29 @@ class TestBoxFold:
 
 
 class TestFusedKernel:
-    def test_tile_too_small_raises(self):
-        from blur_algorithms_tpu.pallas_kernels.fused_blur import blur_fused
+    def test_multiblock_halo_interpret(self, rng, monkeypatch):
+        """Kernel support radius >> tile: the nh x nw neighbor-block path."""
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
 
-        plan = make_plan((300, 300), 30.0)  # radius ~ 98
-        x = jnp.zeros((3, 300, 300), jnp.float32)
-        with pytest.raises(ValueError):
-            blur_fused(x, plan, tile=(128, 128))
+        monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
+        x = rng.random((1, 24, 30)).astype(np.float32) * 255
+        plan = make_plan((24, 30), 6.0)  # radius 19 with 8x8 tiles -> 6x6 blocks
+        got = np.asarray(fused_blur.blur_fused(jnp.asarray(x), plan, tile=(8, 8)))
+        want = oracle.blur_direct(x, plan)
+        np.testing.assert_allclose(got, want, atol=1e-2)
+
+    def test_wide_tile_picker(self):
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        # radius beyond the single-halo-block regime still yields a tile
+        plan = make_plan((8192, 8192), 308.0)  # r ~ 1024
+        th, tw = fused_blur._pick_tile(plan)
+        assert th in (256, 512, 768, 1024) and tw in (128, 256, 512, 1024)
+        # the cost model rejects VMEM-infeasible configs outright
+        assert (
+            fused_blur._wide_tile_cost(4000, 4000, 8192, 8192, 256, 256, 1)
+            is None
+        )
 
     def test_fallback_matches_oracle(self, rng):
         from blur_algorithms_tpu.pallas_kernels.fused_blur import blur_fused

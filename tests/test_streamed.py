@@ -40,7 +40,12 @@ def test_memory_estimate_scales():
 
 
 def test_auto_routes_giant_to_stream():
-    giant = make_plan((24000, 14500), 155.0)  # radius ~514 > band limit
-    assert _resolve_engine(Engine.AUTO, giant) is Engine.FFT_STREAM
+    # r ~ 514: the multi-block fused MXU kernel now owns this (measured 2
+    # GP/s vs fft_stream's 0.27 GP/s at 348 MP)
+    giant = make_plan((24000, 14500), 155.0)
+    assert _resolve_engine(Engine.AUTO, giant) is Engine.FUSED
+    # r ~ 2330 > fused VMEM reach on a >4 GB frame -> streamed FFT
+    colossal = make_plan((24000, 14500), 700.0)
+    assert _resolve_engine(Engine.AUTO, colossal) is Engine.FFT_STREAM
     normal = make_plan((1080, 1920), 10.0)
     assert _resolve_engine(Engine.AUTO, normal) is Engine.FUSED
