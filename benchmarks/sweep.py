@@ -1,14 +1,17 @@
 """Engine benchmark sweep — the reference's benchmark harness, TPU-native.
 
-The reference swept 46 sizes from 1500x1000 upward with sigma = sqrt(width)
-(commented loop ``Source.cpp:628-634``; data in ``py/performance.ipynb``).
-This reproduces that methodology on TPU across this framework's engines and
-writes JSON (and an optional matplotlib PNG) for comparison against
-``BASELINE.md``.
+The reference's published benchmark (``py/performance.ipynb``) sweeps 46
+sizes 1500x1000 -> 24000x14500 (x += 500, y += 300) with sigma = sqrt(width)
+on an M3 Pro; its commented CLI loop (``Source.cpp:628-634``) uses a finer
+x += 225 / y += 150 rule. This reproduces the published methodology on TPU
+across this framework's engines, pairs every point with the reference's own
+pffft timing for that exact size, and writes JSON (and an optional
+matplotlib PNG) for comparison against ``BASELINE.md``.
 
 Usage:
   python benchmarks/sweep.py [--sizes N] [--engines fused band fft2 ...]
                              [--out benchmarks/sweep_results.json] [--plot]
+                             [--step notebook|cli]
 
 Timing uses the tunnel-aware chained harness (utils/timing.py).
 """
@@ -25,24 +28,29 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# reference sizes: x=1500, y=1000, step x+=225, y+=150 (Source.cpp:628-634)
-def reference_sizes(n: int):
+
+def reference_sizes(n: int, step: str = "notebook"):
     x, y = 1500, 1000
+    dx, dy = (500, 300) if step == "notebook" else (225, 150)
     out = []
     for _ in range(n):
         out.append((x, y))
-        x += 225
-        y += 150
+        x += dx
+        y += dy
     return out
 
 
-REFERENCE_PFFFT_MS = {
-    # from BASELINE.md / py/performance.ipynb (subset of anchor points)
-    (1500, 1000): 32.05,
-    (4000, 2500): 46.92,  # actually 3750x2500 in the size rule; closest anchor
-    (12000, 7300): 433.94,
-    (24000, 14500): 1728.56,
-}
+# The reference's own wall-ms per published size, fastest engine (pffft),
+# M3 Pro 12 cores: py/performance.ipynb cell 0, `pffft` array (46 entries
+# for the notebook size rule above).
+REFERENCE_PFFFT_MS = [
+    32.05, 11.52, 19.64, 28.31, 39.64, 46.92, 57.19, 79.43, 88.98, 106.69,
+    114.97, 141.29, 175.44, 172.12, 224.25, 233.14, 270.86, 378.32, 397.24,
+    397.23, 489.47, 433.94, 439.79, 744.96, 516.05, 607.11, 633.42, 705.26,
+    716.06, 748.72, 838.16, 873.90, 907.26, 966.44, 963.27, 1127.55,
+    1225.35, 1154.47, 1262.71, 1328.17, 1373.25, 1403.04, 1535.46, 1659.44,
+    1658.18, 1728.56,
+]
 
 
 def main() -> int:
@@ -53,6 +61,7 @@ def main() -> int:
     p.add_argument("--out", default="benchmarks/sweep_results.json")
     p.add_argument("--plot", action="store_true")
     p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--step", choices=["notebook", "cli"], default="notebook")
     args = p.parse_args()
 
     import jax
@@ -62,7 +71,7 @@ def main() -> int:
     from blur_algorithms_tpu.utils.timing import time_fn_chained
 
     results = []
-    for x, y in reference_sizes(args.sizes):
+    for size_i, (x, y) in enumerate(reference_sizes(args.sizes, args.step)):
         sigma = math.sqrt(x)  # reference: sigma = sqrt(width-ish dim)
         # generate frames on-device: the axon tunnel moves ~2 MB/s, so host
         # arrays would dominate the sweep at large sizes
@@ -89,9 +98,16 @@ def main() -> int:
             except Exception as exc:  # keep sweeping past OOM/VMEM limits
                 row[name + "_ms"] = None
                 row[name + "_err"] = f"{type(exc).__name__}"
-        ref = REFERENCE_PFFFT_MS.get((x, y))
-        if ref:
+        if args.step == "notebook" and size_i < len(REFERENCE_PFFFT_MS):
+            ref = REFERENCE_PFFFT_MS[size_i]
             row["reference_pffft_ms"] = ref
+            best = min(
+                (row[k] for k in row if k.endswith("_ms") and row[k]
+                 and k != "reference_pffft_ms"),
+                default=None,
+            )
+            if best:
+                row["speedup_vs_reference"] = round(ref / best, 2)
         results.append(row)
         print(json.dumps(row), flush=True)
 

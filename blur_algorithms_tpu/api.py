@@ -73,29 +73,36 @@ FLAG_TO_ENGINE = {
 }
 
 # AUTO: the multi-block-halo fused kernel owns the MXU up to this support
-# radius (measured: 0.44 GP/s at r=2046 on a 67 MP frame still beats the
-# FFT paths' ~0.3 GP/s); beyond it the banded matrices outgrow VMEM and the
-# O(log N) FFT path takes over.
-_AUTO_FUSED_MAX_RADIUS = 2048
+# radius (measured, 67 MP frame: 0.93 GP/s at r=2046 and 0.58 GP/s at
+# r=4096 in two-pass split form, vs the FFT paths' ~0.3 GP/s); beyond it
+# the banded matrices outgrow VMEM and the O(log N) FFT path takes over.
+_AUTO_FUSED_MAX_RADIUS = 4096
 
 
-def _fused_tile_ok(plan: BlurPlan) -> bool:
+def _fused_tile_ok(plan: BlurPlan, in_bytes: int = 1) -> bool:
     try:
-        fused_blur._pick_tile(plan)
+        fused_blur._pick_tile(plan, in_bytes)
         return True
-    except ValueError:  # no tile fits the VMEM budget at these radii
-        return False
+    except ValueError:  # single-kernel VMEM exceeded: two-pass split form?
+        h, w = plan.shape
+        rh, rw = plan.col.support_radius, plan.row.support_radius
+        return (
+            fused_blur._best_wide(0, rw, h, w, in_bytes) is not None
+            and fused_blur._best_wide(rh, 0, h, w, 4) is not None
+        )
 
 
 _FFT_WHOLE_IMAGE_BYTE_BUDGET = 4 << 30  # stream strips beyond ~4 GB of buffers
 
 
-def _resolve_engine(engine: Engine | str, plan: BlurPlan) -> Engine:
+def _resolve_engine(
+    engine: Engine | str, plan: BlurPlan, in_bytes: int = 1
+) -> Engine:
     engine = Engine(engine)
     if engine is not Engine.AUTO:
         return engine
     r = max(plan.col.support_radius, plan.row.support_radius)
-    if r <= _AUTO_FUSED_MAX_RADIUS and _fused_tile_ok(plan):
+    if r <= _AUTO_FUSED_MAX_RADIUS and _fused_tile_ok(plan, in_bytes):
         return Engine.FUSED
     from blur_algorithms_tpu.ops.streamed import estimate_fft_tiles_bytes
 
@@ -142,7 +149,13 @@ def _make_box_plan(h: int, w: int, nsmooth: float, size_mode: str) -> BlurPlan:
 
 @functools.lru_cache(maxsize=256)
 def _plan_for(
-    h: int, w: int, nsmooth: float, engine: Engine, kernel: str, size_mode: str
+    h: int,
+    w: int,
+    nsmooth: float,
+    engine: Engine,
+    kernel: str,
+    size_mode: str,
+    in_bytes: int = 1,
 ) -> tuple[BlurPlan, Engine]:
     if engine in (Engine.BOX, Engine.BOX_SCAN):
         plan = _make_box_plan(h, w, nsmooth, size_mode)
@@ -152,7 +165,7 @@ def _plan_for(
         # matmul engine while that wins; the Pallas prefix-sum kernel is
         # radius-independent (~1 GP/s) and overtakes the widening fused
         # matmuls past r ~ 1024 (and the FFT path always)
-        eng = _resolve_engine(Engine.AUTO, plan)
+        eng = _resolve_engine(Engine.AUTO, plan, in_bytes)
         if eng in (Engine.FFT_TILES, Engine.FFT_STREAM) or (
             eng is Engine.FUSED
             and max(plan.col.support_radius, plan.row.support_radius) > 1024
@@ -160,7 +173,7 @@ def _plan_for(
             eng = Engine.BOX_SCAN
         return plan, eng
     plan = make_plan((h, w), nsmooth, kernel=kernel, size_mode=size_mode)
-    return plan, _resolve_engine(engine, plan)
+    return plan, _resolve_engine(engine, plan, in_bytes)
 
 
 @functools.lru_cache(maxsize=256)
@@ -178,7 +191,9 @@ def _compiled_planar(
         return jax.jit(
             lambda x: blur_cascade(x.astype(jnp.float32), nsmooth, size_mode)
         )
-    plan, eng = _plan_for(shape[-2], shape[-1], nsmooth, engine, kernel, size_mode)
+    plan, eng = _plan_for(
+        shape[-2], shape[-1], nsmooth, engine, kernel, size_mode, in_bytes=4
+    )
 
     def fn(x):
         return _blur_planar(x.astype(jnp.float32), plan, eng)

@@ -1,11 +1,13 @@
 """Cascade engine: huge-sigma Gaussian as k composed MXU-sized blurs.
 
 Gaussian blurs form a semigroup: blurring with sigma_1 then sigma_2 equals
-one blur with sqrt(sigma_1^2 + sigma_2^2). A sigma too large for the fused
-VMEM tile (support radius > ~256) therefore decomposes into ``k`` identical
-steps of ``sigma / sqrt(k)``, each running on the fused Pallas engine —
-O(k * r/sqrt(k)) work instead of the FFT path's O(log N) but with the MXU's
-throughput, which wins by a wide margin in practice.
+one blur with sqrt(sigma_1^2 + sigma_2^2). A sigma too large for one fused
+pass (support radius > ~2048, where the banded matrices outgrow VMEM)
+decomposes into ``k`` identical steps of ``sigma / sqrt(k)``, each running
+on the fused Pallas engine. Steps are made as large as the engine allows:
+measured per-pixel cost grows superlinearly with radius but composing more
+smaller steps is still slower (and compounds truncation error), so the
+minimal feasible ``k`` wins on both axes.
 
 This is an *approximation* relative to the reference's single truncated
 kernel: truncated+renormalized Gaussians compose only approximately (each
@@ -25,8 +27,9 @@ from blur_algorithms_tpu.ops.plan import make_plan
 
 __all__ = ["cascade_sigmas", "blur_cascade"]
 
-# keep each step's support radius inside the fused engine's comfort zone
-_STEP_MAX_RADIUS = 224
+# keep each step's support radius inside the fused engine's VMEM reach
+# (two-pass split form measured feasible to r=4096; margin for odd shapes)
+_STEP_MAX_RADIUS = 4000
 
 
 def _radius_for(sigma: float) -> int:
@@ -34,7 +37,7 @@ def _radius_for(sigma: float) -> int:
 
 
 def cascade_sigmas(sigma: float) -> list[float]:
-    """Split ``sigma`` into k equal steps with per-step radius <= ~224."""
+    """Split ``sigma`` into the fewest equal steps the fused engine fits."""
     k = 1
     while _radius_for(sigma / math.sqrt(k)) > _STEP_MAX_RADIUS:
         k += 1

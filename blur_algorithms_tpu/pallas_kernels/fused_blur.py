@@ -1,10 +1,13 @@
 """Fused separable-blur Pallas kernel — the flagship hot op.
 
 One VMEM-resident pass computes both separable convolution passes per output
-tile: load a uint8 (or f32) input tile plus its halo (fetched as the three
-neighboring grid blocks — no overlapping-window tensor ever touches HBM,
-which is what bounds the pure-XLA band-matmul engine), run the rows pass and
-the columns pass as banded block matmuls on the MXU, round, and write uint8.
+tile: load a uint8 (or f32) input tile plus its halo (fetched as neighboring
+grid blocks — no overlapping-window tensor ever touches HBM, which is what
+bounds the pure-XLA band-matmul engine), run the rows pass and the columns
+pass as banded block matmuls on the MXU, round, and write uint8. At wide
+radii an automatic two-pass "split" form runs each axis as its own kernel
+with an f32 intermediate in HBM, trading one HBM round trip for the
+vertical-halo recompute (see ``_split_wins``).
 
 Replaces the reference's entire per-tile machinery (thread loops + pffft
 plans + flip_block transposes + interleave rounding, ``Source.cpp:510-567``)
@@ -29,6 +32,7 @@ HBM-bound on its materialized windows tensor.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 
@@ -58,7 +62,8 @@ def _split_bf16(v):
     return hi, lo
 
 
-def _kernel(*refs, rows_h: tuple, cols_w: tuple, precision, out_u8: bool):
+def _kernel(*refs, rows_h: tuple, cols_w: tuple, precision, out_u8: bool,
+            skip_rows: bool, skip_cols: bool):
     """Generalized fused tile: nh*nw input blocks + nw row-matrix chunks +
     nh col-matrix chunks -> one (th, tw) output block.
 
@@ -94,6 +99,8 @@ def _kernel(*refs, rows_h: tuple, cols_w: tuple, precision, out_u8: bool):
 
     def rows_pass(di):
         """Rows conv of the (rows_h[di] x tw+2rw) span -> (rows_h[di] x tw)."""
+        if skip_rows:
+            return to_f32(x_refs[di * nw][0, : rows_h[di], :])
         acc = None
         for dj in range(nw):
             x = x_refs[di * nw + dj][0, : rows_h[di], : cols_w[dj]]
@@ -114,7 +121,9 @@ def _kernel(*refs, rows_h: tuple, cols_w: tuple, precision, out_u8: bool):
     # cols pass: out[h, w] = sum_di Bh_part[di][k, h] * Y1_chunk[di][k, w]
     dims_c = ((0,), (0,))
     acc = None
-    for di in range(nh):
+    if skip_cols:
+        acc = rows_pass(0)
+    for di in range(nh if not skip_cols else 0):
         y = rows_pass(di)
         mat = bh_parts[di]
         if split:
@@ -230,6 +239,9 @@ def _blur_fused_planar(
         functools.partial(
             _kernel, rows_h=rows_h, cols_w=cols_w,
             precision=precision, out_u8=out_u8,
+            # radius-0 axes carry an identity band matrix — skip the matmul
+            # (the two-pass "split" mode runs each axis as its own kernel)
+            skip_rows=rw == 0, skip_cols=rh == 0,
         ),
         interpret=interpret,
         # wide-radius tiles carry big banded matrices + many neighbor blocks;
@@ -252,7 +264,7 @@ def _blur_fused_planar(
     return out[:, :h, :w].reshape(lead + (h, w))
 
 
-def _pick_tile(plan: BlurPlan) -> tuple[int, int]:
+def _pick_tile(plan: BlurPlan, in_bytes: int = 1) -> tuple[int, int]:
     rh, rw = plan.col.support_radius, plan.row.support_radius
     if 2 * rh <= 512 and 2 * rw <= 512:
         # measured-good single-halo-block regime (tile >= 2r)
@@ -278,7 +290,7 @@ def _pick_tile(plan: BlurPlan) -> tuple[int, int]:
             side(rh, plan.shape[0], lane=False),
             side(rw, plan.shape[1], lane=True),
         )
-    return _pick_tile_wide(plan)
+    return _pick_tile_wide(plan, in_bytes)
 
 
 # VMEM budget for the wide-radius tile search (v5e has 128 MiB; the estimate
@@ -320,22 +332,76 @@ def _wide_tile_cost(
     return max(macs, dma) * waste
 
 
-def _pick_tile_wide(plan: BlurPlan) -> tuple[int, int]:
-    """Tile search for kernels wider than one grid block (2r > tile)."""
-    rh, rw = plan.col.support_radius, plan.row.support_radius
-    h, w = plan.shape
+def _best_wide(
+    rh: int, rw: int, h: int, w: int, in_bytes: int
+) -> tuple[float, tuple[int, int]] | None:
     best: tuple[float, tuple[int, int]] | None = None
     for th in (256, 512, 768, 1024):
         for tw in (128, 256, 512, 1024):
-            cost = _wide_tile_cost(rh, rw, h, w, th, tw, in_bytes=1)
+            cost = _wide_tile_cost(rh, rw, h, w, th, tw, in_bytes)
             if cost is not None and (best is None or cost < best[0]):
                 best = (cost, (th, tw))
+    return best
+
+
+def _pick_tile_wide(plan: BlurPlan, in_bytes: int = 1) -> tuple[int, int]:
+    """Tile search for kernels wider than one grid block (2r > tile)."""
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    best = _best_wide(rh, rw, plan.shape[0], plan.shape[1], in_bytes)
     if best is None:
         raise ValueError(
             f"no fused tile fits VMEM for radii {(rh, rw)}; "
             "use the fft_stream or cascade engine"
         )
     return best[1]
+
+
+def _axis_identity(ax) -> object:
+    """Radius-0 copy of an AxisPlan (taps [1]) for one pass of split mode."""
+    return dataclasses.replace(
+        ax, width=1, pad=0, taps=np.array([1.0], np.float32)
+    )
+
+
+@functools.lru_cache(maxsize=256)  # plans hash by identity: stable jit keys
+def _split_plans(plan: BlurPlan) -> tuple[BlurPlan, BlurPlan]:
+    rows_only = dataclasses.replace(plan, col=_axis_identity(plan.col))
+    cols_only = dataclasses.replace(plan, row=_axis_identity(plan.row))
+    return rows_only, cols_only
+
+
+def _split_wins(plan: BlurPlan, in_bytes: int) -> bool:
+    """Two single-axis kernels (f32 intermediate in HBM) vs one fused kernel.
+
+    The single kernel rows-convolves each tile's vertical halo span once per
+    consuming tile — a (th + 2rh)/th recompute factor that dominates at wide
+    radii; the split trades it for one f32 HBM round trip (8 bytes/px).
+    """
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    if 2 * max(rh, rw) <= 512:
+        return False  # measured-good single-kernel regime
+    h, w = plan.shape
+    single = _best_wide(rh, rw, h, w, in_bytes)
+    rows = _best_wide(0, rw, h, w, in_bytes)
+    cols = _best_wide(rh, 0, h, w, 4)  # pass 2 reads the f32 intermediate
+    if rows is None or cols is None:
+        return False
+    if single is None:
+        return True  # split is the only feasible MXU path
+    hbm = 8 * _MACS_PER_HBM_BYTE  # f32 write + read of the intermediate
+    return rows[0] + cols[0] + hbm < single[0]
+
+
+def _blur_fused_split(planar, plan: BlurPlan, precision, out_u8: bool):
+    rows_plan, cols_plan = _split_plans(plan)
+    in_bytes = 1 if jnp.asarray(planar).dtype == jnp.uint8 else 4
+    y = _blur_fused_planar(
+        planar, rows_plan, _pick_tile(rows_plan, in_bytes), precision,
+        out_u8=False,
+    )
+    return _blur_fused_planar(
+        y, cols_plan, _pick_tile(cols_plan, 4), precision, out_u8=out_u8
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -358,6 +424,24 @@ def _blur_fused_bwd(plan, precision, tile, _res, ct):
 _blur_fused_diff.defvjp(_blur_fused_fwd, _blur_fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _blur_fused_split_diff(planar, plan, precision):
+    return _blur_fused_split(planar, plan, precision, out_u8=False)
+
+
+def _blur_fused_split_fwd(planar, plan, precision):
+    return _blur_fused_split_diff(planar, plan, precision), None
+
+
+def _blur_fused_split_bwd(plan, precision, _res, ct):
+    from blur_algorithms_tpu.ops.adjoint import blur_adjoint
+
+    return (blur_adjoint(ct, plan),)
+
+
+_blur_fused_split_diff.defvjp(_blur_fused_split_fwd, _blur_fused_split_bwd)
+
+
 def blur_fused(
     planar: jnp.ndarray,
     plan: BlurPlan,
@@ -368,10 +452,18 @@ def blur_fused(
 
     Accepts uint8 or float input (converted in VMEM). Differentiable for
     float inputs via an explicit adjoint ``custom_vjp`` (Pallas kernels have
-    no automatic transpose).
+    no automatic transpose). At wide radii this auto-selects the two-pass
+    split form when the cost model favors it (pass ``tile`` to force the
+    single-kernel form).
     """
-    tile = tile or _pick_tile(plan)
-    if jnp.issubdtype(jnp.asarray(planar).dtype, jnp.floating):
+    is_float = jnp.issubdtype(jnp.asarray(planar).dtype, jnp.floating)
+    in_bytes = 4 if is_float else 1
+    if tile is None and _split_wins(plan, in_bytes):
+        if is_float:
+            return _blur_fused_split_diff(planar, plan, precision)
+        return _blur_fused_split(planar, plan, precision, out_u8=False)
+    tile = tile or _pick_tile(plan, in_bytes)
+    if is_float:
         return _blur_fused_diff(planar, plan, precision, tile)
     return _blur_fused_planar(planar, plan, tile, precision, out_u8=False)
 
@@ -383,6 +475,8 @@ def blur_fused_u8(
     tile: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Fused-tile blur, uint8 planar in -> uint8 planar out (rounds in VMEM)."""
+    if tile is None and _split_wins(plan, in_bytes=1):
+        return _blur_fused_split(planar_u8, plan, precision, out_u8=True)
     tile = tile or _pick_tile(plan)
     return _blur_fused_planar(planar_u8, plan, tile, precision, out_u8=True)
 
@@ -401,7 +495,7 @@ def blur_fused_haloed(
     (W) borders still reflect locally. This is the per-shard compute step
     of the multi-chip path (``parallel/sharded.py``).
     """
-    tile = tile or _pick_tile(plan)
+    tile = tile or _pick_tile(plan, in_bytes=4)
     return _blur_fused_planar(
         planar, plan, tile, precision, out_u8=False, pre_padded_col=True
     )

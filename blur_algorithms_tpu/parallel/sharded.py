@@ -3,12 +3,15 @@
 Layout: planar float32 ``(B, C, H, W)`` sharded ``P("dp", None, "sp", None)``.
 
 Each shard-local step is the *same fused Pallas kernel* as the single-chip
-flagship (``blur_fused_haloed``): the only distributed work is one halo
-exchange of ``r`` raw input rows per shard boundary — two ``jax.lax.ppermute``
-shifts over ICI — before the kernel runs. The global top/bottom shards
-synthesize their missing halo by local reflect-101, reproducing the
-single-chip border math exactly, so the sharded result equals the
-single-device result up to float rounding.
+flagship (``blur_fused_haloed``): the only distributed work is a halo
+exchange of ``r`` raw input rows per shard boundary — ``jax.lax.ppermute``
+shifts over ICI — before the kernel runs. Kernels wider than one shard
+(``r > h_loc``) exchange whole blocks from ``ceil(r / h_loc)`` neighbors
+(still O(r x W) nearest-hop ICI traffic). The global top/bottom shards
+synthesize their missing halo by reflect-101 — against the multi-shard
+halo context when the reflection span crosses shard boundaries — so the
+sharded result equals the single-device result up to float rounding for
+every legal radius (r <= H - 1).
 
 This is the TPU-native replacement for what the reference could never do:
 its ``flip_block`` transpose between row/col passes (``Source.cpp:367,384``)
@@ -18,6 +21,7 @@ shard; no transpose, no gather, only O(r x W) nearest-neighbor traffic.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -27,26 +31,23 @@ from jax.sharding import PartitionSpec as P
 
 from blur_algorithms_tpu.ops.layout import round_to_u8
 from blur_algorithms_tpu.ops.pad import reflect_101
-from blur_algorithms_tpu.ops.plan import BlurPlan, make_plan
+from blur_algorithms_tpu.ops.plan import BlurPlan
 
 __all__ = ["blur_sharded", "blur_sharded_u8"]
 
 
 def _local_plan(plan: BlurPlan, h_loc: int, w: int) -> BlurPlan:
-    """Per-shard plan: same kernel/taps, local row count."""
-    local = make_plan(
-        (h_loc, w),
-        plan.sigma,
-        kernel=plan.kernel,
-        size_mode=plan.size_mode,
-        box_passes=plan.box_passes,
+    """Per-shard plan: the GLOBAL taps on the local row count.
+
+    Built by replacing the geometry rather than re-planning so the kernel is
+    bit-identical to the single-chip plan even when the support exceeds the
+    shard height (``make_plan`` would re-clamp the width to the shard).
+    Only ``shape``/``taps``/``support_radius`` feed the fused kernel; the
+    FFT-length fields keep the global plan's values and are unused here.
+    """
+    return dataclasses.replace(
+        plan, shape=(h_loc, w), col=dataclasses.replace(plan.col, dim=h_loc)
     )
-    if local.col.width != plan.col.width or local.row.width != plan.row.width:
-        raise ValueError(
-            f"kernel width re-clamped on the {h_loc}-row shard "
-            f"({local.col.width} vs {plan.col.width}); use fewer sp shards"
-        )
-    return local
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "mesh"))
@@ -62,11 +63,6 @@ def blur_sharded(planar: jnp.ndarray, plan: BlurPlan, mesh: Mesh) -> jnp.ndarray
         raise ValueError(f"height {h} not divisible by sp={n_sp}")
     h_loc = h // n_sp
     r = plan.col.support_radius
-    if r > h_loc - 1:
-        raise ValueError(
-            f"column radius {r} exceeds local shard rows {h_loc} - 1; "
-            f"use fewer sp shards or a smaller kernel"
-        )
     local_plan = _local_plan(plan, h_loc, w)
 
     spec = P("dp", None, "sp", None)
@@ -91,7 +87,7 @@ def blur_sharded(planar: jnp.ndarray, plan: BlurPlan, mesh: Mesh) -> jnp.ndarray
             haloed = block
         elif n_sp == 1:
             haloed = reflect_101(block, [(r, r)], axes=[-2])
-        else:
+        elif r <= h_loc - 1:
             idx = jax.lax.axis_index("sp")
             # interior halos over ICI: my edge rows -> my neighbors
             from_above = jax.lax.ppermute(
@@ -106,6 +102,33 @@ def blur_sharded(planar: jnp.ndarray, plan: BlurPlan, mesh: Mesh) -> jnp.ndarray
             top = jnp.where((idx == 0), reflect_top, from_above)
             bot = jnp.where((idx == n_sp - 1), reflect_bot, from_below)
             haloed = jnp.concatenate([top, block, bot], axis=-2)
+        else:
+            # kernel wider than a shard: gather whole blocks from the k
+            # nearest neighbors each way (absent sources deliver zeros),
+            # then index the (2k+1)-block context with reflect-101 row
+            # arithmetic so out-of-image rows pick up the mirrored data —
+            # which may itself live in a neighbor's contribution.
+            k = min(-(-r // h_loc), n_sp - 1)
+            idx = jax.lax.axis_index("sp")
+            above = [
+                jax.lax.ppermute(
+                    block, "sp", [(i, i + d) for i in range(n_sp - d)]
+                )
+                for d in range(k, 0, -1)
+            ]
+            below = [
+                jax.lax.ppermute(
+                    block, "sp", [(i + d, i) for i in range(n_sp - d)]
+                )
+                for d in range(1, k + 1)
+            ]
+            ext = jnp.concatenate(above + [block] + below, axis=-2)
+            # ext row 0 is global row idx*h_loc - k*h_loc; plan clamping
+            # guarantees r <= h - 1, so one reflection always lands inside
+            g = idx * h_loc + jnp.arange(-r, h_loc + r)
+            g = jnp.where(g < 0, -g, g)
+            g = jnp.where(g > h - 1, 2 * (h - 1) - g, g)
+            haloed = jnp.take(ext, g - (idx - k) * h_loc, axis=-2)
         return blur_fused_haloed(haloed, local_plan)
 
     return run(planar)

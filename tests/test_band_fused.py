@@ -2,6 +2,7 @@
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -96,6 +97,29 @@ class TestFusedKernel:
         got = np.asarray(fused_blur.blur_fused(jnp.asarray(x), plan, tile=(8, 8)))
         want = oracle.blur_direct(x, plan)
         np.testing.assert_allclose(got, want, atol=1e-2)
+
+    def test_split_mode_interpret(self, rng, monkeypatch):
+        """Two-pass split form == single kernel == oracle (radius >> tile)."""
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
+        x = rng.random((1, 24, 30)).astype(np.float32) * 255
+        plan = make_plan((24, 30), 6.0)  # radius 19
+        got = np.asarray(
+            fused_blur._blur_fused_split(
+                jnp.asarray(x), plan, jax.lax.Precision.HIGHEST, out_u8=False
+            )
+        )
+        want = oracle.blur_direct(x, plan)
+        np.testing.assert_allclose(got, want, atol=1e-2)
+
+    def test_split_wins_only_at_wide_radii(self):
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        small = make_plan((2160, 3840), 10.0)
+        assert not fused_blur._split_wins(small, 1)
+        wide = make_plan((8192, 8192), 308.0)  # r ~ 1024
+        assert fused_blur._split_wins(wide, 1)
 
     def test_wide_tile_picker(self):
         from blur_algorithms_tpu.pallas_kernels import fused_blur

@@ -54,11 +54,23 @@ def test_sharded_u8_pipeline(rgb_image):
     np.testing.assert_array_equal(got[0], got[3])
 
 
-def test_radius_exceeding_shard_raises(frames):
-    plan = make_plan((64, 48), 30.0)  # radius ~ 63 on the col axis (clamped)
-    mesh = make_mesh(dp=1, sp=8)  # h_loc = 8 << radius
-    with pytest.raises(ValueError, match="exceeds local shard rows"):
-        blur_sharded(jnp.asarray(frames), plan, mesh)
+def test_radius_exceeding_shard_height(frames):
+    """Kernel support spanning many shards: multi-hop halo gather."""
+    plan = make_plan((64, 48), 30.0)  # col radius clamped to 63 = H - 1
+    mesh = make_mesh(dp=1, sp=8)  # h_loc = 8 << radius -> k = 7 hops
+    got = np.asarray(blur_sharded(jnp.asarray(frames), plan, mesh))
+    want = np.asarray(blur_band_matmul(jnp.asarray(frames), plan))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_radius_barely_exceeding_shard(frames):
+    """r in (h_loc, 2*h_loc): single extra hop, reflection within context."""
+    plan = make_plan((64, 48), 8.0)  # radius ~ 25
+    assert plan.col.support_radius > 16
+    mesh = make_mesh(dp=2, sp=4)  # h_loc = 16
+    got = np.asarray(blur_sharded(jnp.asarray(frames), plan, mesh))
+    want = np.asarray(blur_band_matmul(jnp.asarray(frames), plan))
+    np.testing.assert_allclose(got, want, atol=2e-3)
 
 
 def test_bad_mesh_factor():
