@@ -70,8 +70,8 @@ def main() -> int:
     result = time_fn_chained(
         mk,
         x,
-        iters=8 if on_tpu else 2,
-        reps=3,
+        iters=16 if on_tpu else 2,
+        reps=5 if on_tpu else 2,
         name="fused/bf16x3",
         megapixels=batch * h * w / 1e6,
     )
