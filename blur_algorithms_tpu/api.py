@@ -16,11 +16,13 @@ flag reference engine          TPU engine
 
 TPU-native engines beyond the parity set:
 
-* ``fused``  — Pallas tile kernel, both separable passes in VMEM (flagship;
-  multi-block halos extend it to kernel support radii up to ~2048);
-* ``band``   — banded-block matmul on the MXU in plain XLA;
-* ``auto``   — fused while its banded matrices fit VMEM (radius <= 2048),
-  else batched/streamed FFT for giant kernels.
+* ``fused``   — Pallas tile kernel, both separable passes in VMEM (flagship;
+  multi-block halos + an automatic two-pass split form for wide kernels);
+* ``band``    — banded-block matmul on the MXU in plain XLA;
+* ``fft_mxu`` — Bailey four-step FFT as MXU matmuls (fused Pallas pipeline
+  on TPU): radius-independent, the exact path for giant kernels;
+* ``auto``    — fused to radius ~2560 (the banded/FFT crossover), then
+  fft_mxu, then strip-streamed FFT when frames outgrow HBM budgets.
 
 Every (shape, nsmooth, engine, options) tuple is a distinct jit
 specialization, cached process-wide; compiled programs fuse
@@ -59,6 +61,7 @@ class Engine(str, enum.Enum):
     FUSED = "fused"
     BOX = "box"
     BOX_SCAN = "box_scan"  # Pallas prefix-sum kernel: O(1)/px in radius
+    FFT_MXU = "fft_mxu"  # Bailey 4-step FFT as MXU matmuls (radius-free)
     FFT_STREAM = "fft_stream"  # strip-streamed tiles for giant images
     CASCADE = "cascade"  # huge sigma as k composed MXU blurs (approximation)
     AUTO = "auto"
@@ -72,11 +75,11 @@ FLAG_TO_ENGINE = {
     1: Engine.CONV,
 }
 
-# AUTO: the multi-block-halo fused kernel owns the MXU up to this support
-# radius (measured, 67 MP frame: 0.93 GP/s at r=2046 and 0.58 GP/s at
-# r=4096 in two-pass split form, vs the FFT paths' ~0.3 GP/s); beyond it
-# the banded matrices outgrow VMEM and the O(log N) FFT path takes over.
-_AUTO_FUSED_MAX_RADIUS = 4096
+# AUTO: the multi-block-halo fused kernel owns the MXU while its O(radius)
+# banded matmuls beat the radius-independent four-step MXU FFT (~0.8 GP/s);
+# measured crossover on a 67 MP frame: split-band 931 vs fft_mxu 845 MP/s
+# at r=2046, 706 vs 776 at r=3328.
+_AUTO_FUSED_MAX_RADIUS = 2560
 
 
 def _fused_tile_ok(plan: BlurPlan, in_bytes: int = 1) -> bool:
@@ -93,6 +96,8 @@ def _fused_tile_ok(plan: BlurPlan, in_bytes: int = 1) -> bool:
 
 
 _FFT_WHOLE_IMAGE_BYTE_BUDGET = 4 << 30  # stream strips beyond ~4 GB of buffers
+# fft_mxu's padded-row intermediates are its whole footprint; v5e has 16 GB
+_FFT_MXU_BYTE_BUDGET = 10 << 30
 
 
 def _resolve_engine(
@@ -104,11 +109,13 @@ def _resolve_engine(
     r = max(plan.col.support_radius, plan.row.support_radius)
     if r <= _AUTO_FUSED_MAX_RADIUS and _fused_tile_ok(plan, in_bytes):
         return Engine.FUSED
-    from blur_algorithms_tpu.ops.streamed import estimate_fft_tiles_bytes
+    # beyond the banded-matmul crossover: the radius-independent MXU FFT,
+    # as long as its whole-frame f32 row intermediates fit comfortably
+    from blur_algorithms_tpu.ops.fft_mxu import estimate_bytes
 
-    if estimate_fft_tiles_bytes(plan) > _FFT_WHOLE_IMAGE_BYTE_BUDGET:
-        return Engine.FFT_STREAM
-    return Engine.FFT_TILES
+    if estimate_bytes(plan) <= _FFT_MXU_BYTE_BUDGET:
+        return Engine.FFT_MXU
+    return Engine.FFT_STREAM
 
 
 def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
@@ -125,6 +132,18 @@ def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
         return band_matmul.blur_band_matmul(x, plan, precision="bf16x3")
     if engine is Engine.FUSED:
         return fused_blur.blur_fused(x, plan, precision="bf16x3")
+    if engine is Engine.FFT_MXU:
+        if jax.default_backend() == "tpu":
+            from blur_algorithms_tpu.pallas_kernels.fft4step import (
+                blur_fft_mxu_pallas,
+            )
+
+            return blur_fft_mxu_pallas(x, plan)
+        from blur_algorithms_tpu.ops.fft_mxu import blur_fft_mxu
+
+        # same math through XLA einsums off-device (HIGHEST: CPU has no MXU
+        # to favor bf16 splits, and full f32 is the better oracle there)
+        return blur_fft_mxu(x, plan, precision=jax.lax.Precision.HIGHEST)
     if engine is Engine.BOX_SCAN:
         if plan.kernel != "box_fast":
             raise ValueError("box_scan engine requires a box_fast plan")
@@ -166,7 +185,7 @@ def _plan_for(
         # radius-independent (~1 GP/s) and overtakes the widening fused
         # matmuls past r ~ 1024 (and the FFT path always)
         eng = _resolve_engine(Engine.AUTO, plan, in_bytes)
-        if eng in (Engine.FFT_TILES, Engine.FFT_STREAM) or (
+        if eng in (Engine.FFT_TILES, Engine.FFT_MXU, Engine.FFT_STREAM) or (
             eng is Engine.FUSED
             and max(plan.col.support_radius, plan.row.support_radius) > 1024
         ):
@@ -310,7 +329,7 @@ def _compiled_box(
     plan = make_plan((h, w), radius, kernel="box_fast", size_mode=size_mode,
                      box_passes=passes)
     eng = _resolve_engine(Engine.AUTO, plan)
-    if eng in (Engine.FFT_TILES, Engine.FFT_STREAM) or (
+    if eng in (Engine.FFT_TILES, Engine.FFT_MXU, Engine.FFT_STREAM) or (
         eng is Engine.FUSED
         and max(plan.col.support_radius, plan.row.support_radius) > 1024
     ):

@@ -1,0 +1,198 @@
+"""Fused four-step FFT convolution on the MXU — one Pallas kernel per axis.
+
+``ops/fft_mxu.py`` expresses the Bailey four-step DFT as XLA einsums; that
+form is HBM-bound (~36 matmul intermediates round-trip to HBM per axis,
+measured ~20-60 ms at 4K). This kernel runs the ENTIRE pipeline per block of
+rows inside VMEM:
+
+    load (Rb, n1, n2) re/im ─► stage1 (contract n1) ─► twiddle ─►
+    stage2 (contract n2) ─► x H (real, permuted bins) ─► conj stage2 ─►
+    conj twiddle ─► conj stage1 ─► /N ─► store
+
+so HBM traffic is one read + one write of the padded rows, and every DFT
+stage is a dense 2-D matmul on the systolic array. Complex matmuls use the
+Gauss 3-multiplication identity; ``bf16x3`` hi/lo splits give f32-class
+accuracy (validated <= 1 uint8 count end to end). Contractions always run
+on the lane axis: the data cube is ``swapaxes``-rotated in VMEM between
+stages (the four-step's classic transpose, here a register/VMEM shuffle
+instead of the reference's ``flip_block`` cache transpose or an HBM pass).
+
+Two real rows ride each complex transform (purely real kernel spectrum —
+see ``ops/fft_mxu.py``); the re/im planes are the two halves of the padded
+row batch, addressed by two BlockSpecs over the same array.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blur_algorithms_tpu.ops.fft_mxu import _factor, _perm_spectrum, _stage_consts
+from blur_algorithms_tpu.ops.pad import reflect_101
+
+__all__ = ["blur_fft_mxu_pallas", "fft_conv_rows"]
+
+
+def _stack_bf16(m: np.ndarray) -> jnp.ndarray:
+    mj = jnp.asarray(m)
+    hi = mj.astype(jnp.bfloat16)
+    lo = (mj - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.stack([hi, lo])
+
+
+def _kernel(xre_ref, xim_ref,
+            f1re, f1im, f1sum, f1dif,
+            f2re, f2im, f2sum, f2dif,
+            tw_re, tw_im, twt_re, twt_im, hperm,
+            ore_ref, oim_ref, *, n1: int, n2: int, rb: int):
+    f32 = jnp.float32
+    inv_n = 1.0 / (n1 * n2)
+
+    def rdot3(x, mref):
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(f32)).astype(jnp.bfloat16)
+        d = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        return d(xh, mref[0]) + d(xh, mref[1]) + d(xl, mref[0])
+
+    def cdot(xre, xim, mre, mim, msum_or_dif, conj: bool):
+        """(xre + i xim) @ (mre ± i mim) via Gauss's 3 multiplications."""
+        p1 = rdot3(xre, mre)
+        p2 = rdot3(xim, mim)
+        p3 = rdot3(xre + xim, msum_or_dif)
+        if conj:
+            return p1 + p2, p3 - p1 + p2
+        return p1 - p2, p3 - p1 - p2
+
+    def rot(re, im, a_len, b_len):
+        """(rb, a, b) -> (rb*b, a): move the contraction axis into lanes."""
+        re = jnp.swapaxes(re.reshape(rb, a_len, b_len), 1, 2)
+        im = jnp.swapaxes(im.reshape(rb, a_len, b_len), 1, 2)
+        return re.reshape(rb * b_len, a_len), im.reshape(rb * b_len, a_len)
+
+    def ctw(re, im, wre, wim, a_len, b_len):
+        """Pointwise complex twiddle of (rb*a, b) by (a, b), f32 on the VPU."""
+        re3 = re.reshape(rb, a_len, b_len)
+        im3 = im.reshape(rb, a_len, b_len)
+        wre, wim = wre[...][None], wim[...][None]
+        return (
+            (re3 * wre - im3 * wim).reshape(rb * a_len, b_len),
+            (re3 * wim + im3 * wre).reshape(rb * a_len, b_len),
+        )
+
+    # load (rb, n1, n2) and rotate so stage 1 contracts n1 in lanes
+    xre, xim = rot(xre_ref[...], xim_ref[...], n1, n2)     # (rb*n2, n1)
+    are, aim = cdot(xre, xim, f1re, f1im, f1sum, conj=False)
+    are, aim = ctw(are, aim, twt_re, twt_im, n2, n1)       # twiddle^T layout
+
+    are, aim = rot(are, aim, n2, n1)                        # (rb*n1, n2)
+    bre, bim = cdot(are, aim, f2re, f2im, f2sum, conj=False)
+
+    # spectral multiply: real kernel spectrum in permuted (k1, k2) bins
+    h = hperm[...][None]
+    bre = (bre.reshape(rb, n1, n2) * h).reshape(rb * n1, n2)
+    bim = (bim.reshape(rb, n1, n2) * h).reshape(rb * n1, n2)
+
+    cre, cim = cdot(bre, bim, f2re, f2im, f2dif, conj=True)  # undo stage 2
+    cre, cim = ctw(cre, cim, tw_re, -tw_im[...], n1, n2)     # conj twiddle
+
+    cre, cim = rot(cre, cim, n1, n2)                         # (rb*n2, n1)
+    yre, yim = cdot(cre, cim, f1re, f1im, f1dif, conj=True)  # undo stage 1
+
+    yre, yim = rot(yre, yim, n2, n1)                         # (rb*n1, n2)
+    ore_ref[...] = (yre * inv_n).reshape(rb, n1, n2)
+    oim_ref[...] = (yim * inv_n).reshape(rb, n1, n2)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "axis_plan"))
+def _conv_rows_pallas(rows: jnp.ndarray, n: int, axis_plan) -> jnp.ndarray:
+    """Circular-convolve every length-``n`` row by the axis kernel spectrum."""
+    r = rows.shape[0]
+    n1, n2 = _factor(n)
+    _, _, (f1re_, f1im_), (f2re_, f2im_), (twre_, twim_) = _stage_consts(n)
+
+    # pick the complex-row block so a (rb, n) f32 plane stays ~2 MB
+    rb = max(8, min(128, (2 << 20) // (4 * n)))
+    r2 = (r + 1) // 2
+    r2p = -(-r2 // rb) * rb
+    x = jnp.pad(rows, [(0, 2 * r2p - r), (0, 0)])
+    x3 = x.reshape(2 * r2p, n1, n2)
+
+    consts = [
+        _stack_bf16(f1re_), _stack_bf16(f1im_),
+        _stack_bf16(f1re_ + f1im_), _stack_bf16(f1re_ - f1im_),
+        _stack_bf16(f2re_), _stack_bf16(f2im_),
+        _stack_bf16(f2re_ + f2im_), _stack_bf16(f2re_ - f2im_),
+        jnp.asarray(twre_), jnp.asarray(twim_),
+        jnp.asarray(twre_.T), jnp.asarray(twim_.T),
+        jnp.asarray(_perm_spectrum(axis_plan, n)),
+    ]
+
+    blk = lambda off: pl.BlockSpec(
+        (rb, n1, n2), lambda i, off=off: (i + off, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cmat = lambda shape: pl.BlockSpec(
+        shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    steps = r2p // rb
+
+    ore, oim = pl.pallas_call(
+        functools.partial(_kernel, n1=n1, n2=n2, rb=rb),
+        interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        grid=(steps,),
+        in_specs=[blk(0), blk(steps)] + [cmat(c.shape) for c in consts],
+        out_specs=(
+            pl.BlockSpec((rb, n1, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, n1, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r2p, n1, n2), jnp.float32),
+            jax.ShapeDtypeStruct((r2p, n1, n2), jnp.float32),
+        ),
+    )(x3, x3, *consts)
+
+    out = jnp.concatenate([ore.reshape(r2p, n), oim.reshape(r2p, n)], axis=0)
+    return out[:r]
+
+
+def fft_conv_rows(rows: jnp.ndarray, n: int, axis_plan) -> jnp.ndarray:
+    """Public wrapper: (R, n) real f32 rows -> circularly convolved rows."""
+    return _conv_rows_pallas(rows, n, axis_plan)
+
+
+def _axis_pass(x: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
+    pad, dim = axis_plan.pad, axis_plan.dim
+    if axis_plan.support_radius == 0:
+        return x
+    x = jnp.moveaxis(x, axis, -1)
+    lead = x.shape[:-1]
+    n_min = dim + 2 * pad
+    n = max(256, 1 << (n_min - 1).bit_length())
+    tile = reflect_101(x, [(pad, pad)])
+    tile = jnp.pad(tile, [(0, 0)] * (tile.ndim - 1) + [(0, n - tile.shape[-1])])
+    out = _conv_rows_pallas(tile.reshape(-1, n), n, axis_plan)
+    out = out[:, pad : pad + dim].reshape(lead + (dim,))
+    return jnp.moveaxis(out, -1, axis)
+
+
+def blur_fft_mxu_pallas(planar: jnp.ndarray, plan) -> jnp.ndarray:
+    """Separable MXU FFT-convolution blur of float32 planar ``(..., H, W)``.
+
+    Radius-independent: the engine for kernel support radii past the banded
+    matmul paths' crossover (~r=1000 at 4K). Off TPU this lowers through the
+    Pallas interpreter only in tests; use ``ops/fft_mxu.blur_fft_mxu`` (the
+    einsum form) as the portable fallback.
+    """
+    out = _axis_pass(planar.astype(jnp.float32), plan.row, -1)
+    out = _axis_pass(out, plan.col, -2)
+    return out

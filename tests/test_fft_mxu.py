@@ -1,0 +1,68 @@
+"""MXU four-step FFT convolution engine (einsum form + Pallas kernel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blur_algorithms_tpu import Engine, oracle
+from blur_algorithms_tpu.api import _resolve_engine
+from blur_algorithms_tpu.ops.fft_mxu import (
+    _factor,
+    blur_fft_mxu,
+    estimate_bytes,
+)
+from blur_algorithms_tpu.ops.plan import make_plan
+
+
+def test_factor_near_sqrt():
+    assert _factor(256) == (16, 16)
+    assert _factor(8192) == (128, 64)
+    assert _factor(16384) == (128, 128)
+    for n in (256, 1024, 4096, 32768):
+        n1, n2 = _factor(n)
+        assert n1 * n2 == n and n1 >= n2
+
+
+@pytest.mark.parametrize("sigma", [3.0, 30.0, 60.0])
+def test_einsum_form_matches_oracle(rng, sigma):
+    x = rng.random((2, 96, 160)).astype(np.float32) * 255
+    plan = make_plan((96, 160), sigma)
+    want = oracle.blur_direct(x, plan)
+    for prec in (jax.lax.Precision.HIGHEST, "bf16x3"):
+        got = np.asarray(blur_fft_mxu(jnp.asarray(x), plan, precision=prec))
+        assert np.abs(got - want).max() < 0.02
+
+
+def test_pallas_kernel_interpret(rng):
+    """Full fused pipeline through the Pallas interpreter (CPU)."""
+    from blur_algorithms_tpu.pallas_kernels.fft4step import blur_fft_mxu_pallas
+
+    x = rng.random((2, 50, 70)).astype(np.float32) * 255
+    plan = make_plan((50, 70), 5.0)
+    got = np.asarray(blur_fft_mxu_pallas(jnp.asarray(x), plan))
+    want = oracle.blur_direct(x, plan)
+    assert np.abs(got - want).max() < 0.02
+
+
+def test_odd_row_count_pads_cleanly(rng):
+    """R odd -> one zero row rides the last complex transform."""
+    from blur_algorithms_tpu.pallas_kernels.fft4step import blur_fft_mxu_pallas
+
+    x = rng.random((3, 25, 40)).astype(np.float32) * 255  # 75 rows: odd
+    plan = make_plan((25, 40), 2.0)
+    got = np.asarray(blur_fft_mxu_pallas(jnp.asarray(x), plan))
+    want = oracle.blur_direct(x, plan)
+    assert got.shape == x.shape
+    assert np.abs(got - want).max() < 0.02
+
+
+def test_auto_routes_giant_radius_to_fft_mxu():
+    # r ~ 2990 > fused crossover (2560), frame fits the byte budget
+    plan = make_plan((8192, 8192), 900.0)
+    assert plan.col.support_radius > 2560
+    assert _resolve_engine(Engine.AUTO, plan) is Engine.FFT_MXU
+    # a frame whose padded-row intermediates outgrow HBM still streams
+    giant = make_plan((24000, 14500), 1500.0)
+    assert estimate_bytes(giant) > 10 << 30
+    assert _resolve_engine(Engine.AUTO, giant) is Engine.FFT_STREAM
