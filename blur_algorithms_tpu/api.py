@@ -87,21 +87,15 @@ def _fused_tile_ok(plan: BlurPlan, in_bytes: int = 1) -> bool:
         fused_blur._pick_tile(plan, in_bytes)
         return True
     except ValueError:  # single-kernel VMEM exceeded: two-pass split form?
-        h, w = plan.shape
-        rh, rw = plan.col.support_radius, plan.row.support_radius
-        return (
-            fused_blur._best_wide(0, rw, h, w, in_bytes) is not None
-            and fused_blur._best_wide(rh, 0, h, w, 4) is not None
-        )
+        return fused_blur.split_feasible(plan, in_bytes)
 
 
-_FFT_WHOLE_IMAGE_BYTE_BUDGET = 4 << 30  # stream strips beyond ~4 GB of buffers
 # fft_mxu's padded-row intermediates are its whole footprint; v5e has 16 GB
 _FFT_MXU_BYTE_BUDGET = 10 << 30
 
 
 def _resolve_engine(
-    engine: Engine | str, plan: BlurPlan, in_bytes: int = 1
+    engine: Engine | str, plan: BlurPlan, in_bytes: int = 1, lead_elems: int = 3
 ) -> Engine:
     engine = Engine(engine)
     if engine is not Engine.AUTO:
@@ -110,10 +104,10 @@ def _resolve_engine(
     if r <= _AUTO_FUSED_MAX_RADIUS and _fused_tile_ok(plan, in_bytes):
         return Engine.FUSED
     # beyond the banded-matmul crossover: the radius-independent MXU FFT,
-    # as long as its whole-frame f32 row intermediates fit comfortably
+    # as long as its whole-BATCH f32 row intermediates fit comfortably
     from blur_algorithms_tpu.ops.fft_mxu import estimate_bytes
 
-    if estimate_bytes(plan) <= _FFT_MXU_BYTE_BUDGET:
+    if estimate_bytes(plan, lead_elems) <= _FFT_MXU_BYTE_BUDGET:
         return Engine.FFT_MXU
     return Engine.FFT_STREAM
 
@@ -175,6 +169,7 @@ def _plan_for(
     kernel: str,
     size_mode: str,
     in_bytes: int = 1,
+    lead_elems: int = 3,
 ) -> tuple[BlurPlan, Engine]:
     if engine in (Engine.BOX, Engine.BOX_SCAN):
         plan = _make_box_plan(h, w, nsmooth, size_mode)
@@ -184,7 +179,7 @@ def _plan_for(
         # matmul engine while that wins; the Pallas prefix-sum kernel is
         # radius-independent (~1 GP/s) and overtakes the widening fused
         # matmuls past r ~ 1024 (and the FFT path always)
-        eng = _resolve_engine(Engine.AUTO, plan, in_bytes)
+        eng = _resolve_engine(Engine.AUTO, plan, in_bytes, lead_elems)
         if eng in (Engine.FFT_TILES, Engine.FFT_MXU, Engine.FFT_STREAM) or (
             eng is Engine.FUSED
             and max(plan.col.support_radius, plan.row.support_radius) > 1024
@@ -192,7 +187,7 @@ def _plan_for(
             eng = Engine.BOX_SCAN
         return plan, eng
     plan = make_plan((h, w), nsmooth, kernel=kernel, size_mode=size_mode)
-    return plan, _resolve_engine(engine, plan, in_bytes)
+    return plan, _resolve_engine(engine, plan, in_bytes, lead_elems)
 
 
 @functools.lru_cache(maxsize=256)
@@ -210,8 +205,11 @@ def _compiled_planar(
         return jax.jit(
             lambda x: blur_cascade(x.astype(jnp.float32), nsmooth, size_mode)
         )
+    import math
+
     plan, eng = _plan_for(
-        shape[-2], shape[-1], nsmooth, engine, kernel, size_mode, in_bytes=4
+        shape[-2], shape[-1], nsmooth, engine, kernel, size_mode,
+        in_bytes=4, lead_elems=max(1, math.prod(shape[:-2])),
     )
 
     def fn(x):
@@ -238,7 +236,12 @@ def _compiled_u8(
 
         return jax.jit(fn)
 
-    plan, eng = _plan_for(shape[-3], shape[-2], nsmooth, engine, kernel, size_mode)
+    import math
+
+    plan, eng = _plan_for(
+        shape[-3], shape[-2], nsmooth, engine, kernel, size_mode,
+        lead_elems=max(1, math.prod(shape[:-3]) * shape[-1]),
+    )
 
     if eng is Engine.FUSED:
         # keep uint8 end to end: convert + round inside the Pallas kernel

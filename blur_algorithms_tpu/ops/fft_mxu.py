@@ -129,24 +129,37 @@ def _perm_spectrum(plan_axis, n: int) -> np.ndarray:
     return np.ascontiguousarray(full.reshape(n2, n1).T)  # [k1, k2]
 
 
-def _axis_pass(x: jnp.ndarray, axis_plan, axis: int, precision) -> jnp.ndarray:
-    """One 1-D conv pass along ``axis`` via the MXU four-step transform."""
+def transform_length(axis_plan) -> int:
+    """Planned pow2 transform length for one axis (shared by both forms)."""
+    return max(256, 1 << (axis_plan.dim + 2 * axis_plan.pad - 1).bit_length())
+
+
+def conv_axis(x: jnp.ndarray, axis_plan, axis: int, conv_rows) -> jnp.ndarray:
+    """Shared per-axis framing: reflect pad + trailing zeros to the pow2
+    transform length, convolve every row via ``conv_rows(rows, n,
+    axis_plan)``, crop the interior. Used by both the einsum form here and
+    the fused Pallas kernel (``pallas_kernels/fft4step.py``) so their
+    border/length semantics can never drift apart.
+    """
     pad, dim = axis_plan.pad, axis_plan.dim
     if axis_plan.support_radius == 0:
         return x
     x = jnp.moveaxis(x, axis, -1)
     lead = x.shape[:-1]
-
-    n_min = dim + 2 * pad
-    n = max(256, 1 << (n_min - 1).bit_length())
-    n1, n2 = _factor(n)
-    consts = _stage_consts(n)
-
+    n = transform_length(axis_plan)
     tile = reflect_101(x, [(pad, pad)])
     tile = jnp.pad(
         tile, [(0, 0)] * (tile.ndim - 1) + [(0, n - tile.shape[-1])]
     )
-    rows = tile.reshape(-1, n)
+    out = conv_rows(tile.reshape(-1, n), n, axis_plan)
+    out = out[:, pad : pad + dim].reshape(lead + (dim,))
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _conv_rows_einsum(rows: jnp.ndarray, n: int, axis_plan, precision):
+    """(R, n) real rows -> circularly convolved rows, via XLA einsums."""
+    n1, n2 = _factor(n)
+    consts = _stage_consts(n)
     r = rows.shape[0]
     r2 = (r + 1) // 2
     if r % 2:
@@ -160,19 +173,21 @@ def _axis_pass(x: jnp.ndarray, axis_plan, axis: int, precision) -> jnp.ndarray:
     sre, sim = sre * hperm, sim * hperm
     yre, yim = _fft4step(sre, sim, consts, precision, inverse=True)
 
-    out = jnp.concatenate(
+    return jnp.concatenate(
         [yre.reshape(r2, n), yim.reshape(r2, n)], axis=0
-    )[:r, pad : pad + dim]
-    return jnp.moveaxis(out.reshape(lead + (dim,)), -1, axis)
+    )[:r]
 
 
-def estimate_bytes(plan: BlurPlan, channels: int = 3) -> int:
-    """Rough peak HBM for the whole-frame padded f32 row intermediates."""
+def estimate_bytes(plan: BlurPlan, lead_elems: int = 3) -> int:
+    """Rough peak HBM for the whole-frame padded f32 row intermediates.
+
+    ``lead_elems`` is the product of every leading (batch x channel)
+    dimension — the per-(H, W)-frame estimate times the batch factor.
+    """
     h, w = plan.shape
     total = 0
-    for axis_plan, rows in ((plan.row, channels * h), (plan.col, channels * w)):
-        n_min = axis_plan.dim + 2 * axis_plan.pad
-        n = max(256, 1 << (n_min - 1).bit_length())
+    for axis_plan, rows in ((plan.row, lead_elems * h), (plan.col, lead_elems * w)):
+        n = transform_length(axis_plan)
         total = max(total, 3 * rows * n * 4)  # in + complex out pair
     return total
 
@@ -186,6 +201,7 @@ def blur_fft_mxu(
     kernel radii beyond the banded-matmul paths' reach. ``precision``:
     ``"bf16x3"`` (default) or a ``jax.lax.Precision`` for full-f32 stages.
     """
-    out = _axis_pass(planar.astype(jnp.float32), plan.row, -1, precision)
-    out = _axis_pass(out, plan.col, -2, precision)
-    return out
+    conv = functools.partial(_conv_rows_einsum, precision=precision)
+    fn = lambda rows, n, ap: conv(rows, n, ap)
+    out = conv_axis(planar.astype(jnp.float32), plan.row, -1, fn)
+    return conv_axis(out, plan.col, -2, fn)

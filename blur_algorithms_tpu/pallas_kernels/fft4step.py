@@ -33,7 +33,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from blur_algorithms_tpu.ops.fft_mxu import _factor, _perm_spectrum, _stage_consts
-from blur_algorithms_tpu.ops.pad import reflect_101
 
 __all__ = ["blur_fft_mxu_pallas", "fft_conv_rows"]
 
@@ -170,29 +169,36 @@ def fft_conv_rows(rows: jnp.ndarray, n: int, axis_plan) -> jnp.ndarray:
     return _conv_rows_pallas(rows, n, axis_plan)
 
 
-def _axis_pass(x: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
-    pad, dim = axis_plan.pad, axis_plan.dim
-    if axis_plan.support_radius == 0:
-        return x
-    x = jnp.moveaxis(x, axis, -1)
-    lead = x.shape[:-1]
-    n_min = dim + 2 * pad
-    n = max(256, 1 << (n_min - 1).bit_length())
-    tile = reflect_101(x, [(pad, pad)])
-    tile = jnp.pad(tile, [(0, 0)] * (tile.ndim - 1) + [(0, n - tile.shape[-1])])
-    out = _conv_rows_pallas(tile.reshape(-1, n), n, axis_plan)
-    out = out[:, pad : pad + dim].reshape(lead + (dim,))
-    return jnp.moveaxis(out, -1, axis)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _blur_fft_mxu_pallas_diff(planar, plan):
+    from blur_algorithms_tpu.ops.fft_mxu import conv_axis
+
+    out = conv_axis(planar, plan.row, -1, _conv_rows_pallas)
+    return conv_axis(out, plan.col, -2, _conv_rows_pallas)
+
+
+def _fft_mxu_fwd(planar, plan):
+    return _blur_fft_mxu_pallas_diff(planar, plan), None
+
+
+def _fft_mxu_bwd(plan, _res, ct):
+    # blur is linear and engine-independent: the VJP is the same explicit
+    # adjoint operator every Pallas engine uses (ops/adjoint.py)
+    from blur_algorithms_tpu.ops.adjoint import blur_adjoint
+
+    return (blur_adjoint(ct, plan),)
+
+
+_blur_fft_mxu_pallas_diff.defvjp(_fft_mxu_fwd, _fft_mxu_bwd)
 
 
 def blur_fft_mxu_pallas(planar: jnp.ndarray, plan) -> jnp.ndarray:
     """Separable MXU FFT-convolution blur of float32 planar ``(..., H, W)``.
 
     Radius-independent: the engine for kernel support radii past the banded
-    matmul paths' crossover (~r=1000 at 4K). Off TPU this lowers through the
-    Pallas interpreter only in tests; use ``ops/fft_mxu.blur_fft_mxu`` (the
-    einsum form) as the portable fallback.
+    matmul paths' crossover (~r=2560). Differentiable via the explicit
+    adjoint ``custom_vjp`` (Pallas kernels have no automatic transpose).
+    Off TPU this lowers through the Pallas interpreter only in tests; use
+    ``ops/fft_mxu.blur_fft_mxu`` (the einsum form) as the portable fallback.
     """
-    out = _axis_pass(planar.astype(jnp.float32), plan.row, -1)
-    out = _axis_pass(out, plan.col, -2)
-    return out
+    return _blur_fft_mxu_pallas_diff(planar.astype(jnp.float32), plan)

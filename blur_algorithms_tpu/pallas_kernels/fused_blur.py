@@ -327,7 +327,14 @@ def _wide_tile_cost(
     if vmem > _WIDE_VMEM_BUDGET:
         return None
     waste = (th * -(-h // th) / h) * (tw * -(-w // tw) / w)  # grid padding
-    macs = (th + 2 * rh) / th * (tw + 2 * rw) + (th + 2 * rh)
+    # radius-0 axes skip their matmul entirely (identity pass), so charge
+    # only the passes that actually run — the split form's single-axis
+    # plans would otherwise be billed for phantom work
+    macs = 0.0
+    if rw:
+        macs += (th + 2 * rh) / th * (tw + 2 * rw)
+    if rh:
+        macs += th + 2 * rh
     dma = _MACS_PER_HBM_BYTE * nh * nw * in_bytes
     return max(macs, dma) * waste
 
@@ -370,6 +377,24 @@ def _split_plans(plan: BlurPlan) -> tuple[BlurPlan, BlurPlan]:
     return rows_only, cols_only
 
 
+def _split_passes(
+    plan: BlurPlan, in_bytes: int
+) -> tuple[tuple[float, tuple[int, int]] | None, ...]:
+    """(rows-pass best, cols-pass best) for the two-pass split form."""
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    h, w = plan.shape
+    return (
+        _best_wide(0, rw, h, w, in_bytes),
+        _best_wide(rh, 0, h, w, 4),  # pass 2 reads the f32 intermediate
+    )
+
+
+def split_feasible(plan: BlurPlan, in_bytes: int = 1) -> bool:
+    """True if both single-axis passes of the split form fit VMEM."""
+    rows, cols = _split_passes(plan, in_bytes)
+    return rows is not None and cols is not None
+
+
 def _split_wins(plan: BlurPlan, in_bytes: int) -> bool:
     """Two single-axis kernels (f32 intermediate in HBM) vs one fused kernel.
 
@@ -380,10 +405,8 @@ def _split_wins(plan: BlurPlan, in_bytes: int) -> bool:
     rh, rw = plan.col.support_radius, plan.row.support_radius
     if 2 * max(rh, rw) <= 512:
         return False  # measured-good single-kernel regime
-    h, w = plan.shape
-    single = _best_wide(rh, rw, h, w, in_bytes)
-    rows = _best_wide(0, rw, h, w, in_bytes)
-    cols = _best_wide(rh, 0, h, w, 4)  # pass 2 reads the f32 intermediate
+    single = _best_wide(rh, rw, plan.shape[0], plan.shape[1], in_bytes)
+    rows, cols = _split_passes(plan, in_bytes)
     if rows is None or cols is None:
         return False
     if single is None:
