@@ -103,13 +103,10 @@ def _resolve_engine(
     r = max(plan.col.support_radius, plan.row.support_radius)
     if r <= _AUTO_FUSED_MAX_RADIUS and _fused_tile_ok(plan, in_bytes):
         return Engine.FUSED
-    # beyond the banded-matmul crossover: the radius-independent MXU FFT,
-    # as long as its whole-BATCH f32 row intermediates fit comfortably
-    from blur_algorithms_tpu.ops.fft_mxu import estimate_bytes
-
-    if estimate_bytes(plan, lead_elems) <= _FFT_MXU_BYTE_BUDGET:
-        return Engine.FFT_MXU
-    return Engine.FFT_STREAM
+    # beyond the banded-matmul crossover: the radius-independent MXU FFT
+    # (it strip-streams internally when whole-batch intermediates outgrow
+    # the HBM budget, so it covers every frame size)
+    return Engine.FFT_MXU
 
 
 def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
@@ -128,6 +125,19 @@ def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
         return fused_blur.blur_fused(x, plan, precision="bf16x3")
     if engine is Engine.FFT_MXU:
         if jax.default_backend() == "tpu":
+            import math
+
+            from blur_algorithms_tpu.ops.fft_mxu import estimate_bytes
+
+            lead = max(1, math.prod(x.shape[:-2]))
+            if estimate_bytes(plan, lead) > _FFT_MXU_BYTE_BUDGET:
+                # frame too big to pad whole: stream strips through the
+                # same fused MXU FFT kernel
+                from blur_algorithms_tpu.ops.streamed import (
+                    blur_fft_mxu_streamed,
+                )
+
+                return blur_fft_mxu_streamed(x, plan)
             from blur_algorithms_tpu.pallas_kernels.fft4step import (
                 blur_fft_mxu_pallas,
             )
@@ -251,6 +261,24 @@ def _compiled_u8(
             return jnp.moveaxis(out, -3, -1)
 
         return jax.jit(fn)
+
+    if eng is Engine.FFT_MXU and jax.default_backend() == "tpu":
+        from blur_algorithms_tpu.ops.fft_mxu import estimate_bytes
+
+        lead = max(1, math.prod(shape[:-3]) * shape[-1])
+        if estimate_bytes(plan, lead) > _FFT_MXU_BYTE_BUDGET:
+            # uint8 strips in/out through the MXU FFT kernel: only one
+            # full-size f32 intermediate exists
+            from blur_algorithms_tpu.ops.streamed import (
+                blur_fft_mxu_streamed_u8,
+            )
+
+            def fn(img):
+                planar = jnp.moveaxis(img, -1, -3)
+                out = blur_fft_mxu_streamed_u8(planar, plan)
+                return jnp.moveaxis(out, -3, -1)
+
+            return jax.jit(fn)
 
     if eng is Engine.FFT_STREAM:
         # uint8 strips in/out: only one full-size f32 intermediate exists

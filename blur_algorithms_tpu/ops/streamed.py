@@ -31,6 +31,8 @@ from blur_algorithms_tpu.ops.plan import BlurPlan
 __all__ = [
     "blur_fft_tiles_streamed",
     "blur_fft_tiles_streamed_u8",
+    "blur_fft_mxu_streamed",
+    "blur_fft_mxu_streamed_u8",
     "estimate_fft_tiles_bytes",
 ]
 
@@ -53,6 +55,14 @@ def _fft_blur_chunk(chunk: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(out, -1, axis)
 
 
+def _mxu_blur_chunk(chunk: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
+    """Per-strip conv via the fused four-step MXU FFT kernel."""
+    from blur_algorithms_tpu.ops.fft_mxu import conv_axis
+    from blur_algorithms_tpu.pallas_kernels.fft4step import fft_conv_rows
+
+    return conv_axis(chunk, axis_plan, axis, fft_conv_rows)
+
+
 def _pass_over_strips(
     x: jnp.ndarray,
     axis_plan,
@@ -60,8 +70,10 @@ def _pass_over_strips(
     strip_axis: int,
     strip: int,
     out_dtype,
+    chunk_fn=None,
 ) -> jnp.ndarray:
     """Blur along ``fft_axis``, streaming strips sliced along ``strip_axis``."""
+    chunk_fn = chunk_fn or _fft_blur_chunk
     fft_axis %= x.ndim
     strip_axis %= x.ndim
     n_strip = x.shape[strip_axis]
@@ -80,7 +92,7 @@ def _pass_over_strips(
         starts = [0] * x.ndim
         starts[strip_axis] = i * strip
         chunk = jax.lax.dynamic_slice(x, starts, sizes)
-        blurred = _fft_blur_chunk(chunk.astype(jnp.float32), axis_plan, fft_axis)
+        blurred = chunk_fn(chunk.astype(jnp.float32), axis_plan, fft_axis)
         if out_dtype == jnp.uint8:
             blurred = round_to_u8(blurred)
         else:
@@ -113,3 +125,29 @@ def blur_fft_tiles_streamed_u8(
     """
     x = _pass_over_strips(planar_u8, plan.row, -1, -2, strip, jnp.float32)
     return _pass_over_strips(x, plan.col, -2, -1, strip, jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "strip"))
+def blur_fft_mxu_streamed(
+    planar: jnp.ndarray, plan: BlurPlan, strip: int = 1024
+) -> jnp.ndarray:
+    """Strip-streamed four-step MXU FFT blur (frames too big to pad whole)."""
+    x = _pass_over_strips(
+        planar, plan.row, -1, -2, strip, jnp.float32, _mxu_blur_chunk
+    )
+    return _pass_over_strips(
+        x, plan.col, -2, -1, strip, jnp.float32, _mxu_blur_chunk
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "strip"))
+def blur_fft_mxu_streamed_u8(
+    planar_u8: jnp.ndarray, plan: BlurPlan, strip: int = 1024
+) -> jnp.ndarray:
+    """uint8 in/out strip-streamed MXU FFT blur (one f32 intermediate)."""
+    x = _pass_over_strips(
+        planar_u8, plan.row, -1, -2, strip, jnp.float32, _mxu_blur_chunk
+    )
+    return _pass_over_strips(
+        x, plan.col, -2, -1, strip, jnp.uint8, _mxu_blur_chunk
+    )

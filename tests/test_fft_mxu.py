@@ -74,11 +74,24 @@ def test_pallas_path_is_differentiable(rng):
 
 
 def test_auto_routes_giant_radius_to_fft_mxu():
-    # r ~ 2990 > fused crossover (2560), frame fits the byte budget
+    # r ~ 2990 > fused crossover (2560) -> the MXU FFT owns it at any size
     plan = make_plan((8192, 8192), 900.0)
     assert plan.col.support_radius > 2560
     assert _resolve_engine(Engine.AUTO, plan) is Engine.FFT_MXU
-    # a frame whose padded-row intermediates outgrow HBM still streams
+    # frames whose padded-row intermediates outgrow HBM stay on fft_mxu
+    # (the engine strip-streams internally past the byte budget)
     giant = make_plan((24000, 14500), 1500.0)
     assert estimate_bytes(giant) > 10 << 30
-    assert _resolve_engine(Engine.AUTO, giant) is Engine.FFT_STREAM
+    assert _resolve_engine(Engine.AUTO, giant) is Engine.FFT_MXU
+
+
+def test_streamed_mxu_matches_whole(rng):
+    """Strip-streamed MXU FFT == whole-frame result (interpret/CPU path)."""
+    from blur_algorithms_tpu.ops.streamed import blur_fft_mxu_streamed
+    from blur_algorithms_tpu.pallas_kernels.fft4step import blur_fft_mxu_pallas
+
+    x = rng.random((2, 60, 90)).astype(np.float32) * 255
+    plan = make_plan((60, 90), 8.0)
+    whole = np.asarray(blur_fft_mxu_pallas(jnp.asarray(x), plan))
+    streamed = np.asarray(blur_fft_mxu_streamed(jnp.asarray(x), plan, strip=16))
+    np.testing.assert_allclose(streamed, whole, atol=1e-2)

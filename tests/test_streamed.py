@@ -44,8 +44,8 @@ def test_auto_routes_giant_to_stream():
     # GP/s vs fft_stream's 0.27 GP/s at 348 MP)
     giant = make_plan((24000, 14500), 155.0)
     assert _resolve_engine(Engine.AUTO, giant) is Engine.FUSED
-    # r ~ 4990 > fused reach (4096) on a >4 GB frame -> streamed FFT
+    # r ~ 4990 > fused crossover -> the MXU FFT (streams internally)
     colossal = make_plan((24000, 14500), 1500.0)
-    assert _resolve_engine(Engine.AUTO, colossal) is Engine.FFT_STREAM
+    assert _resolve_engine(Engine.AUTO, colossal) is Engine.FFT_MXU
     normal = make_plan((1080, 1920), 10.0)
     assert _resolve_engine(Engine.AUTO, normal) is Engine.FUSED
