@@ -19,12 +19,45 @@ this explicit adjoint exists so the fused Pallas kernel gets a ``custom_vjp``
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from blur_algorithms_tpu.ops.band_matmul import band_conv_valid
 from blur_algorithms_tpu.ops.plan import BlurPlan
 
 __all__ = ["blur_adjoint"]
+
+
+def _valid_conv_wide(padded: jnp.ndarray, axis_plan, n_out: int) -> jnp.ndarray:
+    """Valid conv along the last axis via the circular MXU FFT conv.
+
+    For wide kernels the band path's materialized windows tensor outgrows
+    HBM (mirrors the forward AUTO routing); with enough trailing zeros a
+    circular conv with the centered taps equals the valid conv at offset r.
+    """
+    r = axis_plan.support_radius
+    length = padded.shape[-1]
+    n = max(256, 1 << (length - 1).bit_length())
+    lead = padded.shape[:-1]
+    rows = jnp.pad(
+        padded, [(0, 0)] * (padded.ndim - 1) + [(0, n - length)]
+    ).reshape(-1, n)
+    if jax.default_backend() == "tpu":
+        from blur_algorithms_tpu.pallas_kernels.fft4step import fft_conv_rows
+
+        out = fft_conv_rows(rows, n, axis_plan)
+    else:
+        from blur_algorithms_tpu.ops.fft_mxu import _conv_rows_einsum
+
+        out = _conv_rows_einsum(
+            rows, n, axis_plan, precision=jax.lax.Precision.HIGHEST
+        )
+    return out[:, r : r + n_out].reshape(lead + (n_out,))
+
+
+# above this support radius the adjoint mirrors the forward engines' move
+# off the banded-windows path (see api._AUTO_FUSED_MAX_RADIUS's regime)
+_ADJOINT_FFT_MIN_RADIUS = 1024
 
 
 def _adjoint_axis(ct: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
@@ -36,7 +69,10 @@ def _adjoint_axis(ct: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
 
     # ValidConv^T: zero-pad by 2r, valid conv (symmetric taps == flipped)
     cfg = [(0, 0)] * (ct.ndim - 1) + [(2 * r, 2 * r)]
-    z = band_conv_valid(jnp.pad(ct, cfg), axis_plan.taps, n + 2 * r)
+    if r > _ADJOINT_FFT_MIN_RADIUS:
+        z = _valid_conv_wide(jnp.pad(ct, cfg), axis_plan, n + 2 * r)
+    else:
+        z = band_conv_valid(jnp.pad(ct, cfg), axis_plan.taps, n + 2 * r)
 
     # ReflectPad^T: fold pad cotangents onto their mirror sources
     out = z[..., r : r + n]

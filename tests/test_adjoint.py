@@ -71,3 +71,23 @@ def test_jnp_engines_autodiff(rng):
     x = jnp.asarray(rng.random((16, 20)).astype(np.float32))
     g = jax.grad(lambda v: jnp.sum(blur_fft_tiles(v, plan)))(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_adjointness_wide_radius(rng):
+    """<blur(x), y> == <x, adjoint(y)> on the wide-kernel FFT adjoint path."""
+    import jax
+
+    from blur_algorithms_tpu.ops.adjoint import blur_adjoint
+    from blur_algorithms_tpu.ops.fft_mxu import blur_fft_mxu
+    from blur_algorithms_tpu.ops.plan import make_plan
+
+    h, w, sigma = 8, 2100, 400.0
+    plan = make_plan((h, w), sigma)
+    assert plan.row.support_radius > 1024  # exercises _valid_conv_wide
+    x = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    bx = blur_fft_mxu(x, plan, precision=jax.lax.Precision.HIGHEST)
+    aty = blur_adjoint(y, plan)
+    lhs = float(jnp.vdot(bx, y))
+    rhs = float(jnp.vdot(x, aty))
+    assert abs(lhs - rhs) < 1e-2 * max(1.0, abs(lhs))
