@@ -44,7 +44,14 @@ def main() -> int:
     # sigma 200 on the default 333x444 grid clamps to asymmetric radii
     # (col 332, row 443) — a multi-block-halo stressor for the fused kernel
     sigmas = [0.5, 1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0]
-    engines = [Engine.FFT2, Engine.FFT_TILES, Engine.CONV, Engine.BAND, Engine.FUSED]
+    engines = [
+        Engine.FFT2,
+        Engine.FFT_TILES,
+        Engine.CONV,
+        Engine.BAND,
+        Engine.FUSED,
+        Engine.FFT_MXU,
+    ]
     rows = []
     worst = 0
     for sigma in sigmas:
