@@ -8,7 +8,11 @@ export each log-magnitude spectrum, and write a collage strip — visual
 verification that blur attenuates high frequencies.
 
 Usage: python examples/spectrum_sweep.py <image> [--sigmas 0 5 20 80]
-       [--out spectrum_collage.png]
+       [--noises 0 25 100] [--out spectrum_collage.png]
+
+``--noises`` reproduces the reference's second study axis
+(``test_images/spectrum_analysis/noisy``): additive Gaussian noise raises
+the spectrum floor uniformly where blur collapses it toward DC.
 """
 
 from __future__ import annotations
@@ -26,6 +30,9 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("image")
     p.add_argument("--sigmas", nargs="+", type=float, default=[0.5, 5, 20, 80])
+    p.add_argument("--noises", nargs="+", type=float, default=[],
+                   help="additive Gaussian noise stddevs (the reference's "
+                        "'noisy' sweep, radius fixed at --sigmas[0])")
     p.add_argument("--out", default="spectrum_collage.png")
     p.add_argument("--max-dim", type=int, default=512,
                    help="downscale long side to keep the collage small")
@@ -47,16 +54,32 @@ def main() -> int:
 
     analyzer = SpectrumAnalyzer()
     rows = []
-    for sigma in args.sigmas:
-        blurred = np.asarray(blur_u8(jnp.asarray(img), max(sigma, 0.1)))
-        spec_vis = analyzer.to_image(np.asarray(analyzer(blurred)))
+
+    def strip(frame: np.ndarray, label: str) -> None:
+        spec_vis = analyzer.to_image(np.asarray(analyzer(frame)))
         # pad/crop the spectrum to the image height for a clean strip
         sh, sw = spec_vis.shape[:2]
-        ih, iw = blurred.shape[:2]
-        spec_crop = spec_vis[:ih, :iw] if (sh >= ih and sw >= iw) else np.zeros_like(blurred)
-        rows.append(np.concatenate([blurred, spec_crop], axis=1))
-        print(f"sigma={sigma}: spatial std {blurred.std():.1f}, "
+        ih, iw = frame.shape[:2]
+        spec_crop = (
+            spec_vis[:ih, :iw] if (sh >= ih and sw >= iw) else np.zeros_like(frame)
+        )
+        rows.append(np.concatenate([frame, spec_crop], axis=1))
+        print(f"{label}: spatial std {frame.std():.1f}, "
               f"spectrum mean {np.asarray(spec_vis).mean():.1f}")
+
+    for sigma in args.sigmas:
+        strip(np.asarray(blur_u8(jnp.asarray(img), max(sigma, 0.1))),
+              f"sigma={sigma}")
+
+    noise_rng = np.random.default_rng(0)
+    for noise in args.noises:
+        noisy = np.clip(
+            img.astype(np.float32) + noise_rng.normal(0, noise, img.shape),
+            0, 255,
+        ).astype(np.uint8)
+        base = max(args.sigmas[0], 0.1) if args.sigmas else 0.1
+        strip(np.asarray(blur_u8(jnp.asarray(noisy), base)),
+              f"noise={noise}")
 
     collage = np.concatenate(rows, axis=0)
     io.write_image(args.out, collage)
