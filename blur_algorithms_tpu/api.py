@@ -95,7 +95,7 @@ _FFT_MXU_BYTE_BUDGET = 10 << 30
 
 
 def _resolve_engine(
-    engine: Engine | str, plan: BlurPlan, in_bytes: int = 1, lead_elems: int = 3
+    engine: Engine | str, plan: BlurPlan, in_bytes: int = 1
 ) -> Engine:
     engine = Engine(engine)
     if engine is not Engine.AUTO:
@@ -143,8 +143,16 @@ def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
             )
 
             return blur_fft_mxu_pallas(x, plan)
-        from blur_algorithms_tpu.ops.fft_mxu import blur_fft_mxu
+        import math
 
+        from blur_algorithms_tpu.ops.fft_mxu import blur_fft_mxu, estimate_bytes
+
+        if estimate_bytes(plan, max(1, math.prod(x.shape[:-2]))) > _FFT_MXU_BYTE_BUDGET:
+            # off-TPU the Pallas strip streamer would run interpreted;
+            # the backend-agnostic tiles streamer handles giant frames
+            from blur_algorithms_tpu.ops.streamed import blur_fft_tiles_streamed
+
+            return blur_fft_tiles_streamed(x, plan)
         # same math through XLA einsums off-device (HIGHEST: CPU has no MXU
         # to favor bf16 splits, and full f32 is the better oracle there)
         return blur_fft_mxu(x, plan, precision=jax.lax.Precision.HIGHEST)
@@ -179,7 +187,6 @@ def _plan_for(
     kernel: str,
     size_mode: str,
     in_bytes: int = 1,
-    lead_elems: int = 3,
 ) -> tuple[BlurPlan, Engine]:
     if engine in (Engine.BOX, Engine.BOX_SCAN):
         plan = _make_box_plan(h, w, nsmooth, size_mode)
@@ -189,7 +196,7 @@ def _plan_for(
         # matmul engine while that wins; the Pallas prefix-sum kernel is
         # radius-independent (~1 GP/s) and overtakes the widening fused
         # matmuls past r ~ 1024 (and the FFT path always)
-        eng = _resolve_engine(Engine.AUTO, plan, in_bytes, lead_elems)
+        eng = _resolve_engine(Engine.AUTO, plan, in_bytes)
         if eng in (Engine.FFT_TILES, Engine.FFT_MXU, Engine.FFT_STREAM) or (
             eng is Engine.FUSED
             and max(plan.col.support_radius, plan.row.support_radius) > 1024
@@ -197,7 +204,7 @@ def _plan_for(
             eng = Engine.BOX_SCAN
         return plan, eng
     plan = make_plan((h, w), nsmooth, kernel=kernel, size_mode=size_mode)
-    return plan, _resolve_engine(engine, plan, in_bytes, lead_elems)
+    return plan, _resolve_engine(engine, plan, in_bytes)
 
 
 @functools.lru_cache(maxsize=256)
@@ -215,11 +222,8 @@ def _compiled_planar(
         return jax.jit(
             lambda x: blur_cascade(x.astype(jnp.float32), nsmooth, size_mode)
         )
-    import math
-
     plan, eng = _plan_for(
-        shape[-2], shape[-1], nsmooth, engine, kernel, size_mode,
-        in_bytes=4, lead_elems=max(1, math.prod(shape[:-2])),
+        shape[-2], shape[-1], nsmooth, engine, kernel, size_mode, in_bytes=4
     )
 
     def fn(x):
@@ -246,12 +250,7 @@ def _compiled_u8(
 
         return jax.jit(fn)
 
-    import math
-
-    plan, eng = _plan_for(
-        shape[-3], shape[-2], nsmooth, engine, kernel, size_mode,
-        lead_elems=max(1, math.prod(shape[:-3]) * shape[-1]),
-    )
+    plan, eng = _plan_for(shape[-3], shape[-2], nsmooth, engine, kernel, size_mode)
 
     if eng is Engine.FUSED:
         # keep uint8 end to end: convert + round inside the Pallas kernel
@@ -263,6 +262,8 @@ def _compiled_u8(
         return jax.jit(fn)
 
     if eng is Engine.FFT_MXU and jax.default_backend() == "tpu":
+        import math
+
         from blur_algorithms_tpu.ops.fft_mxu import estimate_bytes
 
         lead = max(1, math.prod(shape[:-3]) * shape[-1])

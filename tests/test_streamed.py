@@ -39,7 +39,7 @@ def test_memory_estimate_scales():
     assert estimate_fft_tiles_bytes(giant) > 4 << 30
 
 
-def test_auto_routes_giant_to_stream():
+def test_auto_routing_by_radius_and_size():
     # r ~ 514: the multi-block fused MXU kernel now owns this (measured 2
     # GP/s vs fft_stream's 0.27 GP/s at 348 MP)
     giant = make_plan((24000, 14500), 155.0)
