@@ -65,14 +65,16 @@ def main() -> int:
     x = jnp.asarray(frames)
 
     def mk():
-        return lambda v: blur_fused_u8(v, plan, precision="bf16x3")
+        # int8: the fixed-point MXU path (~1.6x bf16 dot rate on v5e),
+        # certified <=1 uint8 count vs the oracle like bf16x3
+        return lambda v: blur_fused_u8(v, plan, precision="int8")
 
     result = time_fn_chained(
         mk,
         x,
         iters=16 if on_tpu else 2,
         reps=5 if on_tpu else 2,
-        name="fused/bf16x3",
+        name="fused/int8",
         megapixels=batch * h * w / 1e6,
     )
 
@@ -93,7 +95,7 @@ def main() -> int:
                 "vs_baseline": round(value / REF_MP_PER_S, 2),
                 "max_abs_err_u8": max_err,
                 "exact_fraction": round(exact, 5),
-                "config": f"batch{batch} {w}x{h} RGB, engine fused/bf16x3, "
+                "config": f"batch{batch} {w}x{h} RGB, engine fused/int8, "
                 f"backend {backend}",
                 "per_step_ms": round(result.median_ms, 3),
             }

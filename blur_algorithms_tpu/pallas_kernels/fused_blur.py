@@ -62,6 +62,29 @@ def _split_bf16(v):
     return hi, lo
 
 
+# Fixed-point scale for the int8 MXU path: taps quantized to q = round(t * S).
+# S = 127 * 128 keeps q_hi = q >> 7 <= 127 (int8) for any tap t <= 1, giving
+# 14-bit tap precision — finer than bf16x3's effective ~16-bit only below
+# |t| ~ 2^-2, and exact column sums after renormalization (DC-exact).
+_INT8_SCALE = 127 * 128
+
+
+def _quantize_band_int8(mat: np.ndarray) -> np.ndarray:
+    """Band matrix -> int32 fixed-point with every column summing to S exactly.
+
+    Column sums of a reflect-valid band matrix are 1 (taps are normalized), so
+    forcing sum(q) == S onto the largest tap makes constant inputs exact.
+    """
+    if np.any(mat < 0):
+        raise ValueError("int8 precision requires non-negative taps")
+    q = np.round(mat.astype(np.float64) * _INT8_SCALE).astype(np.int32)
+    err = _INT8_SCALE - q.sum(axis=0)
+    q[np.argmax(q, axis=0), np.arange(q.shape[1])] += err
+    if q.max() > _INT8_SCALE or q.min() < 0:
+        raise ValueError("int8 tap quantization out of range")
+    return q
+
+
 def _kernel(*refs, rows_h: tuple, cols_w: tuple, precision, out_u8: bool,
             skip_rows: bool, skip_cols: bool):
     """Generalized fused tile: nh*nw input blocks + nw row-matrix chunks +
@@ -141,6 +164,76 @@ def _kernel(*refs, rows_h: tuple, cols_w: tuple, precision, out_u8: bool,
     out_ref[0] = acc
 
 
+def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool):
+    """Fixed-point int8 MXU path (uint8 input only; ~1.6x the bf16 dot rate).
+
+    Matrices arrive as (2, K, N) int8 stacks [q >> 7, q & 127] of the
+    14-bit fixed-point taps ``q = round(t * S)``, S = ``_INT8_SCALE``.
+
+        rows:  R   = sum_dj (x - 128) @ (128 Qhi + Qlo)      exact int32,
+                     R = S * (rows_conv(x) - 128)
+        split: E   = round(R / 128);  E = 128 e1 + e0        signed digits
+        cols:  Q.E = 2^14 p1 + 2^7 (p2 + p3) + p4            four int8 dots
+        out    = Q.E * 128 / S^2 + 128                       f32 recombine
+
+    Worst-case quantization error is ~0.5 counts (adversarial inputs);
+    certified <= 1 count vs the CPU oracle on the parity grid like bf16x3.
+    """
+    nh, nw = len(rows_h), len(cols_w)
+    out_ref = refs[-1]
+    x_refs = refs[: nh * nw]
+    bw_parts = refs[nh * nw : nh * nw + nw]
+    bh_parts = refs[nh * nw + nw : nh * nw + nw + nh]
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=jnp.int32
+        )
+
+    dims_r = ((1,), (0,))
+    dims_c = ((0,), (0,))
+
+    acc = None
+    for di in range(nh):
+        r_acc = None
+        for dj in range(nw):
+            x = x_refs[di * nw + dj][0, : rows_h[di], : cols_w[dj]]
+            xc = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+            mat = bw_parts[dj]
+            part = dot(xc, mat[0], dims_r) * 128 + dot(xc, mat[1], dims_r)
+            r_acc = part if r_acc is None else r_acc + part
+        e = (r_acc + 64) >> 7  # round(R / 128), in [-16256, 16130]
+        e1 = (e + 64) >> 7  # in [-127, 126]
+        e0 = (e - e1 * 128).astype(jnp.int8)  # in [-64, 63]
+        e1 = e1.astype(jnp.int8)
+        mat = bh_parts[di]
+        p1 = dot(mat[0], e1, dims_c)
+        p23 = dot(mat[0], e0, dims_c) + dot(mat[1], e1, dims_c)
+        p4 = dot(mat[1], e0, dims_c)
+        part = p1 * 16384 + p23 * 128 + p4  # |.| < 2^30: int32-safe
+        acc = part if acc is None else acc + part
+    outf = acc.astype(jnp.float32) * (
+        128.0 / (_INT8_SCALE * _INT8_SCALE)
+    ) + 128.0
+    if out_u8:
+        outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
+        outf = outf.astype(jnp.int32).astype(jnp.uint8)
+    else:
+        outf = outf.astype(jnp.float32)
+    out_ref[0] = outf
+
+
+def int8_applicable(plan: BlurPlan, dtype) -> bool:
+    """int8 precision needs a uint8 input, both radii >= 1, and >= 0 taps."""
+    return (
+        dtype == jnp.uint8
+        and plan.row.support_radius > 0
+        and plan.col.support_radius > 0
+        and float(np.min(plan.row.taps)) >= 0.0
+        and float(np.min(plan.col.taps)) >= 0.0
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("plan", "tile", "precision", "out_u8", "pre_padded_col"),
@@ -161,10 +254,17 @@ def _blur_fused_planar(
             f"pre_padded_col expects {h + 2 * rh} rows, got {planar.shape[-2]}"
         )
 
+    int8_mode = precision == "int8"
+    if int8_mode and planar.dtype != jnp.uint8:
+        raise ValueError("precision='int8' requires uint8 input")
+    if int8_mode and (rh == 0 or rw == 0):
+        raise ValueError("precision='int8' requires both radii >= 1")
+
     if jax.default_backend() != "tpu" and not _FORCE_INTERPRET:
         # CPU/GPU fallback: same banded-matmul convolution via XLA, honoring
         # the requested precision (band_conv_valid understands "bf16x3" too,
-        # so the accuracy class matches the TPU kernel off-device).
+        # so the accuracy class matches the TPU kernel off-device; int8 maps
+        # to HIGHEST — a strict accuracy superset of the TPU fixed point).
         from blur_algorithms_tpu.ops.band_matmul import band_conv_valid
 
         fb_prec = precision if precision == "bf16x3" else jax.lax.Precision.HIGHEST
@@ -221,8 +321,19 @@ def _blur_fused_planar(
         return jnp.stack([hi, lo])
 
     # chunk the band matrices to match each neighbor block's contribution
-    bw_parts = [as_mat(bw[k * tw : k * tw + cols_w[k]]) for k in range(nw)]
-    bh_parts = [as_mat(bh[k * th : k * th + rows_h[k]]) for k in range(nh)]
+    if int8_mode:
+        # quantize the FULL matrix (so per-column sums hit S exactly across
+        # chunk boundaries), then chunk and split into int8 hi/lo stacks
+        qbw, qbh = _quantize_band_int8(bw), _quantize_band_int8(bh)
+
+        def as_i8(q: np.ndarray) -> jnp.ndarray:
+            return jnp.asarray(np.stack([q >> 7, q & 127]).astype(np.int8))
+
+        bw_parts = [as_i8(qbw[k * tw : k * tw + cols_w[k]]) for k in range(nw)]
+        bh_parts = [as_i8(qbh[k * th : k * th + rows_h[k]]) for k in range(nh)]
+    else:
+        bw_parts = [as_mat(bw[k * tw : k * tw + cols_w[k]]) for k in range(nw)]
+        bh_parts = [as_mat(bh[k * th : k * th + rows_h[k]]) for k in range(nh)]
 
     blk = lambda di, dj: pl.BlockSpec(
         (1, th, tw),
@@ -235,14 +346,20 @@ def _blur_fused_planar(
 
     interpret = jax.default_backend() != "tpu"
 
-    out = pl.pallas_call(
-        functools.partial(
+    if int8_mode:
+        body = functools.partial(
+            _kernel_int8, rows_h=rows_h, cols_w=cols_w, out_u8=out_u8
+        )
+    else:
+        body = functools.partial(
             _kernel, rows_h=rows_h, cols_w=cols_w,
             precision=precision, out_u8=out_u8,
             # radius-0 axes carry an identity band matrix — skip the matmul
             # (the two-pass "split" mode runs each axis as its own kernel)
             skip_rows=rw == 0, skip_cols=rh == 0,
-        ),
+        )
+    out = pl.pallas_call(
+        body,
         interpret=interpret,
         # wide-radius tiles carry big banded matrices + many neighbor blocks;
         # Mosaic's default 16 MB scoped-vmem cap is far below the chip's VMEM
@@ -481,7 +598,13 @@ def blur_fused(
     """
     is_float = jnp.issubdtype(jnp.asarray(planar).dtype, jnp.floating)
     in_bytes = 4 if is_float else 1
+    if precision == "int8" and not int8_applicable(
+        plan, jnp.asarray(planar).dtype
+    ):
+        precision = "bf16x3"
     if tile is None and _split_wins(plan, in_bytes):
+        if precision == "int8":
+            precision = "bf16x3"  # pass 2 of the split reads f32
         if is_float:
             return _blur_fused_split_diff(planar, plan, precision)
         return _blur_fused_split(planar, plan, precision, out_u8=False)
@@ -497,8 +620,19 @@ def blur_fused_u8(
     precision=jax.lax.Precision.HIGHEST,
     tile: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
-    """Fused-tile blur, uint8 planar in -> uint8 planar out (rounds in VMEM)."""
+    """Fused-tile blur, uint8 planar in -> uint8 planar out (rounds in VMEM).
+
+    ``precision="int8"`` selects the fixed-point MXU path (~1.6x the bf16
+    dot rate on v5e); it falls back to ``"bf16x3"`` wherever it does not
+    apply (radius-0 axis, the two-pass split regime's f32 intermediate).
+    """
+    if precision == "int8" and not int8_applicable(
+        plan, jnp.asarray(planar_u8).dtype
+    ):
+        precision = "bf16x3"
     if tile is None and _split_wins(plan, in_bytes=1):
+        if precision == "int8":
+            precision = "bf16x3"  # pass 2 of the split reads f32
         return _blur_fused_split(planar_u8, plan, precision, out_u8=True)
     tile = tile or _pick_tile(plan)
     return _blur_fused_planar(planar_u8, plan, tile, precision, out_u8=True)

@@ -155,3 +155,92 @@ class TestFusedKernel:
         got = np.asarray(fused_blur.blur_fused(jnp.asarray(x), plan, tile=(8, 8)))
         want = oracle.blur_direct(x, plan)
         np.testing.assert_allclose(got, want, atol=1e-2)
+
+
+class TestInt8Kernel:
+    """The fixed-point int8 MXU path (precision='int8')."""
+
+    def test_quantized_band_columns_sum_to_scale(self):
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import (
+            _INT8_SCALE,
+            _quantize_band_int8,
+        )
+
+        taps = gaussian_kernel(3.0, 19)
+        mat = band_block_matrix(taps, 32)
+        q = _quantize_band_int8(mat)
+        np.testing.assert_array_equal(q.sum(axis=0), _INT8_SCALE)
+        # hi/lo int8 planes reconstruct q exactly
+        hi, lo = q >> 7, q & 127
+        assert hi.max() <= 127 and lo.max() <= 127 and q.min() >= 0
+        np.testing.assert_array_equal(hi * 128 + lo, q)
+
+    def test_int8_interpret_matches_oracle(self, rng, monkeypatch):
+        """Full int8 kernel through the Pallas interpreter vs the u8 oracle."""
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
+        img = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+        plan = make_plan((40, 48), 2.0)
+        planar = jnp.moveaxis(jnp.asarray(img), -1, -3)
+        got = np.asarray(
+            fused_blur.blur_fused_u8(planar, plan, precision="int8", tile=(16, 16))
+        )
+        want = np.moveaxis(oracle.blur_u8(img, 2.0), -1, 0)
+        assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+    def test_int8_multiblock_halo_interpret(self, rng, monkeypatch):
+        """Radius wider than the tile exercises the neighbor-block digits."""
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
+        img = (rng.random((24, 30, 3)) * 255).astype(np.uint8)
+        plan = make_plan((24, 30), 6.0)  # radius 19 with 8x8 tiles
+        planar = jnp.moveaxis(jnp.asarray(img), -1, -3)
+        got = np.asarray(
+            fused_blur.blur_fused_u8(planar, plan, precision="int8", tile=(8, 8))
+        )
+        want = np.moveaxis(oracle.blur_u8(img, 6.0), -1, 0)
+        assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+    def test_int8_constant_input_exact(self, monkeypatch):
+        """Column-sum renormalization makes DC exact (every constant level)."""
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
+        plan = make_plan((16, 16), 2.0)
+        for level in (0, 1, 127, 128, 254, 255):
+            planar = jnp.full((1, 16, 16), level, jnp.uint8)
+            got = np.asarray(
+                fused_blur.blur_fused_u8(planar, plan, precision="int8", tile=(8, 8))
+            )
+            assert (got == level).all(), f"level {level}"
+
+    def test_int8_applicability_gates(self):
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import int8_applicable
+
+        plan = make_plan((32, 32), 2.0)
+        assert int8_applicable(plan, jnp.uint8)
+        assert not int8_applicable(plan, jnp.float32)
+        thin = make_plan((1, 64), 2.0)  # col radius 0
+        assert not int8_applicable(thin, jnp.uint8)
+
+    def test_int8_falls_back_cleanly(self, rng):
+        """Float input / radius-0 axis silently take the bf16x3/fallback path."""
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import (
+            blur_fused,
+            blur_fused_u8,
+        )
+
+        x = rng.random((1, 20, 24)).astype(np.float32) * 255
+        plan = make_plan((20, 24), 2.0)
+        got = np.asarray(blur_fused(jnp.asarray(x), plan, precision="int8"))
+        want = oracle.blur_direct(x, plan)
+        np.testing.assert_allclose(got, want, atol=1e-2)
+
+        thin_img = (rng.random((1, 64, 3)) * 255).astype(np.uint8)
+        thin = make_plan((1, 64), 2.0)
+        planar = jnp.moveaxis(jnp.asarray(thin_img), -1, -3)
+        out = np.asarray(blur_fused_u8(planar, thin, precision="int8"))
+        want = np.moveaxis(oracle.blur_u8(thin_img, 2.0), -1, 0)
+        assert int(np.abs(out.astype(int) - want.astype(int)).max()) <= 1
