@@ -45,8 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("engine", help="engine flag 1-5 (reference legend) or name")
     p.add_argument("nsmooth", type=float, help="sigma (gaussian) / n (box: r=n^2)")
-    p.add_argument("file", help="input image (.png/.jpg/.ppm/.npy)")
-    p.add_argument("-o", "--output", default=None, help="output path (default: <in>_blurred.<ext>)")
+    p.add_argument("file", help="input image (.png/.jpg/.ppm/.npy) or a directory "
+                   "of images (streamed with prefetch)")
+    p.add_argument("-o", "--output", default=None,
+                   help="output path, or output directory in directory mode "
+                   "(default: <in>_blurred[.<ext>])")
     p.add_argument("--kernel", choices=["gaussian", "box"], default="gaussian",
                    help="FFT-engine kernel; 'box' is the reference's #define boxblur tent mode")
     p.add_argument("--size-mode", choices=["smooth235", "pow2"], default="smooth235",
@@ -58,12 +61,57 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".pnm", ".npy", ".tif", ".tiff")
+
+
+def _stream_dir(args, engine: Engine) -> int:
+    """Directory mode: blur every image via the prefetching stream pipeline."""
+    import os
+
+    from blur_algorithms_tpu.models.pipeline import BlurPipeline
+    from blur_algorithms_tpu.utils import io
+
+    paths = sorted(
+        os.path.join(args.file, f)
+        for f in os.listdir(args.file)
+        if f.lower().endswith(_IMAGE_EXTS)
+    )
+    if not paths:
+        raise SystemExit(f"error: no images in {args.file!r}")
+    out_dir = args.output or (args.file.rstrip("/\\") + "_blurred")
+    os.makedirs(out_dir, exist_ok=True)
+
+    pipe = BlurPipeline(
+        args.nsmooth, engine=engine, kernel=args.kernel, size_mode=args.size_mode
+    )
+    t0 = time.perf_counter()
+    n = 0
+    for key, out in pipe.stream(paths):
+        io.write_image(
+            os.path.join(out_dir, os.path.basename(str(key))), np.asarray(out)
+        )
+        n += 1
+    dt = time.perf_counter() - t0
+    print(
+        f"{engine.value}: {n} frames in {dt * 1e3:.1f} ms "
+        f"({pipe.stats['distinct_buckets']} compiled buckets) -> {out_dir}"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     engine = _parse_engine(args.engine)
 
     from blur_algorithms_tpu import api
     from blur_algorithms_tpu.utils import io
+
+    import os
+
+    if os.path.isdir(args.file):
+        if args.spectrum or args.bench:
+            raise SystemExit("error: --spectrum/--bench not supported in directory mode")
+        return _stream_dir(args, engine)
 
     try:
         img = io.read_image(args.file)

@@ -17,6 +17,8 @@ exact-shape run for pixels within one kernel radius of the padded edge;
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -97,6 +99,55 @@ class BlurPipeline:
     @property
     def stats(self) -> dict:
         return {"calls": self._calls, "distinct_buckets": self._compiles}
+
+    def stream(self, frames, prefetch: int = 2):
+        """Blur a stream of frames, overlapping host work with device compute.
+
+        ``frames`` yields uint8 arrays ``(H, W, C)`` or image paths. A
+        background stager reads/decodes the next ``prefetch`` frames and
+        starts their host->device transfers while the TPU blurs the current
+        one; JAX's async dispatch keeps the chip busy ahead of the Python
+        loop. Yields ``(key, blurred)`` pairs in input order, where ``key``
+        is the path (or the running index for array inputs) — outputs are
+        device arrays; force them (``np.asarray``) only when needed so the
+        dispatch pipeline stays deep.
+
+        The reference has no streaming analog (one-shot CLI that re-plans
+        everything per process, ``Source.cpp:611-641``); this is the serving
+        shape of the same pipeline.
+        """
+        import collections
+        import concurrent.futures
+
+        def stage(item, idx):
+            if isinstance(item, (str, os.PathLike)):
+                from blur_algorithms_tpu.utils.io import read_image
+
+                arr = read_image(os.fspath(item))
+                key = os.fspath(item)
+            else:
+                arr, key = item, idx
+            return key, jnp.asarray(arr)  # starts the device transfer
+
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(1, int(prefetch))
+        ) as pool:
+            pending: collections.deque = collections.deque()
+            it = enumerate(iter(frames))
+            try:
+                for _ in range(max(1, int(prefetch))):
+                    idx, item = next(it)
+                    pending.append(pool.submit(stage, item, idx))
+            except StopIteration:
+                pass
+            while pending:
+                key, img = pending.popleft().result()
+                try:
+                    idx, item = next(it)
+                    pending.append(pool.submit(stage, item, idx))
+                except StopIteration:
+                    pass
+                yield key, self(img)
 
 
 def GaussianBlur(sigma: float, **kwargs) -> BlurPipeline:

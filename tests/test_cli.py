@@ -71,3 +71,31 @@ def test_module_invocation(ppm_image, tmp_path):
     )
     assert proc.returncode == 0, proc.stderr
     assert out.exists()
+
+
+def test_directory_mode(tmp_path, rgb_image):
+    src = tmp_path / "frames"
+    src.mkdir()
+    for i in range(3):
+        io.write_image(str(src / f"f{i}.ppm"), rgb_image)
+    out_dir = tmp_path / "out"
+    assert main(["auto", "4", str(src), "-o", str(out_dir)]) == 0
+    outs = sorted(p.name for p in out_dir.iterdir())
+    assert outs == ["f0.ppm", "f1.ppm", "f2.ppm"]
+    got = io.read_image(str(out_dir / "f0.ppm"))
+    assert got.shape == rgb_image.shape and not np.array_equal(got, rgb_image)
+
+
+def test_directory_mode_rejects_bench(tmp_path, rgb_image):
+    src = tmp_path / "frames"
+    src.mkdir()
+    io.write_image(str(src / "a.ppm"), rgb_image)
+    with pytest.raises(SystemExit):
+        main(["auto", "4", str(src), "--bench", "3"])
+
+
+def test_directory_mode_empty_dir(tmp_path):
+    src = tmp_path / "empty"
+    src.mkdir()
+    with pytest.raises(SystemExit):
+        main(["auto", "4", str(src)])

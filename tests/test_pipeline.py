@@ -55,3 +55,39 @@ def test_spectrum_analyzer(rng):
     assert spec.shape[0] == 3
     vis = sa.to_image(np.asarray(spec))
     assert vis.dtype == np.uint8 and vis.shape[-1] == 3
+
+
+def test_stream_matches_per_frame_calls(rng):
+    pipe = GaussianBlur(3.0, exact=True)
+    frames = [_img(rng, 40, 56) for _ in range(5)]
+    streamed = list(pipe.stream(frames, prefetch=2))
+    assert [k for k, _ in streamed] == [0, 1, 2, 3, 4]  # input order
+    for (_, got), frame in zip(streamed, frames):
+        want = np.asarray(pipe(frame))
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_stream_reads_paths(rng, tmp_path):
+    from blur_algorithms_tpu.utils.io import write_image
+
+    pipe = GaussianBlur(2.0, exact=True)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.ppm")
+        write_image(p, _img(rng, 32, 48))
+        paths.append(p)
+    out = dict(pipe.stream(paths, prefetch=3))
+    assert set(out) == set(paths)
+    for p in paths:
+        from blur_algorithms_tpu.utils.io import read_image
+
+        want = oracle.blur_u8(read_image(p), 2.0)
+        assert np.abs(np.asarray(out[p]).astype(int) - want.astype(int)).max() <= 1
+
+
+def test_stream_empty_and_single(rng):
+    pipe = GaussianBlur(2.0, exact=True)
+    assert list(pipe.stream([], prefetch=2)) == []
+    only = _img(rng, 24, 24)
+    [(k, out)] = list(pipe.stream([only], prefetch=4))
+    assert k == 0 and np.asarray(out).shape == only.shape
