@@ -164,7 +164,8 @@ def _kernel(*refs, rows_h: tuple, cols_w: tuple, precision, out_u8: bool,
     out_ref[0] = acc
 
 
-def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool):
+def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
+                 skip_cols: bool = False):
     """Fixed-point int8 MXU path (uint8 input only; ~1.6x the bf16 dot rate).
 
     Matrices arrive as (2, K, N) int8 stacks [q >> 7, q & 127] of the
@@ -202,6 +203,10 @@ def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool):
             mat = bw_parts[dj]
             part = dot(xc, mat[0], dims_r) * 128 + dot(xc, mat[1], dims_r)
             r_acc = part if r_acc is None else r_acc + part
+        if skip_cols:
+            # rows-only form (the split mode's pass 1): R = S*(conv - 128)
+            acc = r_acc
+            break
         e = (r_acc + 64) >> 7  # round(R / 128), in [-16256, 16130]
         e1 = (e + 64) >> 7  # in [-127, 126]
         e0 = (e - e1 * 128).astype(jnp.int8)  # in [-64, 63]
@@ -212,9 +217,12 @@ def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool):
         p4 = dot(mat[1], e0, dims_c)
         part = p1 * 16384 + p23 * 128 + p4  # |.| < 2^30: int32-safe
         acc = part if acc is None else acc + part
-    outf = acc.astype(jnp.float32) * (
-        128.0 / (_INT8_SCALE * _INT8_SCALE)
-    ) + 128.0
+    scale = (
+        1.0 / _INT8_SCALE
+        if skip_cols  # acc = S * (rows_conv - 128)
+        else 128.0 / (_INT8_SCALE * _INT8_SCALE)  # acc = Q.E = S^2/128 * (conv - 128)
+    )
+    outf = acc.astype(jnp.float32) * scale + 128.0
     if out_u8:
         outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
         outf = outf.astype(jnp.int32).astype(jnp.uint8)
@@ -224,11 +232,15 @@ def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool):
 
 
 def int8_applicable(plan: BlurPlan, dtype) -> bool:
-    """int8 precision needs a uint8 input, both radii >= 1, and >= 0 taps."""
+    """int8 precision needs a uint8 input, row radius >= 1, and >= 0 taps.
+
+    A radius-0 column axis is fine (the kernel's rows-only ``skip_cols``
+    form — the split mode's pass 1); a radius-0 ROW axis is not (the cols
+    pass would read raw uint8, which the digit pipeline doesn't model).
+    """
     return (
         dtype == jnp.uint8
         and plan.row.support_radius > 0
-        and plan.col.support_radius > 0
         and float(np.min(plan.row.taps)) >= 0.0
         and float(np.min(plan.col.taps)) >= 0.0
     )
@@ -257,8 +269,8 @@ def _blur_fused_planar(
     int8_mode = precision == "int8"
     if int8_mode and planar.dtype != jnp.uint8:
         raise ValueError("precision='int8' requires uint8 input")
-    if int8_mode and (rh == 0 or rw == 0):
-        raise ValueError("precision='int8' requires both radii >= 1")
+    if int8_mode and rw == 0:
+        raise ValueError("precision='int8' requires row radius >= 1")
 
     if jax.default_backend() != "tpu" and not _FORCE_INTERPRET:
         # CPU/GPU fallback: same banded-matmul convolution via XLA, honoring
@@ -348,7 +360,8 @@ def _blur_fused_planar(
 
     if int8_mode:
         body = functools.partial(
-            _kernel_int8, rows_h=rows_h, cols_w=cols_w, out_u8=out_u8
+            _kernel_int8, rows_h=rows_h, cols_w=cols_w, out_u8=out_u8,
+            skip_cols=rh == 0,
         )
     else:
         body = functools.partial(
@@ -534,13 +547,24 @@ def _split_wins(plan: BlurPlan, in_bytes: int) -> bool:
 
 def _blur_fused_split(planar, plan: BlurPlan, precision, out_u8: bool):
     rows_plan, cols_plan = _split_plans(plan)
-    in_bytes = 1 if jnp.asarray(planar).dtype == jnp.uint8 else 4
+    is_u8 = jnp.asarray(planar).dtype == jnp.uint8
+    in_bytes = 1 if is_u8 else 4
+    # pass 1 reads the raw uint8 frame: the int8 fixed-point rows form
+    # applies even when the full kernel can't (pass 2 reads f32)
+    p1_prec = precision
+    if precision == "int8":
+        p1_prec = (
+            "int8"
+            if is_u8 and int8_applicable(rows_plan, jnp.uint8)
+            else "bf16x3"
+        )
     y = _blur_fused_planar(
-        planar, rows_plan, _pick_tile(rows_plan, in_bytes), precision,
+        planar, rows_plan, _pick_tile(rows_plan, in_bytes), p1_prec,
         out_u8=False,
     )
+    p2_prec = "bf16x3" if precision == "int8" else precision
     return _blur_fused_planar(
-        y, cols_plan, _pick_tile(cols_plan, 4), precision, out_u8=out_u8
+        y, cols_plan, _pick_tile(cols_plan, 4), p2_prec, out_u8=out_u8
     )
 
 
@@ -603,10 +627,11 @@ def blur_fused(
     ):
         precision = "bf16x3"
     if tile is None and _split_wins(plan, in_bytes):
-        if precision == "int8":
-            precision = "bf16x3"  # pass 2 of the split reads f32
         if is_float:
+            if precision == "int8":
+                precision = "bf16x3"
             return _blur_fused_split_diff(planar, plan, precision)
+        # u8 split: pass 1 keeps int8 (rows-only form), pass 2 runs bf16x3
         return _blur_fused_split(planar, plan, precision, out_u8=False)
     tile = tile or _pick_tile(plan, in_bytes)
     if is_float:
@@ -631,8 +656,8 @@ def blur_fused_u8(
     ):
         precision = "bf16x3"
     if tile is None and _split_wins(plan, in_bytes=1):
-        if precision == "int8":
-            precision = "bf16x3"  # pass 2 of the split reads f32
+        # pass 1 keeps int8 (rows-only form); pass 2 runs bf16x3 on the f32
+        # intermediate (handled inside _blur_fused_split)
         return _blur_fused_split(planar_u8, plan, precision, out_u8=True)
     tile = tile or _pick_tile(plan)
     return _blur_fused_planar(planar_u8, plan, tile, precision, out_u8=True)

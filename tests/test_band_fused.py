@@ -222,8 +222,13 @@ class TestInt8Kernel:
         plan = make_plan((32, 32), 2.0)
         assert int8_applicable(plan, jnp.uint8)
         assert not int8_applicable(plan, jnp.float32)
-        thin = make_plan((1, 64), 2.0)  # col radius 0
-        assert not int8_applicable(thin, jnp.uint8)
+        # col radius 0 is fine (rows-only skip_cols form)...
+        thin = make_plan((1, 64), 2.0)
+        assert int8_applicable(thin, jnp.uint8)
+        # ...but row radius 0 is not (cols pass would read raw uint8)
+        tall = make_plan((64, 1), 2.0)
+        assert tall.row.support_radius == 0
+        assert not int8_applicable(tall, jnp.uint8)
 
     def test_int8_falls_back_cleanly(self, rng):
         """Float input / radius-0 axis silently take the bf16x3/fallback path."""
@@ -244,3 +249,17 @@ class TestInt8Kernel:
         out = np.asarray(blur_fused_u8(planar, thin, precision="int8"))
         want = np.moveaxis(oracle.blur_u8(thin_img, 2.0), -1, 0)
         assert int(np.abs(out.astype(int) - want.astype(int)).max()) <= 1
+
+    def test_int8_split_pass1_interpret(self, rng, monkeypatch):
+        """Split form: int8 rows-only pass 1 + bf16x3 pass 2 vs the oracle."""
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
+        img = (rng.random((24, 30, 3)) * 255).astype(np.uint8)
+        plan = make_plan((24, 30), 6.0)  # radius 19
+        planar = jnp.moveaxis(jnp.asarray(img), -1, -3)
+        got = np.asarray(
+            fused_blur._blur_fused_split(planar, plan, "int8", out_u8=True)
+        )
+        want = np.moveaxis(oracle.blur_u8(img, 6.0), -1, 0)
+        assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
