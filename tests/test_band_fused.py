@@ -263,3 +263,29 @@ class TestInt8Kernel:
         )
         want = np.moveaxis(oracle.blur_u8(img, 6.0), -1, 0)
         assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+    def test_int8_adversarial_patterns_interpret(self, monkeypatch):
+        """Fixed-point worst cases: high-frequency and step patterns."""
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
+        h, w = 40, 48
+        yy, xx = np.mgrid[0:h, 0:w]
+        patterns = {
+            "checker": (255 * ((yy + xx) % 2)).astype(np.uint8),
+            "vstripes": (255 * (xx % 2)).astype(np.uint8),
+            "step": (255 * (xx > w // 2)).astype(np.uint8),
+        }
+        for sigma in (2.0, 10.0):
+            plan = make_plan((h, w), sigma)
+            for name, img2d in patterns.items():
+                img = img2d[..., None].repeat(3, -1)
+                planar = jnp.moveaxis(jnp.asarray(img), -1, -3)
+                got = np.asarray(
+                    fused_blur.blur_fused_u8(
+                        planar, plan, precision="int8", tile=(16, 16)
+                    )
+                )
+                want = np.moveaxis(oracle.blur_u8(img, sigma), -1, 0)
+                err = int(np.abs(got.astype(int) - want.astype(int)).max())
+                assert err <= 1, f"{name} s={sigma}: {err}"
