@@ -668,16 +668,24 @@ def blur_fused_haloed(
     plan: BlurPlan,
     precision="bf16x3",
     tile: tuple[int, int] | None = None,
+    out_u8: bool = False,
 ) -> jnp.ndarray:
     """Fused blur whose row axis carries pre-supplied halo context.
 
     Input ``(..., H + 2*rh, W)`` where the extra ``rh`` rows on each side
     came from somewhere else (another device's shard via ``ppermute``, a
-    previous pipeline stage); output ``(..., H, W)`` float32. The column
-    (W) borders still reflect locally. This is the per-shard compute step
-    of the multi-chip path (``parallel/sharded.py``).
+    previous pipeline stage); output ``(..., H, W)``. The column (W)
+    borders still reflect locally. This is the per-shard compute step of
+    the multi-chip path (``parallel/sharded.py``) — uint8 input stays uint8
+    through the exchange and converts in VMEM (``precision="int8"`` runs
+    the fixed-point path per shard when applicable).
     """
-    tile = tile or _pick_tile(plan, in_bytes=4)
+    if precision == "int8" and not int8_applicable(
+        plan, jnp.asarray(planar).dtype
+    ):
+        precision = "bf16x3"
+    in_bytes = 1 if jnp.asarray(planar).dtype == jnp.uint8 else 4
+    tile = tile or _pick_tile(plan, in_bytes=in_bytes)
     return _blur_fused_planar(
-        planar, plan, tile, precision, out_u8=False, pre_padded_col=True
+        planar, plan, tile, precision, out_u8=out_u8, pre_padded_col=True
     )

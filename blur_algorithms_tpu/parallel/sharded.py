@@ -1,6 +1,9 @@
 """Sharded blur: dp over frames, sp over image rows with halo exchange.
 
-Layout: planar float32 ``(B, C, H, W)`` sharded ``P("dp", None, "sp", None)``.
+Layout: planar ``(B, C, H, W)`` sharded ``P("dp", None, "sp", None)`` —
+uint8 end to end for uint8 inputs (halos cross ICI as raw bytes, 4x less
+traffic than f32; conversion, int8 fixed-point matmuls, and rounding all
+happen in VMEM inside the per-shard kernel), float32 otherwise.
 
 Each shard-local step is the *same fused Pallas kernel* as the single-chip
 flagship (``blur_fused_haloed``): the only distributed work is a halo
@@ -29,7 +32,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from blur_algorithms_tpu.ops.layout import round_to_u8
 from blur_algorithms_tpu.ops.pad import reflect_101
 from blur_algorithms_tpu.ops.plan import BlurPlan
 
@@ -50,9 +52,18 @@ def _local_plan(plan: BlurPlan, h_loc: int, w: int) -> BlurPlan:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("plan", "mesh"))
-def blur_sharded(planar: jnp.ndarray, plan: BlurPlan, mesh: Mesh) -> jnp.ndarray:
-    """Blur float32 planar frames ``(B, C, H, W)`` over a ``(dp, sp)`` mesh."""
+@functools.partial(jax.jit, static_argnames=("plan", "mesh", "out_u8"))
+def blur_sharded(
+    planar: jnp.ndarray, plan: BlurPlan, mesh: Mesh, out_u8: bool = False
+) -> jnp.ndarray:
+    """Blur planar frames ``(B, C, H, W)`` over a ``(dp, sp)`` mesh.
+
+    uint8 input stays uint8 through the sharding constraint AND the halo
+    exchange (4x less ICI + HBM traffic than shipping f32 rows) and
+    converts inside the per-shard Pallas kernel, which also runs its int8
+    fixed-point form there; float input behaves as before. ``out_u8``
+    rounds in VMEM and returns uint8 shards.
+    """
     b, c, h, w = planar.shape
     if h != plan.shape[0] or w != plan.shape[1]:
         raise ValueError(f"plan shape {plan.shape} != image shape {(h, w)}")
@@ -65,9 +76,12 @@ def blur_sharded(planar: jnp.ndarray, plan: BlurPlan, mesh: Mesh) -> jnp.ndarray
     r = plan.col.support_radius
     local_plan = _local_plan(plan, h_loc, w)
 
+    is_u8 = planar.dtype == jnp.uint8
+    precision = "int8" if is_u8 else "bf16x3"
     spec = P("dp", None, "sp", None)
     planar = jax.lax.with_sharding_constraint(
-        planar.astype(jnp.float32), NamedSharding(mesh, spec)
+        planar if is_u8 else planar.astype(jnp.float32),
+        NamedSharding(mesh, spec),
     )
 
     from blur_algorithms_tpu.pallas_kernels.fused_blur import blur_fused_haloed
@@ -129,13 +143,19 @@ def blur_sharded(planar: jnp.ndarray, plan: BlurPlan, mesh: Mesh) -> jnp.ndarray
             g = jnp.where(g < 0, -g, g)
             g = jnp.where(g > h - 1, 2 * (h - 1) - g, g)
             haloed = jnp.take(ext, g - (idx - k) * h_loc, axis=-2)
-        return blur_fused_haloed(haloed, local_plan)
+        return blur_fused_haloed(
+            haloed, local_plan, precision=precision, out_u8=out_u8
+        )
 
     return run(planar)
 
 
 def blur_sharded_u8(img: jnp.ndarray, plan: BlurPlan, mesh: Mesh) -> jnp.ndarray:
-    """uint8 frames ``(B, H, W, C)`` in -> uint8 out, sharded pipeline."""
-    planar = jnp.moveaxis(img, -1, -3).astype(jnp.float32)
-    out = blur_sharded(planar, plan, mesh)
-    return round_to_u8(jnp.moveaxis(out, -3, -1))
+    """uint8 frames ``(B, H, W, C)`` in -> uint8 out, sharded pipeline.
+
+    uint8 end to end: halos cross ICI as raw bytes, conversion + rounding
+    happen in VMEM inside the per-shard kernel.
+    """
+    planar = jnp.moveaxis(img, -1, -3)
+    out = blur_sharded(planar, plan, mesh, out_u8=True)
+    return jnp.moveaxis(out, -3, -1)
