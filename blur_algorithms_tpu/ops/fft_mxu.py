@@ -40,7 +40,16 @@ __all__ = ["blur_fft_mxu"]
 
 
 def _factor(n: int) -> tuple[int, int]:
-    """Split pow2 ``n`` into (n1, n2) with n1 >= n2, both near sqrt(n)."""
+    """Split ``n`` into DFT stage factors (n1, n2), n = n1 * n2.
+
+    Unlike a real FFT library, the stages are dense matmuls against
+    trace-time DFT matrices, so ANY factorization is legal. Composite
+    lengths from ``transform_length`` are ``128 * m``: n1 = 128 keeps the
+    stage-1 contraction on full MXU tiles; small pow2 lengths (< 4096)
+    split near sqrt(n) as before.
+    """
+    if n % 128 == 0 and n // 128 >= 32:
+        return 128, n // 128
     lg = n.bit_length() - 1
     n1 = 1 << ((lg + 1) // 2)
     return n1, n // n1
@@ -130,8 +139,19 @@ def _perm_spectrum(plan_axis, n: int) -> np.ndarray:
 
 
 def transform_length(axis_plan) -> int:
-    """Planned pow2 transform length for one axis (shared by both forms)."""
-    return max(256, 1 << (axis_plan.dim + 2 * axis_plan.pad - 1).bit_length())
+    """Planned transform length for one axis (shared by both forms).
+
+    Short axes round up to the next pow2 (balanced near-sqrt factors);
+    past 4096 the length is the next ``128 * (multiple of 8)`` — the DFT
+    stages are dense matmuls, so unlike a pow2-only FFT the zero-pad waste
+    is bounded at ~3% instead of up to ~2x (e.g. a needed 4902 plans 5120,
+    not 8192).
+    """
+    need = axis_plan.dim + 2 * axis_plan.pad
+    if need <= 4096:
+        return max(256, 1 << (need - 1).bit_length())
+    m = -(-need // 128)  # lanes-of-128 chunks
+    return 128 * (-(-m // 8) * 8)  # n2 a multiple of 8 (sublane granularity)
 
 
 def conv_axis(x: jnp.ndarray, axis_plan, axis: int, conv_rows) -> jnp.ndarray:

@@ -15,13 +15,29 @@ from blur_algorithms_tpu.ops.fft_mxu import (
 from blur_algorithms_tpu.ops.plan import make_plan
 
 
-def test_factor_near_sqrt():
+def test_factor_contract():
+    # small pow2: balanced near-sqrt stages
     assert _factor(256) == (16, 16)
+    assert _factor(1024) == (32, 32)
+    # composite lengths (128 * m): stage 1 locked to full MXU tiles
     assert _factor(8192) == (128, 64)
     assert _factor(16384) == (128, 128)
-    for n in (256, 1024, 4096, 32768):
+    assert _factor(5120) == (128, 40)
+    assert _factor(32768) == (128, 256)
+    for n in (256, 1024, 4096, 5120, 12288, 32768):
         n1, n2 = _factor(n)
-        assert n1 * n2 == n and n1 >= n2
+        assert n1 * n2 == n
+
+
+def test_transform_length_composite():
+    from blur_algorithms_tpu.ops.fft_mxu import transform_length
+
+    plan = make_plan((2160, 3840), 160.0)  # rows need 3840 + 2*531 = 4902
+    n = transform_length(plan.row)
+    assert n == 5120  # not the pow2 8192: pad waste bounded at ~3%
+    assert n >= plan.row.dim + 2 * plan.row.pad
+    small = make_plan((96, 160), 3.0)
+    assert transform_length(small.row) == 256  # pow2 floor for short axes
 
 
 @pytest.mark.parametrize("sigma", [3.0, 30.0, 60.0])
