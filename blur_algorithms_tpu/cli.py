@@ -81,8 +81,12 @@ def _stream_dir(args, engine: Engine) -> int:
     out_dir = args.output or (args.file.rstrip("/\\") + "_blurred")
     os.makedirs(out_dir, exist_ok=True)
 
+    # exact=True: identical results to single-file mode (one compile per
+    # distinct frame shape — same as the single-file path); library users
+    # can opt into bucketed shapes via BlurPipeline directly
     pipe = BlurPipeline(
-        args.nsmooth, engine=engine, kernel=args.kernel, size_mode=args.size_mode
+        args.nsmooth, engine=engine, kernel=args.kernel,
+        size_mode=args.size_mode, exact=True,
     )
     t0 = time.perf_counter()
     n = 0

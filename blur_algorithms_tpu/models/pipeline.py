@@ -126,7 +126,9 @@ class BlurPipeline:
                 arr = read_image(os.fspath(item))
                 key = os.fspath(item)
             else:
-                arr, key = item, idx
+                arr, key = np.asarray(item), idx
+            if arr.ndim == 2:  # grayscale: normalize like the CLI single-file path
+                arr = arr[..., None]
             return key, jnp.asarray(arr)  # starts the device transfer
 
         with concurrent.futures.ThreadPoolExecutor(

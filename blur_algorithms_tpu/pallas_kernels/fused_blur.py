@@ -63,26 +63,54 @@ def _split_bf16(v):
 
 
 # Fixed-point scale for the int8 MXU path: taps quantized to q = round(t * S).
-# S = 127 * 128 keeps q_hi = q >> 7 <= 127 (int8) for any tap t <= 1, giving
-# 14-bit tap precision — finer than bf16x3's effective ~16-bit only below
-# |t| ~ 2^-2, and exact column sums after renormalization (DC-exact).
+# S = 127 * 128 keeps q = 128*q_hi + q_lo with both planes <= 127 (int8) for
+# any tap t <= 1, giving 14-bit tap precision and exact column sums after
+# renormalization (DC-exact). The rows-only (skip_cols) form scales
+# adaptively up to 2^23 — bounded by the LARGEST tap, so wide smooth
+# kernels (tiny taps) get far finer precision; the full two-pass form is
+# locked to S (the cols digit split assumes it) and therefore gated to
+# narrow kernels by ``int8_applicable``.
 _INT8_SCALE = 127 * 128
+_INT8_MAX_SCALE = 1 << 23  # |rows accumulator| <= 128 * scale must fit int32
+# Full-kernel width gate: worst-case quantization error is bounded by
+# 128 * 0.5 * width / S per axis (adversarial sign-aligned input); keep the
+# two-pass total under ~0.9 counts so the <=1 gate holds by construction.
+_INT8_FULL_MAX_RADII = 113  # r_row + r_col
 
 
-def _quantize_band_int8(mat: np.ndarray) -> np.ndarray:
-    """Band matrix -> int32 fixed-point with every column summing to S exactly.
+def _quantize_band_int8(mat: np.ndarray, scale: int = _INT8_SCALE) -> np.ndarray:
+    """Band matrix -> int32 fixed-point, every column summing to ``scale``.
 
-    Column sums of a reflect-valid band matrix are 1 (taps are normalized), so
-    forcing sum(q) == S onto the largest tap makes constant inputs exact.
+    Column sums of a reflect-valid band matrix are 1 (taps normalized), so
+    forcing ``sum(q) == scale`` makes constant inputs exact. The correction
+    spreads as +/-1 over the in-band entries with the largest same-direction
+    rounding residual — never dumped onto a single tap (which would distort
+    it by up to ~0.5 * width q-units on wide kernels).
     """
     if np.any(mat < 0):
         raise ValueError("int8 precision requires non-negative taps")
-    q = np.round(mat.astype(np.float64) * _INT8_SCALE).astype(np.int32)
-    err = _INT8_SCALE - q.sum(axis=0)
-    q[np.argmax(q, axis=0), np.arange(q.shape[1])] += err
-    if q.max() > _INT8_SCALE or q.min() < 0:
+    t = mat.astype(np.float64) * scale
+    q = np.round(t).astype(np.int64)
+    res = t - q  # rounding residual, in [-0.5, 0.5]
+    err = scale - q.sum(axis=0)
+    for j in np.nonzero(err)[0]:
+        e = int(err[j])
+        s = 1 if e > 0 else -1
+        cand = np.nonzero(mat[:, j] > 0)[0]  # in-band entries only
+        order = np.argsort(-s * res[cand, j], kind="stable")
+        q[cand[order[: abs(e)]], j] += s
+    if q.max() >= 1 << 14 or q.min() < 0:
         raise ValueError("int8 tap quantization out of range")
-    return q
+    return q.astype(np.int32)
+
+
+def pick_int8_scale(taps: np.ndarray) -> int:
+    """Adaptive rows-only scale: largest power-of-two-free value keeping the
+    biggest tap within the 14-bit two-plane budget."""
+    t_max = float(np.max(taps))
+    if t_max <= 0:
+        return _INT8_SCALE
+    return max(_INT8_SCALE, min(_INT8_MAX_SCALE, int(_INT8_SCALE / t_max)))
 
 
 def _kernel(*refs, rows_h: tuple, cols_w: tuple, precision, out_u8: bool,
@@ -165,7 +193,7 @@ def _kernel(*refs, rows_h: tuple, cols_w: tuple, precision, out_u8: bool,
 
 
 def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
-                 skip_cols: bool = False):
+                 skip_cols: bool = False, rows_scale: int = _INT8_SCALE):
     """Fixed-point int8 MXU path (uint8 input only; ~1.6x the bf16 dot rate).
 
     Matrices arrive as (2, K, N) int8 stacks [q >> 7, q & 127] of the
@@ -177,8 +205,10 @@ def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
         cols:  Q.E = 2^14 p1 + 2^7 (p2 + p3) + p4            four int8 dots
         out    = Q.E * 128 / S^2 + 128                       f32 recombine
 
-    Worst-case quantization error is ~0.5 counts (adversarial inputs);
-    certified <= 1 count vs the CPU oracle on the parity grid like bf16x3.
+    Accuracy: the full two-pass form is gated to r_row + r_col <=
+    ``_INT8_FULL_MAX_RADII`` (worst-case adversarial quantization bound
+    ~0.9 counts); the rows-only form uses an adaptive scale and is safe at
+    any width. Certified <= 1 count vs the CPU oracle on the parity grid.
     """
     nh, nw = len(rows_h), len(cols_w)
     out_ref = refs[-1]
@@ -218,8 +248,8 @@ def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
         part = p1 * 16384 + p23 * 128 + p4  # |.| < 2^30: int32-safe
         acc = part if acc is None else acc + part
     scale = (
-        1.0 / _INT8_SCALE
-        if skip_cols  # acc = S * (rows_conv - 128)
+        1.0 / rows_scale
+        if skip_cols  # acc = rows_scale * (rows_conv - 128)
         else 128.0 / (_INT8_SCALE * _INT8_SCALE)  # acc = Q.E = S^2/128 * (conv - 128)
     )
     outf = acc.astype(jnp.float32) * scale + 128.0
@@ -235,14 +265,26 @@ def int8_applicable(plan: BlurPlan, dtype) -> bool:
     """int8 precision needs a uint8 input, row radius >= 1, and >= 0 taps.
 
     A radius-0 column axis is fine (the kernel's rows-only ``skip_cols``
-    form — the split mode's pass 1); a radius-0 ROW axis is not (the cols
-    pass would read raw uint8, which the digit pipeline doesn't model).
+    form — the split mode's pass 1 — which also scales adaptively, so any
+    kernel width is safe there); a radius-0 ROW axis is not (the cols pass
+    would read raw uint8, which the digit pipeline doesn't model). The
+    FULL two-pass form is locked to the 14-bit scale by its digit split,
+    whose worst-case quantization error grows with the tap count — gate it
+    to ``r_row + r_col <= _INT8_FULL_MAX_RADII`` so the <=1-count bound
+    holds by construction even on adversarial sign-aligned inputs.
     """
-    return (
+    if not (
         dtype == jnp.uint8
         and plan.row.support_radius > 0
         and float(np.min(plan.row.taps)) >= 0.0
         and float(np.min(plan.col.taps)) >= 0.0
+    ):
+        return False
+    if plan.col.support_radius == 0:
+        return True  # rows-only form: adaptive scale, width-safe
+    return (
+        plan.row.support_radius + plan.col.support_radius
+        <= _INT8_FULL_MAX_RADII
     )
 
 
@@ -334,9 +376,15 @@ def _blur_fused_planar(
 
     # chunk the band matrices to match each neighbor block's contribution
     if int8_mode:
-        # quantize the FULL matrix (so per-column sums hit S exactly across
-        # chunk boundaries), then chunk and split into int8 hi/lo stacks
-        qbw, qbh = _quantize_band_int8(bw), _quantize_band_int8(bh)
+        # quantize the FULL matrix (so per-column sums hit the scale exactly
+        # across chunk boundaries), then chunk and split into int8 hi/lo
+        # stacks. Rows-only form: adaptive scale (bounded by the largest
+        # tap); full form: the fixed S the cols digit split assumes.
+        rows_scale = (
+            pick_int8_scale(plan.row.taps) if rh == 0 else _INT8_SCALE
+        )
+        qbw = _quantize_band_int8(bw, rows_scale)
+        qbh = _quantize_band_int8(bh)
 
         def as_i8(q: np.ndarray) -> jnp.ndarray:
             return jnp.asarray(np.stack([q >> 7, q & 127]).astype(np.int8))
@@ -361,7 +409,7 @@ def _blur_fused_planar(
     if int8_mode:
         body = functools.partial(
             _kernel_int8, rows_h=rows_h, cols_w=cols_w, out_u8=out_u8,
-            skip_cols=rh == 0,
+            skip_cols=rh == 0, rows_scale=rows_scale,
         )
     else:
         body = functools.partial(
@@ -622,17 +670,18 @@ def blur_fused(
     """
     is_float = jnp.issubdtype(jnp.asarray(planar).dtype, jnp.floating)
     in_bytes = 4 if is_float else 1
-    if precision == "int8" and not int8_applicable(
-        plan, jnp.asarray(planar).dtype
-    ):
-        precision = "bf16x3"
     if tile is None and _split_wins(plan, in_bytes):
+        # the split form resolves int8 per pass itself (pass 1 rows-only is
+        # width-safe via its adaptive scale; pass 2 reads f32 -> bf16x3)
         if is_float:
             if precision == "int8":
                 precision = "bf16x3"
             return _blur_fused_split_diff(planar, plan, precision)
-        # u8 split: pass 1 keeps int8 (rows-only form), pass 2 runs bf16x3
         return _blur_fused_split(planar, plan, precision, out_u8=False)
+    if precision == "int8" and not int8_applicable(
+        plan, jnp.asarray(planar).dtype
+    ):
+        precision = "bf16x3"
     tile = tile or _pick_tile(plan, in_bytes)
     if is_float:
         return _blur_fused_diff(planar, plan, precision, tile)
@@ -649,16 +698,17 @@ def blur_fused_u8(
 
     ``precision="int8"`` selects the fixed-point MXU path (~1.6x the bf16
     dot rate on v5e); it falls back to ``"bf16x3"`` wherever it does not
-    apply (radius-0 axis, the two-pass split regime's f32 intermediate).
+    apply (radius-0 row axis, kernels wider than the full-form accuracy
+    gate, the split regime's pass 2 on its f32 intermediate).
     """
+    if tile is None and _split_wins(plan, in_bytes=1):
+        # pass 1 keeps int8 (rows-only form, width-safe adaptive scale);
+        # pass 2 runs bf16x3 on the f32 intermediate (inside the split)
+        return _blur_fused_split(planar_u8, plan, precision, out_u8=True)
     if precision == "int8" and not int8_applicable(
         plan, jnp.asarray(planar_u8).dtype
     ):
         precision = "bf16x3"
-    if tile is None and _split_wins(plan, in_bytes=1):
-        # pass 1 keeps int8 (rows-only form); pass 2 runs bf16x3 on the f32
-        # intermediate (handled inside _blur_fused_split)
-        return _blur_fused_split(planar_u8, plan, precision, out_u8=True)
     tile = tile or _pick_tile(plan)
     return _blur_fused_planar(planar_u8, plan, tile, precision, out_u8=True)
 

@@ -289,3 +289,118 @@ class TestInt8Kernel:
                 want = np.moveaxis(oracle.blur_u8(img, sigma), -1, 0)
                 err = int(np.abs(got.astype(int) - want.astype(int)).max())
                 assert err <= 1, f"{name} s={sigma}: {err}"
+
+
+class TestInt8WidthGate:
+    """The adaptive-scale / width-gate additions to the int8 path."""
+
+    def test_full_form_gated_by_total_radius(self):
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import (
+            _INT8_FULL_MAX_RADII,
+            int8_applicable,
+        )
+
+        narrow = make_plan((512, 512), 10.0)  # r ~ 32 per axis
+        assert (
+            narrow.row.support_radius + narrow.col.support_radius
+            <= _INT8_FULL_MAX_RADII
+        )
+        assert int8_applicable(narrow, jnp.uint8)
+
+        wide = make_plan((512, 512), 20.0)  # r ~ 65 per axis: sum > gate
+        assert (
+            wide.row.support_radius + wide.col.support_radius
+            > _INT8_FULL_MAX_RADII
+        )
+        assert not int8_applicable(wide, jnp.uint8)
+
+    def test_rows_only_form_has_no_width_gate(self):
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import int8_applicable
+
+        thin = make_plan((1, 1024), 60.0)  # col radius 0, row radius ~ 199
+        assert thin.col.support_radius == 0
+        assert thin.row.support_radius > 150
+        assert int8_applicable(thin, jnp.uint8)
+
+    def test_pick_int8_scale_bounds(self):
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import (
+            _INT8_MAX_SCALE,
+            _INT8_SCALE,
+            pick_int8_scale,
+        )
+
+        # narrow kernel (big max tap): scale bounded by the 14-bit budget
+        taps = gaussian_kernel(1.0, 5)
+        s0 = pick_int8_scale(taps)
+        assert _INT8_SCALE <= s0 <= _INT8_MAX_SCALE
+        assert round(float(taps.max()) * s0) < 1 << 14
+        # wide kernel (tiny taps): scale grows but the largest quantized tap
+        # still fits the 14-bit two-plane budget
+        wide = gaussian_kernel(200.0, 1333)
+        s = pick_int8_scale(wide)
+        assert _INT8_SCALE < s <= _INT8_MAX_SCALE
+        assert round(float(wide.max()) * s) < 1 << 14
+        # degenerate all-zero taps fall back to the base scale
+        assert pick_int8_scale(np.zeros(3, np.float32)) == _INT8_SCALE
+
+    def test_quantize_residual_spreading(self):
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import (
+            _quantize_band_int8,
+            pick_int8_scale,
+        )
+        from blur_algorithms_tpu.ops.band_matmul import band_block_matrix
+
+        taps = gaussian_kernel(40.0, 267)  # wide: many taps per column
+        mat = band_block_matrix(taps, 128)
+        scale = pick_int8_scale(taps)
+        q = _quantize_band_int8(mat, scale)
+        # every column sums to the scale exactly (DC-exact)
+        np.testing.assert_array_equal(q.sum(axis=0), scale)
+        # the correction is spread: no tap moved by more than 1 q-unit
+        raw = np.round(mat.astype(np.float64) * scale).astype(np.int64)
+        assert int(np.abs(q - raw).max()) <= 1
+        # off-band entries stay exactly zero
+        assert (q[mat == 0] == 0).all()
+
+    def test_quantize_rejects_negative_taps(self):
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import (
+            _quantize_band_int8,
+        )
+
+        with pytest.raises(ValueError):
+            _quantize_band_int8(np.array([[0.5], [-0.1], [0.6]]))
+
+    def test_wide_rows_only_adaptive_scale_interpret(self, rng, monkeypatch):
+        """A kernel far beyond the full-form gate stays <=1 count in the
+        rows-only form thanks to the adaptive scale."""
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
+        img = (rng.random((1, 256, 3)) * 255).astype(np.uint8)
+        plan = make_plan((1, 256), 40.0)  # row radius ~ 127, col radius 0
+        assert plan.row.support_radius > 100
+        planar = jnp.moveaxis(jnp.asarray(img), -1, -3)
+        got = np.asarray(
+            fused_blur.blur_fused_u8(planar, plan, precision="int8", tile=(8, 128))
+        )
+        want = np.moveaxis(oracle.blur_u8(img, 40.0), -1, 0)
+        assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+    def test_wide_kernel_full_form_falls_back(self, rng, monkeypatch):
+        """Past the gate the u8 entry point silently resolves to bf16x3 and
+        still meets the <=1-count bound."""
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
+        img = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
+        plan = make_plan((96, 96), 20.0)  # width clamps to 95: r=47+47 < gate
+        # force a wider-than-gate synthetic check via the applicability fn
+        wide = make_plan((512, 512), 20.0)
+        assert not fused_blur.int8_applicable(wide, jnp.uint8)
+        # and the runnable-size case still routes + matches the oracle
+        planar = jnp.moveaxis(jnp.asarray(img), -1, -3)
+        got = np.asarray(
+            fused_blur.blur_fused_u8(planar, plan, precision="int8", tile=(32, 32))
+        )
+        want = np.moveaxis(oracle.blur_u8(img, 20.0), -1, 0)
+        assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
