@@ -65,17 +65,15 @@ def _split_bf16(v):
 # Fixed-point scale for the int8 MXU path: taps quantized to q = round(t * S).
 # S = 127 * 128 keeps q = 128*q_hi + q_lo with both planes <= 127 (int8) for
 # any tap t <= 1, giving 14-bit tap precision and exact column sums after
-# renormalization (DC-exact). The rows-only (skip_cols) form scales
-# adaptively up to 2^23 — bounded by the LARGEST tap, so wide smooth
-# kernels (tiny taps) get far finer precision; the full two-pass form is
-# locked to S (the cols digit split assumes it) and therefore gated to
-# narrow kernels by ``int8_applicable``.
+# renormalization (DC-exact). Both passes scale ADAPTIVELY — bounded by the
+# LARGEST tap, not tap count, so wide smooth kernels (tiny taps) get far
+# finer precision and the worst-case adversarial quantization error stays
+# ~0.04 counts at ANY kernel width (see ``_kernel_int8``):
+#   * rows: scale restricted to S << m so the 14-bit re-quantized
+#     intermediate E = round(R / (128 * 2^m)) is a pure int32 shift
+#   * cols: arbitrary adaptive scale; per-part f32 recombine
 _INT8_SCALE = 127 * 128
 _INT8_MAX_SCALE = 1 << 23  # |rows accumulator| <= 128 * scale must fit int32
-# Full-kernel width gate: worst-case quantization error is bounded by
-# 128 * 0.5 * width / S per axis (adversarial sign-aligned input); keep the
-# two-pass total under ~0.9 counts so the <=1 gate holds by construction.
-_INT8_FULL_MAX_RADII = 113  # r_row + r_col
 
 
 def _quantize_band_int8(mat: np.ndarray, scale: int = _INT8_SCALE) -> np.ndarray:
@@ -104,12 +102,22 @@ def _quantize_band_int8(mat: np.ndarray, scale: int = _INT8_SCALE) -> np.ndarray
     return q.astype(np.int32)
 
 
-def pick_int8_scale(taps: np.ndarray) -> int:
-    """Adaptive rows-only scale: largest power-of-two-free value keeping the
-    biggest tap within the 14-bit two-plane budget."""
+def pick_int8_scale(taps: np.ndarray, pow2: bool = False) -> int:
+    """Adaptive tap scale: largest value keeping the biggest quantized tap
+    within the 14-bit two-plane budget.
+
+    ``pow2=True`` restricts the result to ``_INT8_SCALE << m`` (m <= 9) so
+    the full form's intermediate re-quantization ``round(R / (128 * 2^m))``
+    stays a pure int32 shift in the kernel (Mosaic-safe, no f32 round).
+    """
     t_max = float(np.max(taps))
     if t_max <= 0:
         return _INT8_SCALE
+    if pow2:
+        m = 0
+        while m < 9 and round(t_max * (_INT8_SCALE << (m + 1))) < 1 << 14:
+            m += 1
+        return _INT8_SCALE << m
     return max(_INT8_SCALE, min(_INT8_MAX_SCALE, int(_INT8_SCALE / t_max)))
 
 
@@ -193,28 +201,49 @@ def _kernel(*refs, rows_h: tuple, cols_w: tuple, precision, out_u8: bool,
 
 
 def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
-                 skip_cols: bool = False, rows_scale: int = _INT8_SCALE):
+                 skip_cols: bool = False, rows_scale: int = _INT8_SCALE,
+                 cols_scale: int = _INT8_SCALE, out_e32: bool = False,
+                 in_e32: bool = False):
     """Fixed-point int8 MXU path (uint8 input only; ~1.6x the bf16 dot rate).
 
     Matrices arrive as (2, K, N) int8 stacks [q >> 7, q & 127] of the
-    14-bit fixed-point taps ``q = round(t * S)``, S = ``_INT8_SCALE``.
+    fixed-point taps ``q = round(t * scale)``, with per-pass ADAPTIVE
+    scales bounded by the largest tap (so precision does not degrade with
+    kernel width). Sr = ``rows_scale`` = S << m (S = ``_INT8_SCALE``);
+    Sc = ``cols_scale`` (arbitrary).
 
         rows:  R   = sum_dj (x - 128) @ (128 Qhi + Qlo)      exact int32,
-                     R = S * (rows_conv(x) - 128)
-        split: E   = round(R / 128);  E = 128 e1 + e0        signed digits
-        cols:  Q.E = 2^14 p1 + 2^7 (p2 + p3) + p4            four int8 dots
-        out    = Q.E * 128 / S^2 + 128                       f32 recombine
+                     R = Sr * (rows_conv(x) - 128)
+        requant: E = round(R / (128 * 2^m)) = 127*(conv-128)  int32 shift,
+                 E = 128 e1 + e0                              signed digits
+        cols:  p1 = Qhi.e1, p23 = Qhi.e0 + Qlo.e1, p4 = Qlo.e0   int8 dots
+        out    = (2^14 p1 + 2^7 p23 + p4) / (127 Sc) + 128    f32 recombine
 
-    Accuracy: the full two-pass form is gated to r_row + r_col <=
-    ``_INT8_FULL_MAX_RADII`` (worst-case adversarial quantization bound
-    ~0.9 counts); the rows-only form uses an adaptive scale and is safe at
-    any width. Certified <= 1 count vs the CPU oracle on the parity grid.
+    Worst-case adversarial quantization error at ANY width: rows taps
+    ~64*w*t_max*2/Sr_opt <= ~0.02 counts, requant <= 0.5/127, cols taps
+    <= 64*w*t_max/S ~ 0.01 — total ~0.04 counts, far inside the <=1-count
+    gate. Certified vs the CPU oracle on the parity grid.
+
+    The two-pass split regime streams the SAME representation through HBM:
+    ``out_e32`` makes the rows-only form emit the int32 intermediate E
+    instead of f32, and ``in_e32`` makes a cols-only pass (row radius 0)
+    consume it — so both split passes run int8 dots instead of pass 2
+    falling back to bf16x3.
     """
     nh, nw = len(rows_h), len(cols_w)
     out_ref = refs[-1]
     x_refs = refs[: nh * nw]
     bw_parts = refs[nh * nw : nh * nw + nw]
     bh_parts = refs[nh * nw + nw : nh * nw + nw + nh]
+
+    # Sr = S << m; the requant shift folds the m extra bits back out
+    # (the f32-out rows-only form never re-quantizes, so any adaptive Sr is
+    # legal there; the e32-out form re-quantizes and needs the pow2 step)
+    rows_shift = 7 + (rows_scale // _INT8_SCALE).bit_length() - 1
+    assert (skip_cols and not out_e32) or in_e32 or (
+        _INT8_SCALE << (rows_shift - 7) == rows_scale
+    )
+    assert not (out_e32 and not skip_cols) and not (in_e32 and skip_cols)
 
     def dot(a, b, dims):
         return jax.lax.dot_general(
@@ -224,35 +253,57 @@ def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
     dims_r = ((1,), (0,))
     dims_c = ((0,), (0,))
 
-    acc = None
+    acc = p1a = p23a = p4a = None
     for di in range(nh):
-        r_acc = None
-        for dj in range(nw):
-            x = x_refs[di * nw + dj][0, : rows_h[di], : cols_w[dj]]
-            xc = (x.astype(jnp.int32) - 128).astype(jnp.int8)
-            mat = bw_parts[dj]
-            part = dot(xc, mat[0], dims_r) * 128 + dot(xc, mat[1], dims_r)
-            r_acc = part if r_acc is None else r_acc + part
-        if skip_cols:
-            # rows-only form (the split mode's pass 1): R = S*(conv - 128)
-            acc = r_acc
-            break
-        e = (r_acc + 64) >> 7  # round(R / 128), in [-16256, 16130]
-        e1 = (e + 64) >> 7  # in [-127, 126]
+        if in_e32:
+            # cols-only form: the block IS the intermediate E (int32)
+            e = x_refs[di * nw][0, : rows_h[di], :]
+        else:
+            r_acc = None
+            for dj in range(nw):
+                x = x_refs[di * nw + dj][0, : rows_h[di], : cols_w[dj]]
+                xc = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+                mat = bw_parts[dj]
+                part = dot(xc, mat[0], dims_r) * 128 + dot(xc, mat[1], dims_r)
+                r_acc = part if r_acc is None else r_acc + part
+            if skip_cols:
+                # rows-only form (the split mode's pass 1)
+                if out_e32:
+                    # emit the 14-bit intermediate: E = 127*(conv - 128)
+                    acc = (r_acc + (1 << (rows_shift - 1))) >> rows_shift
+                else:
+                    acc = r_acc  # R = Sr*(conv - 128), scaled to f32 below
+                break
+            # re-quantize to the width-independent 14-bit intermediate
+            e = (r_acc + (1 << (rows_shift - 1))) >> rows_shift  # 127*(conv-128)
+        e1 = (e + 64) >> 7  # in [-127, 127]
         e0 = (e - e1 * 128).astype(jnp.int8)  # in [-64, 63]
         e1 = e1.astype(jnp.int8)
         mat = bh_parts[di]
+        # accumulate the three digit products separately: p1 <= ~Sc < 2^23,
+        # p23 <= 2^27, p4 <= 2^26 over ALL di chunks — int32-safe without
+        # the in-int recombine that would overflow at adaptive scales
         p1 = dot(mat[0], e1, dims_c)
         p23 = dot(mat[0], e0, dims_c) + dot(mat[1], e1, dims_c)
         p4 = dot(mat[1], e0, dims_c)
-        part = p1 * 16384 + p23 * 128 + p4  # |.| < 2^30: int32-safe
-        acc = part if acc is None else acc + part
-    scale = (
-        1.0 / rows_scale
-        if skip_cols  # acc = rows_scale * (rows_conv - 128)
-        else 128.0 / (_INT8_SCALE * _INT8_SCALE)  # acc = Q.E = S^2/128 * (conv - 128)
-    )
-    outf = acc.astype(jnp.float32) * scale + 128.0
+        p1a = p1 if p1a is None else p1a + p1
+        p23a = p23 if p23a is None else p23a + p23
+        p4a = p4 if p4a is None else p4a + p4
+    if skip_cols and out_e32:
+        out_ref[0] = acc  # int32 E, consumed by an in_e32 cols pass
+        return
+    if skip_cols:
+        outf = acc.astype(jnp.float32) * (1.0 / rows_scale) + 128.0
+    else:
+        # per-part f32 scaling: each part is < 2^24-exact after its own
+        # cast, so recombination error is ~2^-17 counts
+        inv = 1.0 / (127.0 * cols_scale)
+        outf = (
+            p1a.astype(jnp.float32) * (16384.0 * inv)
+            + p23a.astype(jnp.float32) * (128.0 * inv)
+            + p4a.astype(jnp.float32) * inv
+            + 128.0
+        )
     if out_u8:
         outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
         outf = outf.astype(jnp.int32).astype(jnp.uint8)
@@ -265,32 +316,26 @@ def int8_applicable(plan: BlurPlan, dtype) -> bool:
     """int8 precision needs a uint8 input, row radius >= 1, and >= 0 taps.
 
     A radius-0 column axis is fine (the kernel's rows-only ``skip_cols``
-    form — the split mode's pass 1 — which also scales adaptively, so any
-    kernel width is safe there); a radius-0 ROW axis is not (the cols pass
-    would read raw uint8, which the digit pipeline doesn't model). The
-    FULL two-pass form is locked to the 14-bit scale by its digit split,
-    whose worst-case quantization error grows with the tap count — gate it
-    to ``r_row + r_col <= _INT8_FULL_MAX_RADII`` so the <=1-count bound
-    holds by construction even on adversarial sign-aligned inputs.
+    form — the split mode's pass 1); a radius-0 ROW axis is not (the cols
+    pass would read raw uint8, which the digit pipeline doesn't model).
+    There is NO width gate: both passes scale adaptively with the largest
+    tap and the intermediate is re-quantized to a width-independent 14-bit
+    representation, so the worst-case adversarial quantization error stays
+    ~0.04 counts at any kernel width (see ``_kernel_int8``).
     """
-    if not (
+    return (
         dtype == jnp.uint8
         and plan.row.support_radius > 0
         and float(np.min(plan.row.taps)) >= 0.0
         and float(np.min(plan.col.taps)) >= 0.0
-    ):
-        return False
-    if plan.col.support_radius == 0:
-        return True  # rows-only form: adaptive scale, width-safe
-    return (
-        plan.row.support_radius + plan.col.support_radius
-        <= _INT8_FULL_MAX_RADII
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan", "tile", "precision", "out_u8", "pre_padded_col"),
+    static_argnames=(
+        "plan", "tile", "precision", "out_u8", "pre_padded_col", "e32"
+    ),
 )
 def _blur_fused_planar(
     planar: jnp.ndarray,
@@ -299,7 +344,12 @@ def _blur_fused_planar(
     precision,
     out_u8: bool,
     pre_padded_col: bool = False,
+    e32: str | None = None,
 ) -> jnp.ndarray:
+    """``e32``: the split regime's int8 intermediate streaming — "out" makes
+    a rows-only int8 pass emit the int32 E-representation, "in" makes a
+    cols-only int8 pass consume it (see ``_kernel_int8``). TPU/interpret
+    only; the split wrapper falls back to the f32 route off-device."""
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
     th, tw = tile
@@ -309,12 +359,21 @@ def _blur_fused_planar(
         )
 
     int8_mode = precision == "int8"
-    if int8_mode and planar.dtype != jnp.uint8:
+    if e32 is not None:
+        if not int8_mode:
+            raise ValueError("e32 streaming requires precision='int8'")
+        if e32 == "out" and (rh != 0 or planar.dtype != jnp.uint8):
+            raise ValueError("e32='out' is the rows-only u8 form (rh == 0)")
+        if e32 == "in" and (rw != 0 or planar.dtype != jnp.int32):
+            raise ValueError("e32='in' is the cols-only int32 form (rw == 0)")
+    elif int8_mode and planar.dtype != jnp.uint8:
         raise ValueError("precision='int8' requires uint8 input")
-    if int8_mode and rw == 0:
+    elif int8_mode and rw == 0:
         raise ValueError("precision='int8' requires row radius >= 1")
 
     if jax.default_backend() != "tpu" and not _FORCE_INTERPRET:
+        if e32 is not None:
+            raise ValueError("e32 streaming has no off-device fallback")
         # CPU/GPU fallback: same banded-matmul convolution via XLA, honoring
         # the requested precision (band_conv_valid understands "bf16x3" too,
         # so the accuracy class matches the TPU kernel off-device; int8 maps
@@ -378,13 +437,15 @@ def _blur_fused_planar(
     if int8_mode:
         # quantize the FULL matrix (so per-column sums hit the scale exactly
         # across chunk boundaries), then chunk and split into int8 hi/lo
-        # stacks. Rows-only form: adaptive scale (bounded by the largest
-        # tap); full form: the fixed S the cols digit split assumes.
-        rows_scale = (
-            pick_int8_scale(plan.row.taps) if rh == 0 else _INT8_SCALE
+        # stacks. Scales adapt to the largest tap per axis; the full form's
+        # rows scale is power-of-2-stepped so the in-kernel intermediate
+        # re-quantization stays an int32 shift.
+        rows_scale = pick_int8_scale(
+            plan.row.taps, pow2=rh != 0 or e32 == "out"
         )
+        cols_scale = pick_int8_scale(plan.col.taps)
         qbw = _quantize_band_int8(bw, rows_scale)
-        qbh = _quantize_band_int8(bh)
+        qbh = _quantize_band_int8(bh, cols_scale)
 
         def as_i8(q: np.ndarray) -> jnp.ndarray:
             return jnp.asarray(np.stack([q >> 7, q & 127]).astype(np.int8))
@@ -409,7 +470,8 @@ def _blur_fused_planar(
     if int8_mode:
         body = functools.partial(
             _kernel_int8, rows_h=rows_h, cols_w=cols_w, out_u8=out_u8,
-            skip_cols=rh == 0, rows_scale=rows_scale,
+            skip_cols=rh == 0, rows_scale=rows_scale, cols_scale=cols_scale,
+            out_e32=e32 == "out", in_e32=e32 == "in",
         )
     else:
         body = functools.partial(
@@ -435,7 +497,10 @@ def _blur_fused_planar(
             (1, th, tw), lambda c, i, j: (c, i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (bc, nbh * th, nbw * tw), jnp.uint8 if out_u8 else jnp.float32
+            (bc, nbh * th, nbw * tw),
+            jnp.uint8 if out_u8 else (
+                jnp.int32 if e32 == "out" else jnp.float32
+            ),
         ),
     )(*([x] * (nh * nw)), *bw_parts, *bh_parts)
 
@@ -482,14 +547,19 @@ _MACS_PER_HBM_BYTE = 37
 
 
 def _wide_tile_cost(
-    rh: int, rw: int, h: int, w: int, th: int, tw: int, in_bytes: int
+    rh: int, rw: int, h: int, w: int, th: int, tw: int, in_bytes: int,
+    wr: float = 1.0, wc: float = 1.0,
 ) -> float | None:
     """Cost model (MAC-equivalents per useful output pixel) for a (th, tw)
     tile, or None if the configuration exceeds the VMEM budget.
 
     rows pass recomputes the vertical halo span once per consuming tile
     (factor (th + 2rh)/th), so tall tiles amortize large vertical radii;
-    DMA is pipelined against compute, hence max() not sum.
+    DMA is pipelined against compute, hence max() not sum. ``wr``/``wc``
+    weight the per-axis MACs by the precision's dot-pass count at the
+    MXU's per-precision rate (bf16-dot equivalents: int8 rows 2/1.6=1.25,
+    int8 cols 4/1.6=2.5, bf16x3 u8-input rows 2, bf16x3 cols/f32 rows 3) —
+    used by ``_split_wins`` to compare mixed-precision forms fairly.
     """
     nh = 1 + (-(-2 * rh // th) if rh else 0)
     nw = 1 + (-(-2 * rw // tw) if rw else 0)
@@ -510,20 +580,21 @@ def _wide_tile_cost(
     # plans would otherwise be billed for phantom work
     macs = 0.0
     if rw:
-        macs += (th + 2 * rh) / th * (tw + 2 * rw)
+        macs += wr * (th + 2 * rh) / th * (tw + 2 * rw)
     if rh:
-        macs += th + 2 * rh
+        macs += wc * (th + 2 * rh)
     dma = _MACS_PER_HBM_BYTE * nh * nw * in_bytes
     return max(macs, dma) * waste
 
 
 def _best_wide(
-    rh: int, rw: int, h: int, w: int, in_bytes: int
+    rh: int, rw: int, h: int, w: int, in_bytes: int,
+    wr: float = 1.0, wc: float = 1.0,
 ) -> tuple[float, tuple[int, int]] | None:
     best: tuple[float, tuple[int, int]] | None = None
     for th in (256, 512, 768, 1024):
         for tw in (128, 256, 512, 1024):
-            cost = _wide_tile_cost(rh, rw, h, w, th, tw, in_bytes)
+            cost = _wide_tile_cost(rh, rw, h, w, th, tw, in_bytes, wr, wc)
             if cost is not None and (best is None or cost < best[0]):
                 best = (cost, (th, tw))
     return best
@@ -573,30 +644,80 @@ def split_feasible(plan: BlurPlan, in_bytes: int = 1) -> bool:
     return rows is not None and cols is not None
 
 
-def _split_wins(plan: BlurPlan, in_bytes: int) -> bool:
+def _split_wins(plan: BlurPlan, in_bytes: int, precision=None) -> bool:
     """Two single-axis kernels (f32 intermediate in HBM) vs one fused kernel.
 
     The single kernel rows-convolves each tile's vertical halo span once per
     consuming tile — a (th + 2rh)/th recompute factor that dominates at wide
     radii; the split trades it for one f32 HBM round trip (8 bytes/px).
+    Precision-aware: a u8 int8 single kernel runs ALL its dots at the int8
+    rate (rows 1.25 + cols 2.5 bf16-dot equivalents), while the split's
+    pass 2 reads the f32 intermediate and must run bf16x3 (3 eq) — so the
+    single form wins deeper into the wide-radius regime for u8 frames.
     """
     rh, rw = plan.col.support_radius, plan.row.support_radius
     if 2 * max(rh, rw) <= 512:
         return False  # measured-good single-kernel regime
-    single = _best_wide(rh, rw, plan.shape[0], plan.shape[1], in_bytes)
-    rows, cols = _split_passes(plan, in_bytes)
+    h, w = plan.shape
+    u8 = in_bytes == 1
+    full_int8 = (
+        precision == "int8" and u8 and int8_applicable(plan, jnp.uint8)
+    )
+    wr1, wc1 = (1.25, 2.5) if full_int8 else ((2.0, 3.0) if u8 else (3.0, 3.0))
+    single = _best_wide(rh, rw, h, w, in_bytes, wr1, wc1)
+    rows_plan, _ = _split_plans(plan)
+    p1_int8 = (
+        precision == "int8" and u8 and int8_applicable(rows_plan, jnp.uint8)
+    )
+    wr2 = 1.25 if p1_int8 else (2.0 if u8 else 3.0)
+    # pass 2: int8 on the e32 intermediate when pass 1 is int8 and the col
+    # taps qualify, else bf16x3 on the f32 intermediate
+    p2_int8 = (
+        p1_int8 and rh > 0 and float(np.min(plan.col.taps)) >= 0.0
+    )
+    rows = _best_wide(0, rw, h, w, in_bytes, wr2, 0.0)
+    cols = _best_wide(rh, 0, h, w, 4, 0.0, 2.5 if p2_int8 else 3.0)
     if rows is None or cols is None:
         return False
     if single is None:
         return True  # split is the only feasible MXU path
     hbm = 8 * _MACS_PER_HBM_BYTE  # f32 write + read of the intermediate
-    return rows[0] + cols[0] + hbm < single[0]
+    return (rows[0] + cols[0] + hbm) * _SPLIT_EFF_PENALTY < single[0]
+
+
+# Measured on v5e at 4K: the split's two small-tile passes retire their MACs
+# at roughly half the single fused kernel's MXU efficiency (small (th+2r, th)
+# matmuls + a second kernel launch), so its modeled MAC count underestimates
+# wall time by ~2.2x. Calibrated against the u8 crossovers: bf16x3 flips
+# between r=764 and r=1024, int8 between r=1330 and r=1663 (both match a
+# single 2.2 penalty; see PERF.md).
+_SPLIT_EFF_PENALTY = 2.2
 
 
 def _blur_fused_split(planar, plan: BlurPlan, precision, out_u8: bool):
     rows_plan, cols_plan = _split_plans(plan)
     is_u8 = jnp.asarray(planar).dtype == jnp.uint8
     in_bytes = 1 if is_u8 else 4
+    # int8 end to end: pass 1 emits the int32 E-intermediate, pass 2's
+    # cols-only int8 form consumes it — both passes run int8 dots instead
+    # of pass 2 falling back to bf16x3 (~17% of its dot time). Requires
+    # non-negative taps on both axes and a device (or interpret) kernel.
+    if (
+        precision == "int8"
+        and is_u8
+        and int8_applicable(rows_plan, jnp.uint8)
+        and float(np.min(plan.col.taps)) >= 0.0
+        and plan.col.support_radius > 0
+        and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
+    ):
+        e = _blur_fused_planar(
+            planar, rows_plan, _pick_tile(rows_plan, in_bytes), "int8",
+            out_u8=False, e32="out",
+        )
+        return _blur_fused_planar(
+            e, cols_plan, _pick_tile(cols_plan, 4), "int8", out_u8=out_u8,
+            e32="in",
+        )
     # pass 1 reads the raw uint8 frame: the int8 fixed-point rows form
     # applies even when the full kernel can't (pass 2 reads f32)
     p1_prec = precision
@@ -670,7 +791,7 @@ def blur_fused(
     """
     is_float = jnp.issubdtype(jnp.asarray(planar).dtype, jnp.floating)
     in_bytes = 4 if is_float else 1
-    if tile is None and _split_wins(plan, in_bytes):
+    if tile is None and _split_wins(plan, in_bytes, precision):
         # the split form resolves int8 per pass itself (pass 1 rows-only is
         # width-safe via its adaptive scale; pass 2 reads f32 -> bf16x3)
         if is_float:
@@ -698,10 +819,11 @@ def blur_fused_u8(
 
     ``precision="int8"`` selects the fixed-point MXU path (~1.6x the bf16
     dot rate on v5e); it falls back to ``"bf16x3"`` wherever it does not
-    apply (radius-0 row axis, kernels wider than the full-form accuracy
-    gate, the split regime's pass 2 on its f32 intermediate).
+    apply (radius-0 row axis, the split regime's pass 2 on its f32
+    intermediate); there is no kernel-width gate — both passes scale
+    adaptively (see ``_kernel_int8``).
     """
-    if tile is None and _split_wins(plan, in_bytes=1):
+    if tile is None and _split_wins(plan, 1, precision):
         # pass 1 keeps int8 (rows-only form, width-safe adaptive scale);
         # pass 2 runs bf16x3 on the f32 intermediate (inside the split)
         return _blur_fused_split(planar_u8, plan, precision, out_u8=True)

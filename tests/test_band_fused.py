@@ -118,8 +118,12 @@ class TestFusedKernel:
 
         small = make_plan((2160, 3840), 10.0)
         assert not fused_blur._split_wins(small, 1)
-        wide = make_plan((8192, 8192), 308.0)  # r ~ 1024
-        assert fused_blur._split_wins(wide, 1)
+        # int8 singles survive deeper into the wide regime than bf16x3
+        mid = make_plan((2160, 3840), 300.0)  # r ~ 997
+        assert not fused_blur._split_wins(mid, 1, "int8")
+        wide = make_plan((2160, 3840), 400.0)  # r ~ 1330
+        assert fused_blur._split_wins(wide, 1, "int8")
+        assert fused_blur._split_wins(wide, 1, "bf16x3")
 
     def test_wide_tile_picker(self):
         from blur_algorithms_tpu.pallas_kernels import fused_blur
@@ -291,35 +295,18 @@ class TestInt8Kernel:
                 assert err <= 1, f"{name} s={sigma}: {err}"
 
 
-class TestInt8WidthGate:
-    """The adaptive-scale / width-gate additions to the int8 path."""
+class TestInt8AdaptiveScale:
+    """Adaptive per-pass scales + re-quantized intermediate: no width gate."""
 
-    def test_full_form_gated_by_total_radius(self):
-        from blur_algorithms_tpu.pallas_kernels.fused_blur import (
-            _INT8_FULL_MAX_RADII,
-            int8_applicable,
-        )
-
-        narrow = make_plan((512, 512), 10.0)  # r ~ 32 per axis
-        assert (
-            narrow.row.support_radius + narrow.col.support_radius
-            <= _INT8_FULL_MAX_RADII
-        )
-        assert int8_applicable(narrow, jnp.uint8)
-
-        wide = make_plan((512, 512), 20.0)  # r ~ 65 per axis: sum > gate
-        assert (
-            wide.row.support_radius + wide.col.support_radius
-            > _INT8_FULL_MAX_RADII
-        )
-        assert not int8_applicable(wide, jnp.uint8)
-
-    def test_rows_only_form_has_no_width_gate(self):
+    def test_no_width_gate(self):
         from blur_algorithms_tpu.pallas_kernels.fused_blur import int8_applicable
 
-        thin = make_plan((1, 1024), 60.0)  # col radius 0, row radius ~ 199
+        for sigma in (10.0, 20.0, 60.0, 150.0):
+            plan = make_plan((2048, 2048), sigma)
+            assert int8_applicable(plan, jnp.uint8), sigma
+        # rows-only form likewise
+        thin = make_plan((1, 1024), 60.0)
         assert thin.col.support_radius == 0
-        assert thin.row.support_radius > 150
         assert int8_applicable(thin, jnp.uint8)
 
     def test_pick_int8_scale_bounds(self):
@@ -342,6 +329,21 @@ class TestInt8WidthGate:
         assert round(float(wide.max()) * s) < 1 << 14
         # degenerate all-zero taps fall back to the base scale
         assert pick_int8_scale(np.zeros(3, np.float32)) == _INT8_SCALE
+
+    def test_pick_int8_scale_pow2(self):
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import (
+            _INT8_SCALE,
+            pick_int8_scale,
+        )
+
+        for sigma, width in ((1.0, 5), (10.0, 67), (80.0, 533), (200.0, 1333)):
+            taps = gaussian_kernel(sigma, width)
+            s = pick_int8_scale(taps, pow2=True)
+            m = s // _INT8_SCALE
+            assert s == _INT8_SCALE * m and m & (m - 1) == 0 and m <= 512
+            assert round(float(taps.max()) * s) < 1 << 14
+            # within a factor 2 of the unrestricted adaptive scale
+            assert s * 2 > min(pick_int8_scale(taps), _INT8_SCALE << 9)
 
     def test_quantize_residual_spreading(self):
         from blur_algorithms_tpu.pallas_kernels.fused_blur import (
@@ -371,8 +373,7 @@ class TestInt8WidthGate:
             _quantize_band_int8(np.array([[0.5], [-0.1], [0.6]]))
 
     def test_wide_rows_only_adaptive_scale_interpret(self, rng, monkeypatch):
-        """A kernel far beyond the full-form gate stays <=1 count in the
-        rows-only form thanks to the adaptive scale."""
+        """A very wide kernel stays <=1 count in the rows-only form."""
         from blur_algorithms_tpu.pallas_kernels import fused_blur
 
         monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
@@ -386,21 +387,93 @@ class TestInt8WidthGate:
         want = np.moveaxis(oracle.blur_u8(img, 40.0), -1, 0)
         assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
 
-    def test_wide_kernel_full_form_falls_back(self, rng, monkeypatch):
-        """Past the gate the u8 entry point silently resolves to bf16x3 and
-        still meets the <=1-count bound."""
+    def test_wide_full_form_int8_interpret(self, rng, monkeypatch):
+        """Full two-pass int8 far past the old r_sum=113 gate: the
+        re-quantized intermediate keeps it inside <=1 count."""
         from blur_algorithms_tpu.pallas_kernels import fused_blur
 
         monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
-        img = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
-        plan = make_plan((96, 96), 20.0)  # width clamps to 95: r=47+47 < gate
-        # force a wider-than-gate synthetic check via the applicability fn
-        wide = make_plan((512, 512), 20.0)
-        assert not fused_blur.int8_applicable(wide, jnp.uint8)
-        # and the runnable-size case still routes + matches the oracle
+        img = (rng.random((128, 128, 3)) * 255).astype(np.uint8)
+        plan = make_plan((128, 128), 20.0)  # r = 63 + 63 = 126 > 113
+        assert plan.row.support_radius + plan.col.support_radius > 113
+        assert fused_blur.int8_applicable(plan, jnp.uint8)
         planar = jnp.moveaxis(jnp.asarray(img), -1, -3)
         got = np.asarray(
-            fused_blur.blur_fused_u8(planar, plan, precision="int8", tile=(32, 32))
+            fused_blur._blur_fused_planar(
+                planar, plan, (32, 32), "int8", out_u8=True
+            )
         )
         want = np.moveaxis(oracle.blur_u8(img, 20.0), -1, 0)
         assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+    def test_wide_full_form_adversarial_interpret(self, monkeypatch):
+        """Checkerboard + step worst cases at a wide kernel."""
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
+        h, w = 96, 96
+        yy, xx = np.mgrid[0:h, 0:w]
+        plan = make_plan((h, w), 18.0)  # width clamps near the frame size
+        for name, img2d in {
+            "checker": (255 * ((yy + xx) % 2)).astype(np.uint8),
+            "step": (255 * (xx > w // 2)).astype(np.uint8),
+        }.items():
+            img = img2d[..., None].repeat(3, -1)
+            planar = jnp.moveaxis(jnp.asarray(img), -1, -3)
+            got = np.asarray(
+                fused_blur._blur_fused_planar(
+                    planar, plan, (32, 32), "int8", out_u8=True
+                )
+            )
+            want = np.moveaxis(oracle.blur_u8(img, 18.0), -1, 0)
+            err = int(np.abs(got.astype(int) - want.astype(int)).max())
+            assert err <= 1, f"{name}: {err}"
+
+
+class TestInt8E32Split:
+    """Split regime with the int32 E-intermediate: int8 dots in BOTH passes."""
+
+    def test_split_e32_matches_oracle_interpret(self, rng, monkeypatch):
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
+        img = (rng.random((64, 80, 3)) * 255).astype(np.uint8)
+        plan = make_plan((64, 80), 18.0)
+        planar = jnp.moveaxis(jnp.asarray(img), -1, -3)
+        got = np.asarray(
+            fused_blur._blur_fused_split(planar, plan, "int8", out_u8=True)
+        )
+        want = np.moveaxis(oracle.blur_u8(img, 18.0), -1, 0)
+        assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+    def test_split_e32_constant_exact_interpret(self, monkeypatch):
+        """DC-exactness survives the E round trip at every constant level."""
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
+        plan = make_plan((32, 32), 6.0)
+        for level in (0, 127, 255):
+            planar = jnp.full((1, 32, 32), level, jnp.uint8)
+            got = np.asarray(
+                fused_blur._blur_fused_split(planar, plan, "int8", out_u8=True)
+            )
+            assert (got == level).all(), f"level {level}"
+
+    def test_e32_mode_validation(self, rng):
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        plan = make_plan((32, 32), 6.0)
+        rows_plan, cols_plan = fused_blur._split_plans(plan)
+        x8 = jnp.zeros((1, 32, 32), jnp.uint8)
+        with pytest.raises(ValueError):  # e32 out needs a rows-only plan
+            fused_blur._blur_fused_planar(
+                x8, plan, (16, 16), "int8", out_u8=False, e32="out"
+            )
+        with pytest.raises(ValueError):  # e32 in needs int32 input
+            fused_blur._blur_fused_planar(
+                x8, cols_plan, (16, 16), "int8", out_u8=True, e32="in"
+            )
+        with pytest.raises(ValueError):  # e32 needs int8 precision
+            fused_blur._blur_fused_planar(
+                x8, rows_plan, (16, 16), "bf16x3", out_u8=False, e32="out"
+            )
