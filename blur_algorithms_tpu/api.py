@@ -21,7 +21,7 @@ TPU-native engines beyond the parity set:
 * ``band``    — banded-block matmul on the MXU in plain XLA;
 * ``fft_mxu`` — Bailey four-step FFT as MXU matmuls (fused Pallas pipeline
   on TPU): radius-independent, the exact path for giant kernels;
-* ``auto``    — fused to radius ~2560 (the banded/FFT crossover), then
+* ``auto``    — fused to radius ~3500 (the banded/FFT crossover), then
   fft_mxu, then strip-streamed FFT when frames outgrow HBM budgets.
 
 Every (shape, nsmooth, engine, options) tuple is a distinct jit
@@ -77,9 +77,10 @@ FLAG_TO_ENGINE = {
 
 # AUTO: the multi-block-halo fused kernel owns the MXU while its O(radius)
 # banded matmuls beat the radius-independent four-step MXU FFT (~0.8 GP/s);
-# measured crossover on a 67 MP frame: split-band 931 vs fft_mxu 845 MP/s
-# at r=2046, 706 vs 776 at r=3328.
-_AUTO_FUSED_MAX_RADIUS = 2560
+# measured on a 67 MP frame with the int8-e32 split: 900 vs 721 MP/s at
+# r=2046 and 685 vs 633 at r=3328 (benchmarks/wide_radius.json), putting
+# the crossover near r~3500.
+_AUTO_FUSED_MAX_RADIUS = 3500
 
 
 def _fused_tile_ok(plan: BlurPlan, in_bytes: int = 1) -> bool:
@@ -87,8 +88,21 @@ def _fused_tile_ok(plan: BlurPlan, in_bytes: int = 1) -> bool:
         fused_blur._pick_tile(plan, in_bytes)
         return True
     except ValueError:  # single-kernel VMEM exceeded: two-pass split form?
-        return fused_blur.split_feasible(plan, in_bytes)
+        if not fused_blur.split_feasible(plan, in_bytes):
+            return False
+        # Giant-frame guard: the split streams a 4-byte intermediate (int32
+        # E / f32) through HBM, and pass 2 reflect+block-pads it vertically
+        # by ~2*rh — at 348 MP and r~3000 the in-flight buffers exceed the
+        # chip's 16 GB (measured RESOURCE_EXHAUSTED), while fft_mxu
+        # strip-streams internally. Estimate per-channel-planar RGB frame.
+        h, w = plan.shape
+        rh = plan.col.support_radius
+        px = 3 * h * w
+        est = px * (in_bytes + 4 + 4 * (h + 2 * rh + 2048) / h + in_bytes)
+        return est <= _FUSED_SPLIT_HBM_BUDGET
 
+
+_FUSED_SPLIT_HBM_BUDGET = 11 << 30
 
 # fft_mxu's padded-row intermediates are its whole footprint; v5e has 16 GB
 _FFT_MXU_BYTE_BUDGET = 10 << 30

@@ -592,7 +592,10 @@ def _best_wide(
     wr: float = 1.0, wc: float = 1.0,
 ) -> tuple[float, tuple[int, int]] | None:
     best: tuple[float, tuple[int, int]] | None = None
-    for th in (256, 512, 768, 1024):
+    # th=1024 is excluded: measured 1.3-1.6x slower than 768-tall tiles at
+    # the same radius on v5e (67 MP frames, r=531-1537) despite a lower
+    # modeled cost — Mosaic schedules the very tall cols matmuls poorly
+    for th in (256, 512, 768):
         for tw in (128, 256, 512, 1024):
             cost = _wide_tile_cost(rh, rw, h, w, th, tw, in_bytes, wr, wc)
             if cost is not None and (best is None or cost < best[0]):
@@ -792,8 +795,8 @@ def blur_fused(
     is_float = jnp.issubdtype(jnp.asarray(planar).dtype, jnp.floating)
     in_bytes = 4 if is_float else 1
     if tile is None and _split_wins(plan, in_bytes, precision):
-        # the split form resolves int8 per pass itself (pass 1 rows-only is
-        # width-safe via its adaptive scale; pass 2 reads f32 -> bf16x3)
+        # the split form resolves int8 per pass itself (int8 end to end via
+        # the e32 intermediate on device; bf16x3 pass 2 otherwise)
         if is_float:
             if precision == "int8":
                 precision = "bf16x3"
@@ -824,8 +827,8 @@ def blur_fused_u8(
     adaptively (see ``_kernel_int8``).
     """
     if tile is None and _split_wins(plan, 1, precision):
-        # pass 1 keeps int8 (rows-only form, width-safe adaptive scale);
-        # pass 2 runs bf16x3 on the f32 intermediate (inside the split)
+        # int8 end to end on device (e32 intermediate streaming); the
+        # split wrapper resolves per-pass precision itself
         return _blur_fused_split(planar_u8, plan, precision, out_u8=True)
     if precision == "int8" and not int8_applicable(
         plan, jnp.asarray(planar_u8).dtype

@@ -90,10 +90,19 @@ def test_pallas_path_is_differentiable(rng):
 
 
 def test_auto_routes_giant_radius_to_fft_mxu():
-    # r ~ 2990 > fused crossover (2560) -> the MXU FFT owns it at any size
-    plan = make_plan((8192, 8192), 900.0)
-    assert plan.col.support_radius > 2560
+    # past the fused crossover (~3500) the MXU FFT owns every size; below
+    # it the int8-e32 split keeps the banded path (measured faster to
+    # r=3328 on 67 MP)
+    mid = make_plan((8192, 8192), 900.0)  # r ~ 2995 < 3500
+    assert _resolve_engine(Engine.AUTO, mid) is Engine.FUSED
+    plan = make_plan((16384, 16384), 1200.0)
+    assert plan.col.support_radius > 3500
     assert _resolve_engine(Engine.AUTO, plan) is Engine.FFT_MXU
+    # giant-frame guard: a 348 MP frame at r ~ 2995 would OOM the fused
+    # split's int32 intermediate -> fft_mxu streams it instead
+    giant = make_plan((14500, 24000), 900.0)
+    assert giant.col.support_radius <= 3500
+    assert _resolve_engine(Engine.AUTO, giant) is Engine.FFT_MXU
     # frames whose padded-row intermediates outgrow HBM stay on fft_mxu
     # (the engine strip-streams internally past the byte budget)
     giant = make_plan((24000, 14500), 1500.0)
