@@ -79,8 +79,11 @@ FLAG_TO_ENGINE = {
 # banded matmuls beat the radius-independent four-step MXU FFT (~0.8 GP/s);
 # measured on a 67 MP frame with the int8-e32 split: 900 vs 721 MP/s at
 # r=2046 and 685 vs 633 at r=3328 (benchmarks/wide_radius.json), putting
-# the crossover near r~3500.
-_AUTO_FUSED_MAX_RADIUS = 3500
+# the u8 crossover near r~3500. Float inputs cannot use the int8-e32
+# split (bf16x3 pass 2), where the bf16x3-era measurements put the
+# crossover at ~2560 (706 vs 776 MP/s at r=3328) — keep that for floats.
+_AUTO_FUSED_MAX_RADIUS_U8 = 3500
+_AUTO_FUSED_MAX_RADIUS_F32 = 2560
 
 
 def _fused_tile_ok(plan: BlurPlan, in_bytes: int = 1) -> bool:
@@ -88,21 +91,13 @@ def _fused_tile_ok(plan: BlurPlan, in_bytes: int = 1) -> bool:
         fused_blur._pick_tile(plan, in_bytes)
         return True
     except ValueError:  # single-kernel VMEM exceeded: two-pass split form?
-        if not fused_blur.split_feasible(plan, in_bytes):
-            return False
-        # Giant-frame guard: the split streams a 4-byte intermediate (int32
-        # E / f32) through HBM, and pass 2 reflect+block-pads it vertically
-        # by ~2*rh — at 348 MP and r~3000 the in-flight buffers exceed the
-        # chip's 16 GB (measured RESOURCE_EXHAUSTED), while fft_mxu
-        # strip-streams internally. Estimate per-channel-planar RGB frame.
-        h, w = plan.shape
-        rh = plan.col.support_radius
-        px = 3 * h * w
-        est = px * (in_bytes + 4 + 4 * (h + 2 * rh + 2048) / h + in_bytes)
-        return est <= _FUSED_SPLIT_HBM_BUDGET
-
-
-_FUSED_SPLIT_HBM_BUDGET = 11 << 30
+        # fused_blur's own split router applies the same HBM guard, so a
+        # giant frame whose split would exhaust HBM (and whose single
+        # kernel does not fit VMEM) falls through to the streamed FFT here
+        return fused_blur.split_feasible(plan, in_bytes) and (
+            fused_blur.split_hbm_bytes(plan, in_bytes)
+            <= fused_blur._SPLIT_HBM_BUDGET
+        )
 
 # fft_mxu's padded-row intermediates are its whole footprint; v5e has 16 GB
 _FFT_MXU_BYTE_BUDGET = 10 << 30
@@ -115,7 +110,11 @@ def _resolve_engine(
     if engine is not Engine.AUTO:
         return engine
     r = max(plan.col.support_radius, plan.row.support_radius)
-    if r <= _AUTO_FUSED_MAX_RADIUS and _fused_tile_ok(plan, in_bytes):
+    r_max = (
+        _AUTO_FUSED_MAX_RADIUS_U8 if in_bytes == 1
+        else _AUTO_FUSED_MAX_RADIUS_F32
+    )
+    if r <= r_max and _fused_tile_ok(plan, in_bytes):
         return Engine.FUSED
     # beyond the banded-matmul crossover: the radius-independent MXU FFT
     # (it strip-streams internally when whole-batch intermediates outgrow

@@ -114,8 +114,10 @@ def pick_int8_scale(taps: np.ndarray, pow2: bool = False) -> int:
     if t_max <= 0:
         return _INT8_SCALE
     if pow2:
+        # leave 1 q-unit of headroom below 2^14: the quantizer's +/-1
+        # residual spread may land on the max tap
         m = 0
-        while m < 9 and round(t_max * (_INT8_SCALE << (m + 1))) < 1 << 14:
+        while m < 9 and round(t_max * (_INT8_SCALE << (m + 1))) < (1 << 14) - 1:
             m += 1
         return _INT8_SCALE << m
     return max(_INT8_SCALE, min(_INT8_MAX_SCALE, int(_INT8_SCALE / t_max)))
@@ -233,8 +235,11 @@ def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
     nh, nw = len(rows_h), len(cols_w)
     out_ref = refs[-1]
     x_refs = refs[: nh * nw]
-    bw_parts = refs[nh * nw : nh * nw + nw]
-    bh_parts = refs[nh * nw + nw : nh * nw + nw + nh]
+    # the in_e32 cols-only form carries no row matrices (they would be dead
+    # identity operands burning VMEM + DMA in the widest-radius regime)
+    n_bw = 0 if in_e32 else nw
+    bw_parts = refs[nh * nw : nh * nw + n_bw]
+    bh_parts = refs[nh * nw + n_bw : nh * nw + n_bw + nh]
 
     # Sr = S << m; the requant shift folds the m extra bits back out
     # (the f32-out rows-only form never re-quantizes, so any adaptive Sr is
@@ -444,13 +449,18 @@ def _blur_fused_planar(
             plan.row.taps, pow2=rh != 0 or e32 == "out"
         )
         cols_scale = pick_int8_scale(plan.col.taps)
-        qbw = _quantize_band_int8(bw, rows_scale)
-        qbh = _quantize_band_int8(bh, cols_scale)
 
         def as_i8(q: np.ndarray) -> jnp.ndarray:
             return jnp.asarray(np.stack([q >> 7, q & 127]).astype(np.int8))
 
-        bw_parts = [as_i8(qbw[k * tw : k * tw + cols_w[k]]) for k in range(nw)]
+        if e32 == "in":
+            bw_parts = []  # the cols-only form reads E directly: no row mats
+        else:
+            qbw = _quantize_band_int8(bw, rows_scale)
+            bw_parts = [
+                as_i8(qbw[k * tw : k * tw + cols_w[k]]) for k in range(nw)
+            ]
+        qbh = _quantize_band_int8(bh, cols_scale)
         bh_parts = [as_i8(qbh[k * th : k * th + rows_h[k]]) for k in range(nh)]
     else:
         bw_parts = [as_mat(bw[k * tw : k * tw + cols_w[k]]) for k in range(nw)]
@@ -647,6 +657,36 @@ def split_feasible(plan: BlurPlan, in_bytes: int = 1) -> bool:
     return rows is not None and cols is not None
 
 
+def e32_split_applicable(plan: BlurPlan, precision, in_bytes: int) -> bool:
+    """True when the split form can run int8 end to end via the int32-E
+    intermediate (pass 1 rows-only int8, pass 2 cols-only int8). Single
+    source of truth for the cost model AND the execution path."""
+    if precision != "int8" or in_bytes != 1:
+        return False
+    rows_plan, _ = _split_plans(plan)
+    return (
+        int8_applicable(rows_plan, jnp.uint8)
+        and plan.col.support_radius > 0
+        and float(np.min(plan.col.taps)) >= 0.0
+    )
+
+
+def split_hbm_bytes(plan: BlurPlan, in_bytes: int = 1) -> int:
+    """Peak-HBM estimate of the two-pass split on a channel-planar RGB
+    frame: input + the 4-byte intermediate (int32 E / f32) + pass 2's
+    reflect+block-padded copy of it + the output. At ~348 MP and wide
+    radii this exceeds the chip's 16 GB (measured RESOURCE_EXHAUSTED)."""
+    h, w = plan.shape
+    rh = plan.col.support_radius
+    px = 3 * h * w
+    return int(px * (in_bytes + 4 + 4 * (h + 2 * rh + 2048) / h + in_bytes))
+
+
+# Split forms whose in-flight buffers exceed this budget are routed away
+# (the single kernel if feasible, else the streamed FFT via api AUTO).
+_SPLIT_HBM_BUDGET = 11 << 30
+
+
 def _split_wins(plan: BlurPlan, in_bytes: int, precision=None) -> bool:
     """Two single-axis kernels (f32 intermediate in HBM) vs one fused kernel.
 
@@ -673,14 +713,15 @@ def _split_wins(plan: BlurPlan, in_bytes: int, precision=None) -> bool:
         precision == "int8" and u8 and int8_applicable(rows_plan, jnp.uint8)
     )
     wr2 = 1.25 if p1_int8 else (2.0 if u8 else 3.0)
-    # pass 2: int8 on the e32 intermediate when pass 1 is int8 and the col
-    # taps qualify, else bf16x3 on the f32 intermediate
-    p2_int8 = (
-        p1_int8 and rh > 0 and float(np.min(plan.col.taps)) >= 0.0
-    )
+    # pass 2: int8 on the e32 intermediate when applicable, else bf16x3
+    p2_int8 = e32_split_applicable(plan, precision, in_bytes)
     rows = _best_wide(0, rw, h, w, in_bytes, wr2, 0.0)
     cols = _best_wide(rh, 0, h, w, 4, 0.0, 2.5 if p2_int8 else 3.0)
     if rows is None or cols is None:
+        return False
+    if split_hbm_bytes(plan, in_bytes) > _SPLIT_HBM_BUDGET:
+        # giant-frame guard: the split would exhaust HBM; prefer the single
+        # kernel when it fits (callers fall back to streamed FFT otherwise)
         return False
     if single is None:
         return True  # split is the only feasible MXU path
@@ -705,13 +746,8 @@ def _blur_fused_split(planar, plan: BlurPlan, precision, out_u8: bool):
     # cols-only int8 form consumes it — both passes run int8 dots instead
     # of pass 2 falling back to bf16x3 (~17% of its dot time). Requires
     # non-negative taps on both axes and a device (or interpret) kernel.
-    if (
-        precision == "int8"
-        and is_u8
-        and int8_applicable(rows_plan, jnp.uint8)
-        and float(np.min(plan.col.taps)) >= 0.0
-        and plan.col.support_radius > 0
-        and (jax.default_backend() == "tpu" or _FORCE_INTERPRET)
+    if e32_split_applicable(plan, precision, in_bytes) and (
+        jax.default_backend() == "tpu" or _FORCE_INTERPRET
     ):
         e = _blur_fused_planar(
             planar, rows_plan, _pick_tile(rows_plan, in_bytes), "int8",

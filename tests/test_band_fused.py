@@ -477,3 +477,40 @@ class TestInt8E32Split:
             fused_blur._blur_fused_planar(
                 x8, rows_plan, (16, 16), "bf16x3", out_u8=False, e32="out"
             )
+
+    def test_split_hbm_guard(self):
+        """Giant frames whose split would exhaust HBM stay on the single
+        kernel (the measured RESOURCE_EXHAUSTED regime)."""
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        giant = make_plan((14500, 24000), 560.0)  # r ~ 1862: single fits VMEM
+        assert fused_blur.split_hbm_bytes(giant, 1) > fused_blur._SPLIT_HBM_BUDGET
+        assert not fused_blur._split_wins(giant, 1, "int8")
+        fused_blur._pick_tile(giant, 1)  # the single form must be feasible
+        ok = make_plan((8192, 8192), 560.0)  # 67 MP: same radius fits
+        assert fused_blur.split_hbm_bytes(ok, 1) <= fused_blur._SPLIT_HBM_BUDGET
+
+    def test_e32_split_predicate(self):
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        plan = make_plan((256, 256), 20.0)
+        assert fused_blur.e32_split_applicable(plan, "int8", 1)
+        assert not fused_blur.e32_split_applicable(plan, "bf16x3", 1)
+        assert not fused_blur.e32_split_applicable(plan, "int8", 4)
+        thin = make_plan((1, 256), 20.0)  # col radius 0: no cols pass
+        assert not fused_blur.e32_split_applicable(thin, "int8", 1)
+
+    def test_pow2_scale_leaves_spread_headroom(self):
+        """After the +/-1 residual spread, every quantized tap stays < 2^14
+        across a dense sigma sweep (the old bound had zero margin)."""
+        from blur_algorithms_tpu.ops.band_matmul import band_block_matrix
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import (
+            _quantize_band_int8,
+            pick_int8_scale,
+        )
+
+        for sigma in np.linspace(12.5, 12.9, 9):  # brackets the tightest case
+            taps = gaussian_kernel(float(sigma), 85)
+            s = pick_int8_scale(taps, pow2=True)
+            q = _quantize_band_int8(band_block_matrix(taps, 64), s)
+            assert q.max() < 1 << 14

@@ -120,3 +120,11 @@ def test_streamed_mxu_matches_whole(rng):
     whole = np.asarray(blur_fft_mxu_pallas(jnp.asarray(x), plan))
     streamed = np.asarray(blur_fft_mxu_streamed(jnp.asarray(x), plan, strip=16))
     np.testing.assert_allclose(streamed, whole, atol=1e-2)
+
+
+def test_auto_float_crossover_is_lower():
+    """Float inputs cannot ride the int8-e32 split, so AUTO hands them to
+    the radius-independent MXU FFT earlier than uint8 frames."""
+    plan = make_plan((8192, 8192), 900.0)  # r ~ 2995: between the two
+    assert _resolve_engine(Engine.AUTO, plan, in_bytes=1) is Engine.FUSED
+    assert _resolve_engine(Engine.AUTO, plan, in_bytes=4) is Engine.FFT_MXU
