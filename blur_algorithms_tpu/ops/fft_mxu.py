@@ -142,17 +142,17 @@ def transform_length(axis_plan) -> int:
     """Planned transform length for one axis (shared by both forms).
 
     Short axes round up to the next pow2 (balanced near-sqrt factors);
-    in 4096..16384 the length is the next ``128 * (multiple of 8)`` — the
-    DFT stages are dense matmuls, so unlike a pow2-only FFT the zero-pad
-    waste is bounded at ~3% instead of up to ~2x (e.g. a needed 4902 plans
-    5120, not 8192). Past 16384 lengths snap back to pow2: composite
-    lengths at giant axes (N=21504/30720, the 348 MP sigma=900 streamed
-    case) reproducibly RESOURCE_EXHAUSTED the v5e backend where the pow2
-    32768 program runs fine — root cause not yet isolated (same per-strip
-    footprints on paper); revisit before widening the composite range.
+    past 4096 the length is the next ``128 * (multiple of 8)`` — the DFT
+    stages are dense matmuls, so unlike a pow2-only FFT the zero-pad waste
+    is bounded at ~3% instead of up to ~2x (e.g. a needed 4902 plans 5120,
+    not 8192). (A giant-axis OOM once blamed on composite lengths was
+    really the streamed path's whole-frame pad-to-strips copy — fixed in
+    ``streamed._pass_over_strips`` by clamping the last strip; verified
+    via ``Compiled.memory_analysis``: composite temps are now ~1 GB at
+    348 MP where the padded form needed 8-10.5 GB.)
     """
     need = axis_plan.dim + 2 * axis_plan.pad
-    if need <= 4096 or need > 16384:
+    if need <= 4096:
         return max(256, 1 << (need - 1).bit_length())
     m = -(-need // 128)  # lanes-of-128 chunks
     return 128 * (-(-m // 8) * 8)  # n2 a multiple of 8 (sublane granularity)

@@ -5,7 +5,9 @@ at a time, plans reused (``README.md:69-71``). The TPU-sized equivalent
 processes *strips* per dispatch step so peak HBM stays O(image) + O(strip)
 instead of several full-size float copies — a 348 MP frame at sigma =
 sqrt(width) (the top of the reference's benchmark sweep) needs ~13 GB
-transformed whole, but ~5 GB streamed (one f32 intermediate + strips).
+transformed whole, but ~5.6 GB streamed (one f32 intermediate + strips;
+the last strip CLAMPS instead of padding the frame to whole strips — the
+pad materialized a full f32 temp copy that pushed peak HBM to 13-15 GB).
 
 Layout strategy: the rows pass slices strips of rows and transforms axis -1;
 the columns pass slices strips of *columns* and transforms axis -2 directly
@@ -77,20 +79,24 @@ def _pass_over_strips(
     fft_axis %= x.ndim
     strip_axis %= x.ndim
     n_strip = x.shape[strip_axis]
+    strip = min(strip, n_strip)
     nstrips = -(-n_strip // strip)
 
-    # pad the strip axis to whole strips (cropped after)
-    cfg = [(0, 0)] * x.ndim
-    cfg[strip_axis] = (0, nstrips * strip - n_strip)
-    x = jnp.pad(x, cfg)
-
+    # No whole-frame pad-to-strips: that materialized a full f32 copy of
+    # the frame as XLA temp (~4 GB at 348 MP — measured via
+    # memory_analysis(); combined with the output carry it pushed peak HBM
+    # to ~13-15 GB and RESOURCE_EXHAUSTED the chip). Instead the LAST
+    # strip's start clamps to n - strip: its overlap rows recompute values
+    # byte-identical to the previous strip's (each output row depends only
+    # on its own input row along the conv axis), so the double write is
+    # harmless and peak HBM stays O(frame) + O(strip).
     out0 = jnp.zeros(x.shape, out_dtype)
     sizes = list(x.shape)
     sizes[strip_axis] = strip
 
     def body(i, out):
         starts = [0] * x.ndim
-        starts[strip_axis] = i * strip
+        starts[strip_axis] = jnp.minimum(i * strip, n_strip - strip)
         chunk = jax.lax.dynamic_slice(x, starts, sizes)
         blurred = chunk_fn(chunk.astype(jnp.float32), axis_plan, fft_axis)
         if out_dtype == jnp.uint8:
@@ -99,10 +105,7 @@ def _pass_over_strips(
             blurred = blurred.astype(out_dtype)
         return jax.lax.dynamic_update_slice(out, blurred, starts)
 
-    out = jax.lax.fori_loop(0, nstrips, body, out0)
-    sl = [slice(None)] * x.ndim
-    sl[strip_axis] = slice(0, n_strip)
-    return out[tuple(sl)]
+    return jax.lax.fori_loop(0, nstrips, body, out0)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "strip"))

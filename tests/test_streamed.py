@@ -49,3 +49,30 @@ def test_auto_routing_by_radius_and_size():
     assert _resolve_engine(Engine.AUTO, colossal) is Engine.FFT_MXU
     normal = make_plan((1080, 1920), 10.0)
     assert _resolve_engine(Engine.AUTO, normal) is Engine.FUSED
+
+
+def test_strip_larger_than_axis(rng):
+    """strip > the sliced axis: clamps to one whole strip (no pad copy)."""
+    from blur_algorithms_tpu.ops.streamed import blur_fft_tiles_streamed_u8
+    from blur_algorithms_tpu import oracle
+
+    img = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    plan = make_plan((40, 56), 4.0)
+    planar = jnp.moveaxis(jnp.asarray(img), -1, -3)
+    got = np.asarray(blur_fft_tiles_streamed_u8(planar, plan, strip=512))
+    want = np.moveaxis(oracle.blur_u8(img, 4.0), -1, 0)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+
+def test_clamped_last_strip_overlap(rng):
+    """Non-dividing strip: the clamped last strip rewrites overlap rows
+    with identical values (u8 path, both axes)."""
+    from blur_algorithms_tpu.ops.streamed import blur_fft_tiles_streamed_u8
+    from blur_algorithms_tpu import oracle
+
+    img = (rng.random((53, 47, 3)) * 255).astype(np.uint8)
+    plan = make_plan((53, 47), 3.0)
+    planar = jnp.moveaxis(jnp.asarray(img), -1, -3)
+    got = np.asarray(blur_fft_tiles_streamed_u8(planar, plan, strip=16))
+    want = np.moveaxis(oracle.blur_u8(img, 3.0), -1, 0)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
