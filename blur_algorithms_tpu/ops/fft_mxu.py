@@ -142,17 +142,22 @@ def transform_length(axis_plan) -> int:
     """Planned transform length for one axis (shared by both forms).
 
     Short axes round up to the next pow2 (balanced near-sqrt factors);
-    past 4096 the length is the next ``128 * (multiple of 8)`` — the DFT
-    stages are dense matmuls, so unlike a pow2-only FFT the zero-pad waste
-    is bounded at ~3% instead of up to ~2x (e.g. a needed 4902 plans 5120,
-    not 8192). (A giant-axis OOM once blamed on composite lengths was
-    really the streamed path's whole-frame pad-to-strips copy — fixed in
-    ``streamed._pass_over_strips`` by clamping the last strip; verified
-    via ``Compiled.memory_analysis``: composite temps are now ~1 GB at
-    348 MP where the padded form needed 8-10.5 GB.)
+    in 4096..16384 the length is the next ``128 * (multiple of 8)`` — the
+    DFT stages are dense matmuls, so unlike a pow2-only FFT the zero-pad
+    waste is bounded at ~3% instead of up to ~2x (e.g. a needed 4902 plans
+    5120, not 8192), and composite lengths measured faster there. Past
+    16384 lengths snap to pow2: at giant axes the streamed path is
+    DMA-bound, so composite's FLOP saving measured zero runtime benefit
+    (526 vs 494 ms at 348 MP sigma=900) while doubling compile time
+    (936 vs 446 s — pow2 usually unifies both axes to one N, sharing one
+    kernel compile). (An OOM once blamed on composite lengths here was
+    really the streamed path's whole-frame pad-to-strips copy, since
+    fixed in ``streamed._pass_over_strips`` and verified via
+    ``Compiled.memory_analysis`` — composite is memory-safe, just not
+    worth the compile time at these sizes.)
     """
     need = axis_plan.dim + 2 * axis_plan.pad
-    if need <= 4096:
+    if need <= 4096 or need > 16384:
         return max(256, 1 << (need - 1).bit_length())
     m = -(-need // 128)  # lanes-of-128 chunks
     return 128 * (-(-m // 8) * 8)  # n2 a multiple of 8 (sublane granularity)
