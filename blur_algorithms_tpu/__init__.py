@@ -27,10 +27,11 @@ from blur_algorithms_tpu.api import (
     blur_u8,
     gaussian_blur,
     box_blur,
+    convolve_separable,
     dft_spectrum,
     Engine,
 )
-from blur_algorithms_tpu.ops.plan import BlurPlan, make_plan
+from blur_algorithms_tpu.ops.plan import BlurPlan, make_custom_plan, make_plan
 
 __version__ = "0.1.0"
 
@@ -39,9 +40,11 @@ __all__ = [
     "blur_u8",
     "gaussian_blur",
     "box_blur",
+    "convolve_separable",
     "dft_spectrum",
     "Engine",
     "BlurPlan",
+    "make_custom_plan",
     "make_plan",
     "__version__",
 ]

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from blur_algorithms_tpu.ops import band_matmul, direct_conv, fft_conv, layout, spectrum
-from blur_algorithms_tpu.ops.plan import BlurPlan, make_plan
+from blur_algorithms_tpu.ops.plan import BlurPlan, make_custom_plan, make_plan
 from blur_algorithms_tpu.pallas_kernels import fused_blur
 
 __all__ = [
@@ -49,6 +49,7 @@ __all__ = [
     "blur_u8",
     "gaussian_blur",
     "box_blur",
+    "convolve_separable",
     "dft_spectrum",
 ]
 
@@ -442,3 +443,112 @@ def dft_spectrum(
         planar.shape[-2], planar.shape[-1], float(nsmooth), size_mode
     )
     return fn(planar)
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary separable filters (beyond the reference's blur kernels)
+
+_FFT_ENGINES = frozenset(
+    {Engine.FFT2, Engine.FFT_TILES, Engine.FFT_MXU, Engine.FFT_STREAM}
+)
+
+
+@functools.lru_cache(maxsize=128)
+def _custom_setup(
+    h: int,
+    w: int,
+    tr_bytes: bytes,
+    tc_bytes: bytes,
+    engine: Engine,
+    size_mode: str,
+    in_bytes: int,
+) -> tuple[BlurPlan, Engine]:
+    import numpy as np
+
+    tr = np.frombuffer(tr_bytes, dtype=np.float32)
+    tc = np.frombuffer(tc_bytes, dtype=np.float32)
+    plan = make_custom_plan((h, w), tr, tc, size_mode)
+    symmetric = bool(
+        np.allclose(plan.row.taps, plan.row.taps[::-1])
+        and np.allclose(plan.col.taps, plan.col.taps[::-1])
+    )
+    eng = Engine(engine)
+    if eng is Engine.AUTO:
+        eng = _resolve_engine(Engine.AUTO, plan, in_bytes)
+        if not symmetric and eng in _FFT_ENGINES:
+            eng = Engine.FUSED  # asymmetric taps: complex spectrum unsupported
+    elif eng in _FFT_ENGINES and not symmetric:
+        raise ValueError(
+            "FFT engines require symmetric taps (the spectrum pipeline is "
+            "real-valued); use the fused/band/conv engines for asymmetric "
+            "filters"
+        )
+    elif eng in (Engine.BOX, Engine.BOX_SCAN, Engine.CASCADE):
+        raise ValueError(f"engine {eng.value} does not take custom taps")
+    return plan, eng
+
+
+@functools.lru_cache(maxsize=128)
+def _compiled_custom(
+    shape: tuple[int, ...],
+    is_u8: bool,
+    tr_bytes: bytes,
+    tc_bytes: bytes,
+    engine: Engine,
+    size_mode: str,
+) -> Any:
+    h, w = (shape[-3], shape[-2]) if is_u8 else (shape[-2], shape[-1])
+    plan, eng = _custom_setup(
+        h, w, tr_bytes, tc_bytes, engine, size_mode, 1 if is_u8 else 4
+    )
+    if is_u8:
+        if eng is Engine.FUSED:
+
+            def fn(img):
+                planar = jnp.moveaxis(img, -1, -3)
+                out = fused_blur.blur_fused_u8(planar, plan, precision="int8")
+                return jnp.moveaxis(out, -3, -1)
+
+        else:
+
+            def fn(img):
+                planar = layout.to_planar(img)
+                return layout.from_planar(_blur_planar(planar, plan, eng))
+
+        return jax.jit(fn)
+    return jax.jit(lambda x: _blur_planar(x.astype(jnp.float32), plan, eng))
+
+
+def convolve_separable(
+    img: jnp.ndarray,
+    taps_row,
+    taps_col=None,
+    engine: Engine | str = Engine.AUTO,
+    size_mode: str = "smooth235",
+) -> jnp.ndarray:
+    """Arbitrary separable correlation filter with reflect-101 borders.
+
+    Beyond the reference (blur-only): any odd-length 1-D taps per axis —
+    sharpen, difference-of-Gaussians, derivative/edge filters — through the
+    same engine lattice and border semantics as the blurs (see
+    ``ops.plan.make_custom_plan`` for the exact semantics). uint8
+    interleaved ``(..., H, W, C)`` rounds/clips back to uint8 (the
+    fixed-point int8 MXU path engages automatically for non-negative
+    unit-sum taps); float planar ``(..., H, W)`` returns float32. FFT
+    engines require symmetric taps; AUTO handles the fallback.
+    """
+    import numpy as np
+
+    taps_col = taps_row if taps_col is None else taps_col
+    tr = np.ascontiguousarray(np.asarray(taps_row, np.float32).reshape(-1))
+    tc = np.ascontiguousarray(np.asarray(taps_col, np.float32).reshape(-1))
+    is_u8 = img.dtype == jnp.uint8
+    if is_u8 and img.ndim < 3:
+        raise ValueError(
+            f"uint8 input must be interleaved (..., H, W, C), got {img.shape}"
+        )
+    fn = _compiled_custom(
+        tuple(img.shape), is_u8, tr.tobytes(), tc.tobytes(),
+        Engine(engine), size_mode,
+    )
+    return fn(img)

@@ -27,9 +27,9 @@ import numpy as np
 
 from blur_algorithms_tpu.ops import kernels, sizes
 
-__all__ = ["AxisPlan", "BlurPlan", "make_plan"]
+__all__ = ["AxisPlan", "BlurPlan", "make_plan", "make_custom_plan"]
 
-KernelKind = Literal["gaussian", "box", "box_fast"]
+KernelKind = Literal["gaussian", "box", "box_fast", "custom"]
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -178,4 +178,59 @@ def make_plan(
         row=row,
         col=col,
         box_passes=max(int(box_passes), 1) if kernel == "box_fast" else 1,
+    )
+
+
+def make_custom_plan(
+    shape: tuple[int, int],
+    taps_row,
+    taps_col=None,
+    size_mode: str = "smooth235",
+) -> BlurPlan:
+    """Plan an arbitrary separable CORRELATION filter (reflect-101 borders).
+
+    Beyond the reference's blur kernels: any odd-length 1-D taps per axis
+    (sharpen, difference-of-Gaussians, derivative/edge filters, ...), applied
+    with the same engine lattice. Semantics are correlation (the taps are
+    dotted against the window as written — ``out[i] = sum_t taps[t] *
+    x[i - r + t]``), matching ``oracle.blur_direct`` and ``cv2.filter2D``.
+
+    Taps wider than an axis allows (``pad <= dim - 1``) are centrally
+    truncated WITHOUT renormalization (custom taps have caller-defined
+    scale). NOTE: ``AxisPlan.spectrum`` is only meaningful for symmetric
+    taps (real spectrum); the api layer restricts FFT engines accordingly —
+    the banded/fused/conv engines handle arbitrary taps.
+    """
+    h, w = int(shape[0]), int(shape[1])
+    if h < 1 or w < 1:
+        raise ValueError(f"image shape must be positive, got {shape}")
+    taps_col = taps_row if taps_col is None else taps_col
+
+    def prep(taps, name: str):
+        t = np.asarray(taps, dtype=np.float32).reshape(-1)
+        if t.size < 1 or t.size % 2 == 0:
+            raise ValueError(
+                f"{name} taps must have odd length >= 1, got {t.size}"
+            )
+        if not np.all(np.isfinite(t)):
+            raise ValueError(f"{name} taps must be finite")
+
+        def taps_fn(width: int) -> np.ndarray:
+            cut = (t.size - width) // 2
+            return np.ascontiguousarray(t[cut : cut + width])
+
+        return taps_fn, int(t.size)
+
+    row_fn, row_w = prep(taps_row, "row")
+    col_fn, col_w = prep(taps_col, "col")
+    row = _axis_plan(w, row_w, row_fn, 1, size_mode)
+    col = _axis_plan(h, col_w, col_fn, 1, size_mode)
+    return BlurPlan(
+        shape=(h, w),
+        kernel="custom",
+        sigma=0.0,
+        passes=1,
+        size_mode=size_mode,
+        row=row,
+        col=col,
     )

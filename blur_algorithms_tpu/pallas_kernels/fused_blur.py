@@ -333,6 +333,10 @@ def int8_applicable(plan: BlurPlan, dtype) -> bool:
         and plan.row.support_radius > 0
         and float(np.min(plan.row.taps)) >= 0.0
         and float(np.min(plan.col.taps)) >= 0.0
+        # the recentering identity R = scale*(conv - 128) assumes unit-sum
+        # taps (blur plans always; custom plans may not be normalized)
+        and abs(float(np.sum(plan.row.taps)) - 1.0) < 1e-5
+        and abs(float(np.sum(plan.col.taps)) - 1.0) < 1e-5
     )
 
 
