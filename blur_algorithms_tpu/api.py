@@ -476,7 +476,16 @@ def _custom_setup(
     if eng is Engine.AUTO:
         eng = _resolve_engine(Engine.AUTO, plan, in_bytes)
         if not symmetric and eng in _FFT_ENGINES:
-            eng = Engine.FUSED  # asymmetric taps: complex spectrum unsupported
+            # asymmetric taps: complex spectrum unsupported; the fused
+            # fallback must actually fit (AUTO may have chosen FFT because
+            # it did not)
+            if not _fused_tile_ok(plan, in_bytes):
+                raise ValueError(
+                    "asymmetric custom taps this wide exceed the fused "
+                    "engine's VMEM/HBM budgets and the FFT engines need "
+                    "symmetric taps; reduce the kernel width"
+                )
+            eng = Engine.FUSED
     elif eng in _FFT_ENGINES and not symmetric:
         raise ValueError(
             "FFT engines require symmetric taps (the spectrum pipeline is "

@@ -102,17 +102,15 @@ def high_pass(
     else:
         x = img
         h, w = img.shape[-2], img.shape[-1]
-    plan = _hp_plan((h, w), float(sigma), size_mode)
-    return _compiled_high_pass(plan)(x)
+    return _compiled_high_pass((h, w), float(sigma), size_mode)(x)
 
 
 @functools.lru_cache(maxsize=128)
-def _hp_plan(shape: tuple[int, int], sigma: float, size_mode: str):
-    return make_plan(shape, sigma, size_mode=size_mode)
+def _compiled_high_pass(
+    shape: tuple[int, int], sigma: float, size_mode: str
+) -> Any:
+    plan = make_plan(shape, sigma, size_mode=size_mode)
 
-
-@functools.lru_cache(maxsize=128)
-def _compiled_high_pass(plan) -> Any:
     def fn(x):
         return x.astype(jnp.float32) - fused_blur.blur_fused(
             x, plan, precision="bf16x3"

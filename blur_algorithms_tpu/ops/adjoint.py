@@ -4,8 +4,8 @@ The blur is linear: ``y = Crop . ValidConv(taps) . ReflectPad101``. Its
 adjoint per axis is ``ReflectPad101^T . ValidConv(taps)^T``:
 
 * ``ValidConv^T`` = zero-pad the cotangent by ``2r`` per side and run the
-  same valid conv with flipped taps (taps are symmetric, so the same band
-  matrices and the same MXU path apply);
+  valid conv with FLIPPED taps (identical for the blur kernels, which are
+  symmetric; required for asymmetric custom taps);
 * ``ReflectPad101^T`` = fold: each reflected pad sample scatters its
   cotangent back onto the interior pixel it mirrored (positions ``1..r``
   from the left pad, ``n-2..n-r-1`` from the right pad). Pad excess beyond
@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from blur_algorithms_tpu.ops.band_matmul import band_conv_valid
 from blur_algorithms_tpu.ops.plan import BlurPlan
@@ -67,12 +68,16 @@ def _adjoint_axis(ct: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
         return ct
     ct = jnp.moveaxis(ct, axis, -1)
 
-    # ValidConv^T: zero-pad by 2r, valid conv (symmetric taps == flipped)
+    # ValidConv^T: zero-pad by 2r, valid conv with FLIPPED taps
+    taps = np.asarray(axis_plan.taps)
+    flipped = np.ascontiguousarray(taps[::-1])
+    symmetric = bool(np.allclose(taps, flipped))
     cfg = [(0, 0)] * (ct.ndim - 1) + [(2 * r, 2 * r)]
-    if r > _ADJOINT_FFT_MIN_RADIUS:
+    if r > _ADJOINT_FFT_MIN_RADIUS and symmetric:
+        # spectrum path: valid only for symmetric taps (real spectrum)
         z = _valid_conv_wide(jnp.pad(ct, cfg), axis_plan, n + 2 * r)
     else:
-        z = band_conv_valid(jnp.pad(ct, cfg), axis_plan.taps, n + 2 * r)
+        z = band_conv_valid(jnp.pad(ct, cfg), flipped, n + 2 * r)
 
     # ReflectPad^T: fold pad cotangents onto their mirror sources
     out = z[..., r : r + n]

@@ -41,7 +41,9 @@ def _conv_pass(
     n_pad = padded.shape[-1]
     # (batch, feature=1, spatial): all rows/channels/frames are one conv batch.
     inp = padded.reshape((-1, 1, n_pad))
-    ker = jnp.asarray(taps[::-1].copy()).reshape((1, 1, -1))  # flip: conv vs corr
+    # XLA conv is cross-correlation (no kernel flip), which is exactly this
+    # framework's convention (band/fused/oracle all correlate) — taps as-is
+    ker = jnp.asarray(taps).reshape((1, 1, -1))
     out = jax.lax.conv_general_dilated(
         inp,
         ker,

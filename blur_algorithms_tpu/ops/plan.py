@@ -225,6 +225,14 @@ def make_custom_plan(
     col_fn, col_w = prep(taps_col, "col")
     row = _axis_plan(w, row_w, row_fn, 1, size_mode)
     col = _axis_plan(h, col_w, col_fn, 1, size_mode)
+    for name, ax in (("row", row), ("col", col)):
+        # width-1 taps hit the engines' radius-0 identity shortcuts, which
+        # do NOT apply a scalar tap — only an exact identity is legal there
+        if ax.taps.shape[0] == 1 and float(ax.taps[0]) != 1.0:
+            raise ValueError(
+                f"{name} taps of width 1 must be exactly [1.0] (engines "
+                f"treat radius 0 as identity), got {float(ax.taps[0])!r}"
+            )
     return BlurPlan(
         shape=(h, w),
         kernel="custom",

@@ -672,6 +672,9 @@ def e32_split_applicable(plan: BlurPlan, precision, in_bytes: int) -> bool:
         int8_applicable(rows_plan, jnp.uint8)
         and plan.col.support_radius > 0
         and float(np.min(plan.col.taps)) >= 0.0
+        # the cols recombine (+128) and quantizer renormalization assume
+        # unit-sum taps, same as int8_applicable's check for the full form
+        and abs(float(np.sum(plan.col.taps)) - 1.0) < 1e-5
     )
 
 

@@ -133,3 +133,63 @@ class TestConvolveSeparable:
     def test_u8_requires_interleaved(self):
         with pytest.raises(ValueError, match="interleaved"):
             convolve_separable(jnp.zeros((16, 16), jnp.uint8), TENT)
+
+
+class TestReviewRegressions:
+    def test_conv_engine_correlation_convention(self, rng):
+        """engine='conv' must correlate like every other engine (it used to
+        flip taps into convolution, mirroring asymmetric filters)."""
+        x = (rng.random((1, 32, 40)) * 255).astype(np.float32)
+        ident = np.array([1.0], np.float32)
+        a = np.asarray(
+            convolve_separable(jnp.asarray(x), DERIV, ident, engine="conv")
+        )
+        b = np.asarray(
+            convolve_separable(jnp.asarray(x), DERIV, ident, engine="fused")
+        )
+        np.testing.assert_allclose(a, b, atol=2e-2)
+
+    def test_grad_through_asymmetric_taps(self, rng):
+        """The fused engine's explicit adjoint must flip asymmetric taps
+        (it used to return the negated gradient for DERIV)."""
+        import jax
+
+        x = (rng.random((1, 12, 16)) * 10).astype(np.float32)
+        ct = rng.random((1, 12, 16)).astype(np.float32)
+        ident = np.array([1.0], np.float32)
+
+        def loss(v):
+            return jnp.sum(
+                jnp.asarray(ct)
+                * convolve_separable(v, DERIV, ident, engine="fused")
+            )
+
+        g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+        eps = 1e-2
+        i = (0, 5, 7)
+        xp, xm = x.copy(), x.copy()
+        xp[i] += eps
+        xm[i] -= eps
+        num = (loss(jnp.asarray(xp)) - loss(jnp.asarray(xm))) / (2 * eps)
+        assert abs(g[i] - float(num)) < 1e-2, (g[i], float(num))
+
+    def test_width1_taps_must_be_identity(self):
+        with pytest.raises(ValueError, match="width 1"):
+            make_custom_plan((16, 16), np.array([0.5], np.float32))
+        # wide taps centrally truncated to width 1 on a dim-1 axis likewise
+        with pytest.raises(ValueError, match="width 1"):
+            make_custom_plan(
+                (1, 64), np.ones(3, np.float32) / 3, np.ones(5, np.float32) / 5
+            )
+        # exact identity is fine
+        make_custom_plan((16, 16), np.array([1.0], np.float32), TENT)
+
+    def test_e32_split_requires_unit_sum_cols(self):
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        wide = np.ones(201, np.float32)  # non-negative, sum 201
+        plan = make_custom_plan((512, 512), TENT, wide)
+        assert not fused_blur.e32_split_applicable(plan, "int8", 1)
+        unit = np.ones(201, np.float32) / 201
+        plan2 = make_custom_plan((512, 512), TENT, unit)
+        assert fused_blur.e32_split_applicable(plan2, "int8", 1)
