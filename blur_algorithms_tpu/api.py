@@ -95,8 +95,9 @@ def _fused_tile_ok(plan: BlurPlan, in_bytes: int = 1) -> bool:
         # fused_blur's own split router applies the same HBM guard, so a
         # giant frame whose split would exhaust HBM (and whose single
         # kernel does not fit VMEM) falls through to the streamed FFT here
+        prec = "int8" if in_bytes == 1 else None  # the u8 API default
         return fused_blur.split_feasible(plan, in_bytes) and (
-            fused_blur.split_hbm_bytes(plan, in_bytes)
+            fused_blur.split_hbm_bytes(plan, in_bytes, prec)
             <= fused_blur._SPLIT_HBM_BUDGET
         )
 

@@ -261,8 +261,9 @@ def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
     acc = p1a = p23a = p4a = None
     for di in range(nh):
         if in_e32:
-            # cols-only form: the block IS the intermediate E (int32)
-            e = x_refs[di * nw][0, : rows_h[di], :]
+            # cols-only form: the block IS the intermediate E (int16 in
+            # HBM — half the f32 split's intermediate traffic; |E| <= 16257)
+            e = x_refs[di * nw][0, : rows_h[di], :].astype(jnp.int32)
         else:
             r_acc = None
             for dj in range(nw):
@@ -295,7 +296,8 @@ def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
         p23a = p23 if p23a is None else p23a + p23
         p4a = p4 if p4a is None else p4a + p4
     if skip_cols and out_e32:
-        out_ref[0] = acc  # int32 E, consumed by an in_e32 cols pass
+        # |E| <= 16257 fits int16: half the HBM of an f32/int32 intermediate
+        out_ref[0] = acc.astype(jnp.int16)
         return
     if skip_cols:
         outf = acc.astype(jnp.float32) * (1.0 / rows_scale) + 128.0
@@ -373,8 +375,8 @@ def _blur_fused_planar(
             raise ValueError("e32 streaming requires precision='int8'")
         if e32 == "out" and (rh != 0 or planar.dtype != jnp.uint8):
             raise ValueError("e32='out' is the rows-only u8 form (rh == 0)")
-        if e32 == "in" and (rw != 0 or planar.dtype != jnp.int32):
-            raise ValueError("e32='in' is the cols-only int32 form (rw == 0)")
+        if e32 == "in" and (rw != 0 or planar.dtype != jnp.int16):
+            raise ValueError("e32='in' is the cols-only int16 form (rw == 0)")
     elif int8_mode and planar.dtype != jnp.uint8:
         raise ValueError("precision='int8' requires uint8 input")
     elif int8_mode and rw == 0:
@@ -513,7 +515,7 @@ def _blur_fused_planar(
         out_shape=jax.ShapeDtypeStruct(
             (bc, nbh * th, nbw * tw),
             jnp.uint8 if out_u8 else (
-                jnp.int32 if e32 == "out" else jnp.float32
+                jnp.int16 if e32 == "out" else jnp.float32
             ),
         ),
     )(*([x] * (nh * nw)), *bw_parts, *bh_parts)
@@ -678,15 +680,19 @@ def e32_split_applicable(plan: BlurPlan, precision, in_bytes: int) -> bool:
     )
 
 
-def split_hbm_bytes(plan: BlurPlan, in_bytes: int = 1) -> int:
+def split_hbm_bytes(plan: BlurPlan, in_bytes: int = 1,
+                    precision=None) -> int:
     """Peak-HBM estimate of the two-pass split on a channel-planar RGB
-    frame: input + the 4-byte intermediate (int32 E / f32) + pass 2's
-    reflect+block-padded copy of it + the output. At ~348 MP and wide
-    radii this exceeds the chip's 16 GB (measured RESOURCE_EXHAUSTED)."""
+    frame: input + the intermediate (int16 E on the int8-e32 path, f32
+    otherwise) + pass 2's reflect+block-padded copy of it + the output.
+    At ~348 MP and wide radii the f32 form exceeds the chip's 16 GB
+    (measured RESOURCE_EXHAUSTED); the int16-E form halves the
+    intermediate terms."""
     h, w = plan.shape
     rh = plan.col.support_radius
     px = 3 * h * w
-    return int(px * (in_bytes + 4 + 4 * (h + 2 * rh + 2048) / h + in_bytes))
+    ib = 2 if e32_split_applicable(plan, precision, in_bytes) else 4
+    return int(px * (in_bytes + ib + ib * (h + 2 * rh + 2048) / h + in_bytes))
 
 
 # Split forms whose in-flight buffers exceed this budget are routed away
@@ -723,10 +729,12 @@ def _split_wins(plan: BlurPlan, in_bytes: int, precision=None) -> bool:
     # pass 2: int8 on the e32 intermediate when applicable, else bf16x3
     p2_int8 = e32_split_applicable(plan, precision, in_bytes)
     rows = _best_wide(0, rw, h, w, in_bytes, wr2, 0.0)
-    cols = _best_wide(rh, 0, h, w, 4, 0.0, 2.5 if p2_int8 else 3.0)
+    cols = _best_wide(
+        rh, 0, h, w, 2 if p2_int8 else 4, 0.0, 2.5 if p2_int8 else 3.0
+    )
     if rows is None or cols is None:
         return False
-    if split_hbm_bytes(plan, in_bytes) > _SPLIT_HBM_BUDGET:
+    if split_hbm_bytes(plan, in_bytes, precision) > _SPLIT_HBM_BUDGET:
         # giant-frame guard: the split would exhaust HBM; prefer the single
         # kernel when it fits (callers fall back to streamed FFT otherwise)
         return False
@@ -761,7 +769,7 @@ def _blur_fused_split(planar, plan: BlurPlan, precision, out_u8: bool):
             out_u8=False, e32="out",
         )
         return _blur_fused_planar(
-            e, cols_plan, _pick_tile(cols_plan, 4), "int8", out_u8=out_u8,
+            e, cols_plan, _pick_tile(cols_plan, 2), "int8", out_u8=out_u8,
             e32="in",
         )
     # pass 1 reads the raw uint8 frame: the int8 fixed-point rows form

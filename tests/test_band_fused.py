@@ -479,16 +479,19 @@ class TestInt8E32Split:
             )
 
     def test_split_hbm_guard(self):
-        """Giant frames whose split would exhaust HBM stay on the single
-        kernel (the measured RESOURCE_EXHAUSTED regime)."""
+        """Giant frames: the f32-intermediate split would exhaust HBM (the
+        measured RESOURCE_EXHAUSTED regime) — but the int8 path's int16-E
+        intermediate halves the footprint and fits."""
         from blur_algorithms_tpu.pallas_kernels import fused_blur
 
-        giant = make_plan((14500, 24000), 560.0)  # r ~ 1862: single fits VMEM
-        assert fused_blur.split_hbm_bytes(giant, 1) > fused_blur._SPLIT_HBM_BUDGET
-        assert not fused_blur._split_wins(giant, 1, "int8")
-        fused_blur._pick_tile(giant, 1)  # the single form must be feasible
-        ok = make_plan((8192, 8192), 560.0)  # 67 MP: same radius fits
-        assert fused_blur.split_hbm_bytes(ok, 1) <= fused_blur._SPLIT_HBM_BUDGET
+        giant = make_plan((14500, 24000), 560.0)  # r ~ 1862
+        f32_est = fused_blur.split_hbm_bytes(giant, 1, "bf16x3")
+        assert f32_est > fused_blur._SPLIT_HBM_BUDGET
+        assert not fused_blur._split_wins(giant, 1, "bf16x3")
+        fused_blur._pick_tile(giant, 1)  # the single form stays feasible
+        e16_est = fused_blur.split_hbm_bytes(giant, 1, "int8")
+        assert e16_est <= fused_blur._SPLIT_HBM_BUDGET
+        assert fused_blur._split_wins(giant, 1, "int8")  # validated on chip
 
     def test_e32_split_predicate(self):
         from blur_algorithms_tpu.pallas_kernels import fused_blur

@@ -98,11 +98,13 @@ def test_auto_routes_giant_radius_to_fft_mxu():
     plan = make_plan((16384, 16384), 1200.0)
     assert plan.col.support_radius > 3500
     assert _resolve_engine(Engine.AUTO, plan) is Engine.FFT_MXU
-    # giant-frame guard: a 348 MP frame at r ~ 2995 would OOM the fused
-    # split's int32 intermediate -> fft_mxu streams it instead
+    # 348 MP at r ~ 2995: the int16-E split fits HBM (measured 341 ms on
+    # chip vs the streamed FFT's ~500) so u8 stays FUSED; the float path's
+    # f32-intermediate split would not fit AND floats cross to the FFT at
+    # r ~ 2560 anyway
     giant = make_plan((14500, 24000), 900.0)
-    assert giant.col.support_radius <= 3500
-    assert _resolve_engine(Engine.AUTO, giant) is Engine.FFT_MXU
+    assert _resolve_engine(Engine.AUTO, giant, in_bytes=1) is Engine.FUSED
+    assert _resolve_engine(Engine.AUTO, giant, in_bytes=4) is Engine.FFT_MXU
     # frames whose padded-row intermediates outgrow HBM stay on fft_mxu
     # (the engine strip-streams internally past the byte budget)
     giant = make_plan((24000, 14500), 1500.0)
