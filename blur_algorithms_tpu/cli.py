@@ -52,8 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "(default: <in>_blurred[.<ext>])")
     p.add_argument("--kernel", choices=["gaussian", "box"], default="gaussian",
                    help="FFT-engine kernel; 'box' is the reference's #define boxblur tent mode")
-    p.add_argument("--size-mode", choices=["smooth235", "pow2"], default="smooth235",
-                   help="FFT length planner (reference parity vs TPU-preferred)")
+    p.add_argument("--size-mode", choices=["auto", "smooth235", "pow2"],
+                   default="auto",
+                   help="FFT length planner: auto (smooth235, pow2 on TPU for "
+                   "long axes), smooth235 (reference parity), pow2")
     p.add_argument("--spectrum", action="store_true",
                    help="DFT_image mode: export the log-magnitude spectrum instead of blurring")
     p.add_argument("--bench", type=int, default=0, metavar="N",
@@ -72,13 +74,19 @@ def _stream_dir(args, engine: Engine) -> int:
     from blur_algorithms_tpu.utils import io
 
     paths = sorted(
-        os.path.join(args.file, f)
+        p
         for f in os.listdir(args.file)
         if f.lower().endswith(_IMAGE_EXTS)
+        and os.path.isfile(p := os.path.join(args.file, f))
     )
     if not paths:
         raise SystemExit(f"error: no images in {args.file!r}")
     out_dir = args.output or (args.file.rstrip("/\\") + "_blurred")
+    if os.path.realpath(out_dir) == os.path.realpath(args.file):
+        raise SystemExit(
+            "error: output directory equals the input directory; refusing "
+            "to overwrite inputs in place (pass a different -o)"
+        )
     os.makedirs(out_dir, exist_ok=True)
 
     # exact=True: identical results to single-file mode (one compile per

@@ -35,7 +35,7 @@ class BlurPipeline:
         nsmooth: float,
         engine: Engine | str = Engine.AUTO,
         kernel: str = "gaussian",
-        size_mode: str = "smooth235",
+        size_mode: str = "auto",
         bucket: int = 256,
         exact: bool = False,
     ):
@@ -91,10 +91,12 @@ class BlurPipeline:
         """
         import numpy as np
 
+        n = 0
         for h, w in shapes:
             dummy = jnp.zeros(tuple(batch) + (h, w, channels), jnp.uint8)
             np.asarray(self(dummy))
-        self._calls -= len(list(shapes))
+            n += 1
+        self._calls -= n
 
     @property
     def stats(self) -> dict:
@@ -104,12 +106,16 @@ class BlurPipeline:
         """Blur a stream of frames, overlapping host work with device compute.
 
         ``frames`` yields uint8 arrays ``(H, W, C)`` or image paths. A
-        background stager reads/decodes the next ``prefetch`` frames and
-        starts their host->device transfers while the TPU blurs the current
-        one; JAX's async dispatch keeps the chip busy ahead of the Python
-        loop. Yields ``(key, blurred)`` pairs in input order, where ``key``
-        is the path (or the running index for array inputs) — outputs are
-        device arrays; force them (``np.asarray``) only when needed so the
+        background stager reads/decodes the next ``prefetch`` frames, does
+        the bucket reflect-101 pad ON THE HOST (the threaded native runtime
+        ``native/blurfx.cpp`` when built — the same role ``Utils.hpp``'s
+        ``Reflect_101`` plays in the reference, overlapped with device
+        compute instead of serialized before it), and starts their
+        host->device transfers while the TPU blurs the current one; JAX's
+        async dispatch keeps the chip busy ahead of the Python loop. Yields
+        ``(key, blurred)`` pairs in input order, where ``key`` is the path
+        (or the running index for array inputs) — outputs are device
+        arrays; force them (``np.asarray``) only when needed so the
         dispatch pipeline stays deep.
 
         The reference has no streaming analog (one-shot CLI that re-plans
@@ -129,7 +135,21 @@ class BlurPipeline:
                 arr, key = np.asarray(item), idx
             if arr.ndim == 2:  # grayscale: normalize like the CLI single-file path
                 arr = arr[..., None]
-            return key, jnp.asarray(arr)  # starts the device transfer
+            hw = None
+            if not self.exact and arr.ndim == 3 and arr.dtype == np.uint8:
+                # host-side bucket pad in this stager thread: the compiled
+                # program sees an exact-bucket frame (no pad op), and the
+                # pad cost hides behind the previous frame's device blur
+                h, w = int(arr.shape[0]), int(arr.shape[1])
+                bh, bw = self._bucketed(h, w)
+                if (bh, bw) != (h, w):
+                    from blur_algorithms_tpu.utils import native
+
+                    arr = native.reflect101_u8(
+                        arr, ((0, bh - h), (0, bw - w))
+                    )
+                    hw = (h, w)
+            return key, jnp.asarray(arr), hw  # starts the device transfer
 
         with concurrent.futures.ThreadPoolExecutor(
             max_workers=max(1, int(prefetch))
@@ -143,13 +163,16 @@ class BlurPipeline:
             except StopIteration:
                 pass
             while pending:
-                key, img = pending.popleft().result()
+                key, img, hw = pending.popleft().result()
                 try:
                     idx, item = next(it)
                     pending.append(pool.submit(stage, item, idx))
                 except StopIteration:
                     pass
-                yield key, self(img)
+                out = self(img)
+                if hw is not None:  # crop the host-side bucket pad back off
+                    out = out[..., : hw[0], : hw[1], :]
+                yield key, out
 
 
 def GaussianBlur(sigma: float, **kwargs) -> BlurPipeline:
@@ -165,7 +188,7 @@ def FastBoxBlur(nsmooth: float, **kwargs) -> BlurPipeline:
 class SpectrumAnalyzer:
     """``DFT_image`` pipeline: frames -> log-magnitude spectra."""
 
-    def __init__(self, nsmooth: float = 1.0, size_mode: str = "smooth235"):
+    def __init__(self, nsmooth: float = 1.0, size_mode: str = "auto"):
         self.nsmooth = float(nsmooth)
         self.size_mode = size_mode
 

@@ -469,7 +469,7 @@ class TestInt8E32Split:
             fused_blur._blur_fused_planar(
                 x8, plan, (16, 16), "int8", out_u8=False, e32="out"
             )
-        with pytest.raises(ValueError):  # e32 in needs int32 input
+        with pytest.raises(ValueError):  # e32 in needs int16 input
             fused_blur._blur_fused_planar(
                 x8, cols_plan, (16, 16), "int8", out_u8=True, e32="in"
             )
@@ -486,11 +486,11 @@ class TestInt8E32Split:
 
         giant = make_plan((14500, 24000), 560.0)  # r ~ 1862
         f32_est = fused_blur.split_hbm_bytes(giant, 1, "bf16x3")
-        assert f32_est > fused_blur._SPLIT_HBM_BUDGET
+        assert f32_est > fused_blur._split_hbm_budget()
         assert not fused_blur._split_wins(giant, 1, "bf16x3")
         fused_blur._pick_tile(giant, 1)  # the single form stays feasible
         e16_est = fused_blur.split_hbm_bytes(giant, 1, "int8")
-        assert e16_est <= fused_blur._SPLIT_HBM_BUDGET
+        assert e16_est <= fused_blur._split_hbm_budget()
         assert fused_blur._split_wins(giant, 1, "int8")  # validated on chip
 
     def test_e32_split_predicate(self):
