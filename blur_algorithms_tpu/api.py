@@ -88,21 +88,31 @@ _AUTO_FUSED_MAX_RADIUS_F32 = 2560
 
 
 def _fused_tile_ok(plan: BlurPlan, in_bytes: int = 1) -> bool:
+    # the u8 API default precision — only credited with int8's smaller
+    # VMEM matrices where the kernel would actually run the int8 form
+    prec = (
+        "int8"
+        if in_bytes == 1 and fused_blur.int8_applicable(plan, jnp.uint8)
+        else None
+    )
     try:
-        fused_blur._pick_tile(plan, in_bytes)
+        fused_blur._pick_tile(plan, in_bytes, prec)
         return True
     except ValueError:  # single-kernel VMEM exceeded: two-pass split form?
         # fused_blur's own split router applies the same HBM guard, so a
         # giant frame whose split would exhaust HBM (and whose single
         # kernel does not fit VMEM) falls through to the streamed FFT here
-        prec = "int8" if in_bytes == 1 else None  # the u8 API default
         return fused_blur.split_feasible(plan, in_bytes) and (
             fused_blur.split_hbm_bytes(plan, in_bytes, prec)
-            <= fused_blur._SPLIT_HBM_BUDGET
+            <= fused_blur._split_hbm_budget()
         )
 
-# fft_mxu's padded-row intermediates are its whole footprint; v5e has 16 GB
-_FFT_MXU_BYTE_BUDGET = 10 << 30
+# fft_mxu's padded-row intermediates are its whole footprint; the budget is
+# derived per device kind (utils/hw.py; v5e: 10 of 16 GiB)
+def _fft_mxu_byte_budget() -> int:
+    from blur_algorithms_tpu.utils.hw import budgets
+
+    return budgets().fft_mxu_byte_budget
 
 
 def _resolve_engine(
@@ -145,7 +155,7 @@ def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
             from blur_algorithms_tpu.ops.fft_mxu import estimate_bytes
 
             lead = max(1, math.prod(x.shape[:-2]))
-            if estimate_bytes(plan, lead) > _FFT_MXU_BYTE_BUDGET:
+            if estimate_bytes(plan, lead) > _fft_mxu_byte_budget():
                 # frame too big to pad whole: stream strips through the
                 # same fused MXU FFT kernel
                 from blur_algorithms_tpu.ops.streamed import (
@@ -162,7 +172,7 @@ def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
 
         from blur_algorithms_tpu.ops.fft_mxu import blur_fft_mxu, estimate_bytes
 
-        if estimate_bytes(plan, max(1, math.prod(x.shape[:-2]))) > _FFT_MXU_BYTE_BUDGET:
+        if estimate_bytes(plan, max(1, math.prod(x.shape[:-2]))) > _fft_mxu_byte_budget():
             # off-TPU the Pallas strip streamer would run interpreted;
             # the backend-agnostic tiles streamer handles giant frames
             from blur_algorithms_tpu.ops.streamed import blur_fft_tiles_streamed
@@ -267,6 +277,27 @@ def _compiled_u8(
 
     plan, eng = _plan_for(shape[-3], shape[-2], nsmooth, engine, kernel, size_mode)
 
+    if (
+        Engine(engine) is Engine.AUTO
+        and eng is Engine.FUSED
+        and len(shape) == 4
+        and len(jax.devices()) > 1
+        and shape[0] % len(jax.devices()) == 0
+    ):
+        # multi-chip AUTO: batches divisible by the device count shard dp
+        # over all chips (zero cross-chip traffic — each frame independent);
+        # per-shard compute is the same fused int8 kernel, so results are
+        # bit-identical to the single-device path
+        from blur_algorithms_tpu.parallel import blur_sharded_u8, make_mesh
+
+        mesh = make_mesh(dp=len(jax.devices()), sp=1)
+
+        def fn_sharded(img):
+            return blur_sharded_u8(img, plan, mesh)
+
+        fn_sharded._sharded = True  # observable routing marker for tests
+        return fn_sharded
+
     if eng is Engine.FUSED:
         # keep uint8 end to end: convert + round inside the Pallas kernel.
         # int8 = the fixed-point MXU path (~1.3x bf16x3 end to end, same
@@ -285,7 +316,7 @@ def _compiled_u8(
         from blur_algorithms_tpu.ops.fft_mxu import estimate_bytes
 
         lead = max(1, math.prod(shape[:-3]) * shape[-1])
-        if estimate_bytes(plan, lead) > _FFT_MXU_BYTE_BUDGET:
+        if estimate_bytes(plan, lead) > _fft_mxu_byte_budget():
             # uint8 strips in/out through the MXU FFT kernel: only one
             # full-size f32 intermediate exists
             from blur_algorithms_tpu.ops.streamed import (
@@ -310,6 +341,20 @@ def _compiled_u8(
 
         return jax.jit(fn)
 
+    if eng is Engine.BOX_SCAN:
+        # uint8 end to end: convert + round in VMEM inside the scan kernel
+        # (mirrors blur_fused_u8 — one f32 intermediate instead of three)
+        from blur_algorithms_tpu.pallas_kernels.box_blur_pallas import (
+            box_blur_pallas_u8,
+        )
+
+        def fn(img):
+            planar = jnp.moveaxis(img, -1, -3)
+            out = box_blur_pallas_u8(planar, int(plan.sigma), plan.box_passes)
+            return jnp.moveaxis(out, -3, -1)
+
+        return jax.jit(fn)
+
     def fn(img):
         planar = layout.to_planar(img)
         return layout.from_planar(_blur_planar(planar, plan, eng))
@@ -322,7 +367,7 @@ def blur(
     nsmooth: float,
     engine: Engine | str = Engine.AUTO,
     kernel: str = "gaussian",
-    size_mode: str = "smooth235",
+    size_mode: str = "auto",
 ) -> jnp.ndarray:
     """Blur float planar data ``(..., H, W)``; returns float32.
 
@@ -346,7 +391,7 @@ def blur_u8(
     nsmooth: float,
     engine: Engine | str = Engine.AUTO,
     kernel: str = "gaussian",
-    size_mode: str = "smooth235",
+    size_mode: str = "auto",
 ) -> jnp.ndarray:
     """Blur interleaved uint8 ``(..., H, W, C)``; returns uint8.
 
@@ -396,6 +441,20 @@ def _compiled_box(
                 -1,
             )
         )
+    if eng is Engine.BOX_SCAN:
+        from blur_algorithms_tpu.pallas_kernels.box_blur_pallas import (
+            box_blur_pallas_u8,
+        )
+
+        return jax.jit(
+            lambda x: jnp.moveaxis(
+                box_blur_pallas_u8(
+                    jnp.moveaxis(x, -1, -3), radius, plan.box_passes
+                ),
+                -3,
+                -1,
+            )
+        )
     return jax.jit(
         lambda x: layout.from_planar(_blur_planar(layout.to_planar(x), plan, eng))
     )
@@ -405,7 +464,7 @@ def box_blur(
     img: jnp.ndarray,
     nsmooth: float,
     passes: int = 2,
-    size_mode: str = "smooth235",
+    size_mode: str = "auto",
 ) -> jnp.ndarray:
     """FastBoxBlur-parity box blur: radius = nsmooth^2, default 2 passes.
 
@@ -427,7 +486,7 @@ def _compiled_spectrum(h: int, w: int, nsmooth: float, size_mode: str) -> Any:
 
 
 def dft_spectrum(
-    img: jnp.ndarray, nsmooth: float = 1.0, size_mode: str = "smooth235"
+    img: jnp.ndarray, nsmooth: float = 1.0, size_mode: str = "auto"
 ) -> jnp.ndarray:
     """``DFT_image`` mode: log-magnitude spectrum of each channel.
 
@@ -469,30 +528,13 @@ def _custom_setup(
     tr = np.frombuffer(tr_bytes, dtype=np.float32)
     tc = np.frombuffer(tc_bytes, dtype=np.float32)
     plan = make_custom_plan((h, w), tr, tc, size_mode)
-    symmetric = bool(
-        np.allclose(plan.row.taps, plan.row.taps[::-1])
-        and np.allclose(plan.col.taps, plan.col.taps[::-1])
-    )
     eng = Engine(engine)
     if eng is Engine.AUTO:
+        # asymmetric taps run through every FFT engine too: the spectrum
+        # pipeline carries the full complex correlation spectrum
+        # (kernels.complex_spectrum) when Im != 0, so AUTO's routing needs
+        # no symmetric special-casing
         eng = _resolve_engine(Engine.AUTO, plan, in_bytes)
-        if not symmetric and eng in _FFT_ENGINES:
-            # asymmetric taps: complex spectrum unsupported; the fused
-            # fallback must actually fit (AUTO may have chosen FFT because
-            # it did not)
-            if not _fused_tile_ok(plan, in_bytes):
-                raise ValueError(
-                    "asymmetric custom taps this wide exceed the fused "
-                    "engine's VMEM/HBM budgets and the FFT engines need "
-                    "symmetric taps; reduce the kernel width"
-                )
-            eng = Engine.FUSED
-    elif eng in _FFT_ENGINES and not symmetric:
-        raise ValueError(
-            "FFT engines require symmetric taps (the spectrum pipeline is "
-            "real-valued); use the fused/band/conv engines for asymmetric "
-            "filters"
-        )
     elif eng in (Engine.BOX, Engine.BOX_SCAN, Engine.CASCADE):
         raise ValueError(f"engine {eng.value} does not take custom taps")
     return plan, eng
@@ -534,7 +576,7 @@ def convolve_separable(
     taps_row,
     taps_col=None,
     engine: Engine | str = Engine.AUTO,
-    size_mode: str = "smooth235",
+    size_mode: str = "auto",
 ) -> jnp.ndarray:
     """Arbitrary separable correlation filter with reflect-101 borders.
 

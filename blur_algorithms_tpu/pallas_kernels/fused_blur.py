@@ -134,8 +134,12 @@ def _kernel(*refs, rows_h: tuple, cols_w: tuple, precision, out_u8: bool,
     nh, nw = len(rows_h), len(cols_w)
     out_ref = refs[-1]
     x_refs = refs[: nh * nw]
-    bw_parts = refs[nh * nw : nh * nw + nw]
-    bh_parts = refs[nh * nw + nw : nh * nw + nw + nh]
+    # radius-0 axes ship no band matrices (their pass is an identity copy
+    # that never reads them — dead VMEM + DMA per grid step otherwise)
+    n_bw = 0 if skip_rows else nw
+    n_bh = 0 if skip_cols else nh
+    bw_parts = refs[nh * nw : nh * nw + n_bw]
+    bh_parts = refs[nh * nw + n_bw : nh * nw + n_bw + n_bh]
 
     f32 = jnp.float32
     split = precision == "bf16x3"
@@ -235,11 +239,13 @@ def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
     nh, nw = len(rows_h), len(cols_w)
     out_ref = refs[-1]
     x_refs = refs[: nh * nw]
-    # the in_e32 cols-only form carries no row matrices (they would be dead
-    # identity operands burning VMEM + DMA in the widest-radius regime)
+    # the in_e32 cols-only form carries no row matrices, and the rows-only
+    # skip_cols form (split pass 1) carries no column matrices — either way
+    # they would be dead identity operands burning VMEM + DMA per grid step
     n_bw = 0 if in_e32 else nw
+    n_bh = 0 if skip_cols else nh
     bw_parts = refs[nh * nw : nh * nw + n_bw]
-    bh_parts = refs[nh * nw + n_bw : nh * nw + n_bw + nh]
+    bh_parts = refs[nh * nw + n_bw : nh * nw + n_bw + n_bh]
 
     # Sr = S << m; the requant shift folds the m extra bits back out
     # (the f32-out rows-only form never re-quantizes, so any adaptive Sr is
@@ -466,11 +472,23 @@ def _blur_fused_planar(
             bw_parts = [
                 as_i8(qbw[k * tw : k * tw + cols_w[k]]) for k in range(nw)
             ]
-        qbh = _quantize_band_int8(bh, cols_scale)
-        bh_parts = [as_i8(qbh[k * th : k * th + rows_h[k]]) for k in range(nh)]
+        if rh == 0:
+            bh_parts = []  # rows-only form (split pass 1): no col mats
+        else:
+            qbh = _quantize_band_int8(bh, cols_scale)
+            bh_parts = [
+                as_i8(qbh[k * th : k * th + rows_h[k]]) for k in range(nh)
+            ]
     else:
-        bw_parts = [as_mat(bw[k * tw : k * tw + cols_w[k]]) for k in range(nw)]
-        bh_parts = [as_mat(bh[k * th : k * th + rows_h[k]]) for k in range(nh)]
+        # radius-0 axes run identity passes that never read their matrices
+        bw_parts = (
+            [] if rw == 0
+            else [as_mat(bw[k * tw : k * tw + cols_w[k]]) for k in range(nw)]
+        )
+        bh_parts = (
+            [] if rh == 0
+            else [as_mat(bh[k * th : k * th + rows_h[k]]) for k in range(nh)]
+        )
 
     blk = lambda di, dj: pl.BlockSpec(
         (1, th, tw),
@@ -502,7 +520,7 @@ def _blur_fused_planar(
         interpret=interpret,
         # wide-radius tiles carry big banded matrices + many neighbor blocks;
         # Mosaic's default 16 MB scoped-vmem cap is far below the chip's VMEM
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_KERNEL_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_hw().kernel_vmem_limit),
         grid=(bc, nbh, nbw),
         in_specs=(
             [blk(di, dj) for di in range(nh) for dj in range(nw)]
@@ -523,7 +541,9 @@ def _blur_fused_planar(
     return out[:, :h, :w].reshape(lead + (h, w))
 
 
-def _pick_tile(plan: BlurPlan, in_bytes: int = 1) -> tuple[int, int]:
+def _pick_tile(
+    plan: BlurPlan, in_bytes: int = 1, precision=None
+) -> tuple[int, int]:
     rh, rw = plan.col.support_radius, plan.row.support_radius
     if 2 * rh <= 512 and 2 * rw <= 512:
         # measured-good single-halo-block regime (tile >= 2r)
@@ -549,22 +569,24 @@ def _pick_tile(plan: BlurPlan, in_bytes: int = 1) -> tuple[int, int]:
             side(rh, plan.shape[0], lane=False),
             side(rw, plan.shape[1], lane=True),
         )
-    return _pick_tile_wide(plan, in_bytes)
+    return _pick_tile_wide(plan, in_bytes, precision)
 
 
-# VMEM budget for the wide-radius tile search (v5e has 128 MiB; the estimate
-# below is calibrated so measured-working configs up to radius ~2048 pass).
-_WIDE_VMEM_BUDGET = 110 << 20
-# Mosaic's scoped-vmem cap passed to the kernel (default is only 16 MiB).
-_KERNEL_VMEM_LIMIT = 127 << 20
-# Effective MACs the MXU retires per HBM byte at the measured bf16x3 rate
-# (~30 GMAC/ms) against v5e's ~819 GB/s: weights the neighbor-block re-reads.
-_MACS_PER_HBM_BYTE = 37
+# Hardware budgets are derived per device kind (``utils/hw.py``); the v5e
+# entry reproduces round 1's measured-good constants exactly:
+# wide-VMEM 110 MiB (tile-search estimate calibrated so measured-working
+# configs up to radius ~2048 pass), Mosaic scoped-vmem cap 127 MiB (default
+# is only 16 MiB), 37 effective MACs retired per HBM byte (measured bf16x3
+# ~30 GMAC/ms against v5e's ~819 GB/s — weights neighbor-block re-reads).
+def _hw():
+    from blur_algorithms_tpu.utils.hw import budgets
+
+    return budgets()
 
 
 def _wide_tile_cost(
     rh: int, rw: int, h: int, w: int, th: int, tw: int, in_bytes: int,
-    wr: float = 1.0, wc: float = 1.0,
+    wr: float = 1.0, wc: float = 1.0, mat_bytes: int = 4,
 ) -> float | None:
     """Cost model (MAC-equivalents per useful output pixel) for a (th, tw)
     tile, or None if the configuration exceeds the VMEM budget.
@@ -576,6 +598,10 @@ def _wide_tile_cost(
     MXU's per-precision rate (bf16-dot equivalents: int8 rows 2/1.6=1.25,
     int8 cols 4/1.6=2.5, bf16x3 u8-input rows 2, bf16x3 cols/f32 rows 3) —
     used by ``_split_wins`` to compare mixed-precision forms fairly.
+    ``mat_bytes``: per-entry band-matrix size — 4 for the stacked bf16
+    hi/lo planes, 2 for the int8 path's hi/lo int8 stacks (feasible int8
+    tiles near the VMEM budget must not be rejected on bf16-sized mats).
+    Radius-0 axes ship no matrix at all (identity pass).
     """
     nh = 1 + (-(-2 * rh // th) if rh else 0)
     nw = 1 + (-(-2 * rw // tw) if rw else 0)
@@ -583,12 +609,12 @@ def _wide_tile_cost(
         return None
     vmem = (
         int(nh * nw * th * tw * in_bytes * 1.5)  # neighbor blocks (pipelined)
-        + (tw + 2 * rw) * tw * 4  # bw hi/lo bf16 stack
-        + (th + 2 * rh) * th * 4  # bh hi/lo bf16 stack
+        + ((tw + 2 * rw) * tw * mat_bytes if rw else 0)  # bw hi/lo stack
+        + ((th + 2 * rh) * th * mat_bytes if rh else 0)  # bh hi/lo stack
         + (th + 2 * rh) * tw * 4  # rows-pass strip (f32)
         + th * tw * 4 * 2  # output block
     )
-    if vmem > _WIDE_VMEM_BUDGET:
+    if vmem > _hw().wide_vmem_budget:
         return None
     waste = (th * -(-h // th) / h) * (tw * -(-w // tw) / w)  # grid padding
     # radius-0 axes skip their matmul entirely (identity pass), so charge
@@ -599,13 +625,13 @@ def _wide_tile_cost(
         macs += wr * (th + 2 * rh) / th * (tw + 2 * rw)
     if rh:
         macs += wc * (th + 2 * rh)
-    dma = _MACS_PER_HBM_BYTE * nh * nw * in_bytes
+    dma = _hw().macs_per_hbm_byte * nh * nw * in_bytes
     return max(macs, dma) * waste
 
 
 def _best_wide(
     rh: int, rw: int, h: int, w: int, in_bytes: int,
-    wr: float = 1.0, wc: float = 1.0,
+    wr: float = 1.0, wc: float = 1.0, mat_bytes: int = 4,
 ) -> tuple[float, tuple[int, int]] | None:
     best: tuple[float, tuple[int, int]] | None = None
     # th=1024 is excluded: measured 1.3-1.6x slower than 768-tall tiles at
@@ -613,16 +639,23 @@ def _best_wide(
     # modeled cost — Mosaic schedules the very tall cols matmuls poorly
     for th in (256, 512, 768):
         for tw in (128, 256, 512, 1024):
-            cost = _wide_tile_cost(rh, rw, h, w, th, tw, in_bytes, wr, wc)
+            cost = _wide_tile_cost(
+                rh, rw, h, w, th, tw, in_bytes, wr, wc, mat_bytes
+            )
             if cost is not None and (best is None or cost < best[0]):
                 best = (cost, (th, tw))
     return best
 
 
-def _pick_tile_wide(plan: BlurPlan, in_bytes: int = 1) -> tuple[int, int]:
+def _pick_tile_wide(
+    plan: BlurPlan, in_bytes: int = 1, precision=None
+) -> tuple[int, int]:
     """Tile search for kernels wider than one grid block (2r > tile)."""
     rh, rw = plan.col.support_radius, plan.row.support_radius
-    best = _best_wide(rh, rw, plan.shape[0], plan.shape[1], in_bytes)
+    mb = 2 if precision == "int8" else 4
+    best = _best_wide(
+        rh, rw, plan.shape[0], plan.shape[1], in_bytes, mat_bytes=mb
+    )
     if best is None:
         raise ValueError(
             f"no fused tile fits VMEM for radii {(rh, rw)}; "
@@ -634,7 +667,8 @@ def _pick_tile_wide(plan: BlurPlan, in_bytes: int = 1) -> tuple[int, int]:
 def _axis_identity(ax) -> object:
     """Radius-0 copy of an AxisPlan (taps [1]) for one pass of split mode."""
     return dataclasses.replace(
-        ax, width=1, pad=0, taps=np.array([1.0], np.float32)
+        ax, width=1, pad=0, taps=np.array([1.0], np.float32),
+        spectrum_c=None,  # identity taps are symmetric
     )
 
 
@@ -695,9 +729,11 @@ def split_hbm_bytes(plan: BlurPlan, in_bytes: int = 1,
     return int(px * (in_bytes + ib + ib * (h + 2 * rh + 2048) / h + in_bytes))
 
 
-# Split forms whose in-flight buffers exceed this budget are routed away
-# (the single kernel if feasible, else the streamed FFT via api AUTO).
-_SPLIT_HBM_BUDGET = 11 << 30
+# Split forms whose in-flight buffers exceed the device's split-HBM budget
+# (v5e: 11 GiB) are routed away (the single kernel if feasible, else the
+# streamed FFT via api AUTO).
+def _split_hbm_budget() -> int:
+    return _hw().split_hbm_budget
 
 
 def _split_wins(plan: BlurPlan, in_bytes: int, precision=None) -> bool:
@@ -720,7 +756,9 @@ def _split_wins(plan: BlurPlan, in_bytes: int, precision=None) -> bool:
         precision == "int8" and u8 and int8_applicable(plan, jnp.uint8)
     )
     wr1, wc1 = (1.25, 2.5) if full_int8 else ((2.0, 3.0) if u8 else (3.0, 3.0))
-    single = _best_wide(rh, rw, h, w, in_bytes, wr1, wc1)
+    single = _best_wide(
+        rh, rw, h, w, in_bytes, wr1, wc1, 2 if full_int8 else 4
+    )
     rows_plan, _ = _split_plans(plan)
     p1_int8 = (
         precision == "int8" and u8 and int8_applicable(rows_plan, jnp.uint8)
@@ -728,19 +766,25 @@ def _split_wins(plan: BlurPlan, in_bytes: int, precision=None) -> bool:
     wr2 = 1.25 if p1_int8 else (2.0 if u8 else 3.0)
     # pass 2: int8 on the e32 intermediate when applicable, else bf16x3
     p2_int8 = e32_split_applicable(plan, precision, in_bytes)
-    rows = _best_wide(0, rw, h, w, in_bytes, wr2, 0.0)
+    rows = _best_wide(
+        0, rw, h, w, in_bytes, wr2, 0.0, 2 if p1_int8 else 4
+    )
     cols = _best_wide(
-        rh, 0, h, w, 2 if p2_int8 else 4, 0.0, 2.5 if p2_int8 else 3.0
+        rh, 0, h, w, 2 if p2_int8 else 4, 0.0, 2.5 if p2_int8 else 3.0,
+        2 if p2_int8 else 4,
     )
     if rows is None or cols is None:
         return False
-    if split_hbm_bytes(plan, in_bytes, precision) > _SPLIT_HBM_BUDGET:
+    if split_hbm_bytes(plan, in_bytes, precision) > _split_hbm_budget():
         # giant-frame guard: the split would exhaust HBM; prefer the single
         # kernel when it fits (callers fall back to streamed FFT otherwise)
         return False
     if single is None:
         return True  # split is the only feasible MXU path
-    hbm = 8 * _MACS_PER_HBM_BYTE  # f32 write + read of the intermediate
+    # intermediate round trip: int16 E (2 + 2 bytes) on the e32 path, f32
+    # (4 + 4) otherwise — kept independent of the calibrated efficiency
+    # penalty so the byte model stays honest per precision form
+    hbm = (4 if p2_int8 else 8) * _hw().macs_per_hbm_byte
     return (rows[0] + cols[0] + hbm) * _SPLIT_EFF_PENALTY < single[0]
 
 
@@ -765,12 +809,12 @@ def _blur_fused_split(planar, plan: BlurPlan, precision, out_u8: bool):
         jax.default_backend() == "tpu" or _FORCE_INTERPRET
     ):
         e = _blur_fused_planar(
-            planar, rows_plan, _pick_tile(rows_plan, in_bytes), "int8",
-            out_u8=False, e32="out",
+            planar, rows_plan, _pick_tile(rows_plan, in_bytes, "int8"),
+            "int8", out_u8=False, e32="out",
         )
         return _blur_fused_planar(
-            e, cols_plan, _pick_tile(cols_plan, 2), "int8", out_u8=out_u8,
-            e32="in",
+            e, cols_plan, _pick_tile(cols_plan, 2, "int8"), "int8",
+            out_u8=out_u8, e32="in",
         )
     # pass 1 reads the raw uint8 frame: the int8 fixed-point rows form
     # applies even when the full kernel can't (pass 2 reads f32)
@@ -782,12 +826,13 @@ def _blur_fused_split(planar, plan: BlurPlan, precision, out_u8: bool):
             else "bf16x3"
         )
     y = _blur_fused_planar(
-        planar, rows_plan, _pick_tile(rows_plan, in_bytes), p1_prec,
+        planar, rows_plan, _pick_tile(rows_plan, in_bytes, p1_prec), p1_prec,
         out_u8=False,
     )
     p2_prec = "bf16x3" if precision == "int8" else precision
     return _blur_fused_planar(
-        y, cols_plan, _pick_tile(cols_plan, 4), p2_prec, out_u8=out_u8
+        y, cols_plan, _pick_tile(cols_plan, 4, p2_prec), p2_prec,
+        out_u8=out_u8,
     )
 
 
@@ -857,7 +902,7 @@ def blur_fused(
         plan, jnp.asarray(planar).dtype
     ):
         precision = "bf16x3"
-    tile = tile or _pick_tile(plan, in_bytes)
+    tile = tile or _pick_tile(plan, in_bytes, precision)
     if is_float:
         return _blur_fused_diff(planar, plan, precision, tile)
     return _blur_fused_planar(planar, plan, tile, precision, out_u8=False)
@@ -885,7 +930,7 @@ def blur_fused_u8(
         plan, jnp.asarray(planar_u8).dtype
     ):
         precision = "bf16x3"
-    tile = tile or _pick_tile(plan)
+    tile = tile or _pick_tile(plan, 1, precision)
     return _blur_fused_planar(planar_u8, plan, tile, precision, out_u8=True)
 
 
@@ -911,7 +956,7 @@ def blur_fused_haloed(
     ):
         precision = "bf16x3"
     in_bytes = 1 if jnp.asarray(planar).dtype == jnp.uint8 else 4
-    tile = tile or _pick_tile(plan, in_bytes=in_bytes)
+    tile = tile or _pick_tile(plan, in_bytes, precision)
     return _blur_fused_planar(
         planar, plan, tile, precision, out_u8=out_u8, pre_padded_col=True
     )

@@ -1,0 +1,113 @@
+"""Per-device hardware budgets for routing and tile-search heuristics.
+
+Round 1 hard-coded TPU v5e numbers into the AUTO router and the fused
+kernel's tile search (VMEM budget, Mosaic scoped-vmem cap, HBM budgets,
+MAC/HBM-byte weighting). On a different TPU generation those constants
+would silently mis-route. This module derives every budget from a small
+calibration table keyed by ``jax.devices()[0].device_kind``, with the v5e
+entry reproducing round 1's measured-good values exactly.
+
+The derivations (ratios of the v5e calibration, scaled by each device's
+published HBM / VMEM / bandwidth / peak-bf16 numbers — see the public
+"How to Scale Your Model" hardware tables):
+
+* ``wide_vmem_budget``   — tile-search VMEM estimate cap: 110/128 of VMEM.
+* ``kernel_vmem_limit``  — Mosaic scoped-vmem cap: VMEM - 1 MiB.
+* ``fft_mxu_byte_budget``— whole-frame MXU-FFT intermediates: 10/16 of HBM.
+* ``split_hbm_budget``   — two-pass split peak footprint: 11/16 of HBM.
+* ``macs_per_hbm_byte``  — effective MXU MACs retired per HBM byte at the
+  measured bf16x3 rate (~30 GMAC/ms on v5e vs 819 GB/s -> 37), scaled by
+  peak-flops / bandwidth relative to v5e.
+
+Unknown device kinds (including CPU test runs, which exercised the same
+constants in round 1) fall back to the v5e entry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+__all__ = ["DeviceSpec", "budgets", "device_kind"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceSpec:
+    """Published per-chip numbers + derived budget properties."""
+
+    kind: str
+    hbm_bytes: int
+    vmem_bytes: int
+    hbm_gbps: float  # GB/s
+    peak_bf16_tflops: float
+
+    @property
+    def wide_vmem_budget(self) -> int:
+        """VMEM cap for the wide-radius fused tile search (v5e: 110 MiB)."""
+        return self.vmem_bytes * 110 // 128
+
+    @property
+    def kernel_vmem_limit(self) -> int:
+        """Mosaic scoped-vmem cap passed to kernels (v5e: 127 MiB)."""
+        return self.vmem_bytes - (1 << 20)
+
+    @property
+    def fft_mxu_byte_budget(self) -> int:
+        """Whole-frame padded-row intermediate budget (v5e: 10 GiB)."""
+        return self.hbm_bytes * 10 // 16
+
+    @property
+    def split_hbm_budget(self) -> int:
+        """Two-pass split form peak-HBM budget (v5e: 11 GiB)."""
+        return self.hbm_bytes * 11 // 16
+
+    @property
+    def macs_per_hbm_byte(self) -> int:
+        """Effective MXU MACs per HBM byte (v5e calibration: 37)."""
+        v5e_ratio = 197.0 / 819.0
+        ratio = self.peak_bf16_tflops / self.hbm_gbps
+        return max(1, round(37 * ratio / v5e_ratio))
+
+
+_GIB = 1 << 30
+_MIB = 1 << 20
+
+# Published per-chip specs (HBM capacity / VMEM / HBM bandwidth GB/s / peak
+# bf16 TFLOP/s). v2/v3 report per-core; jax exposes each core as a device.
+_V5E = DeviceSpec("TPU v5e", 16 * _GIB, 128 * _MIB, 819.0, 197.0)
+_TABLE: tuple[tuple[tuple[str, ...], DeviceSpec], ...] = (
+    (("v5 lite", "v5e", "v5litepod"), _V5E),
+    (("v6 lite", "v6e", "trillium"),
+     DeviceSpec("TPU v6e", 32 * _GIB, 128 * _MIB, 1640.0, 918.0)),
+    (("v5p", "v5"),
+     DeviceSpec("TPU v5p", 95 * _GIB, 128 * _MIB, 2765.0, 459.0)),
+    (("v4",), DeviceSpec("TPU v4", 32 * _GIB, 128 * _MIB, 1228.0, 275.0)),
+    (("v3",), DeviceSpec("TPU v3", 16 * _GIB, 16 * _MIB, 450.0, 61.0)),
+    (("v2",), DeviceSpec("TPU v2", 8 * _GIB, 16 * _MIB, 350.0, 23.0)),
+)
+
+
+def device_kind() -> str:
+    """The backend's device-kind string ('' when no backend is reachable)."""
+    try:
+        import jax
+
+        return jax.devices()[0].device_kind
+    except Exception:
+        return ""
+
+
+def spec_for_kind(kind: str) -> DeviceSpec:
+    """Resolve a device-kind string to its spec (v5e fallback)."""
+    k = kind.lower()
+    if "tpu" in k or k.startswith("v"):
+        for needles, spec in _TABLE:
+            if any(n in k for n in needles):
+                return spec
+    return _V5E  # unknown TPU, CPU/GPU test runs: round 1's constants
+
+
+@functools.lru_cache(maxsize=1)
+def budgets() -> DeviceSpec:
+    """The current backend's budget set (cached; v5e fallback)."""
+    return spec_for_kind(device_kind())

@@ -1,0 +1,80 @@
+"""Device-derived hardware budgets (utils/hw.py)."""
+
+import numpy as np
+
+from blur_algorithms_tpu.utils import hw
+
+
+class TestSpecResolution:
+    def test_v5e_entry_reproduces_round1_constants(self):
+        spec = hw.spec_for_kind("TPU v5 lite")
+        assert spec.wide_vmem_budget == 110 << 20
+        assert spec.kernel_vmem_limit == 127 << 20
+        assert spec.fft_mxu_byte_budget == 10 << 30
+        assert spec.split_hbm_budget == 11 << 30
+        assert spec.macs_per_hbm_byte == 37
+
+    def test_unknown_kind_falls_back_to_v5e(self):
+        for kind in ("", "cpu", "Host CPU", "NVIDIA H100"):
+            assert hw.spec_for_kind(kind).kind == "TPU v5e"
+
+    def test_kind_routing(self):
+        assert hw.spec_for_kind("TPU v4").kind == "TPU v4"
+        assert hw.spec_for_kind("TPU v5p").kind == "TPU v5p"
+        assert hw.spec_for_kind("TPU v5 lite").kind == "TPU v5e"
+        assert hw.spec_for_kind("TPU v6 lite").kind == "TPU v6e"
+        assert hw.spec_for_kind("TPU v6e").kind == "TPU v6e"
+        assert hw.spec_for_kind("TPU v3").kind == "TPU v3"
+
+    def test_budgets_scale_sanely_across_generations(self):
+        """Bigger chips get bigger budgets; ratios stay in sane ranges."""
+        for kind in ("TPU v2", "TPU v3", "TPU v4", "TPU v5 lite",
+                     "TPU v5p", "TPU v6e"):
+            spec = hw.spec_for_kind(kind)
+            assert 0 < spec.wide_vmem_budget < spec.vmem_bytes
+            assert spec.kernel_vmem_limit <= spec.vmem_bytes
+            assert spec.wide_vmem_budget < spec.kernel_vmem_limit
+            assert 0 < spec.fft_mxu_byte_budget < spec.hbm_bytes
+            assert spec.fft_mxu_byte_budget < spec.split_hbm_budget < spec.hbm_bytes
+            assert 1 <= spec.macs_per_hbm_byte <= 200
+
+    def test_budgets_cached_and_consistent(self):
+        b1 = hw.budgets()
+        b2 = hw.budgets()
+        assert b1 is b2
+
+
+class TestMockedRouting:
+    def test_tile_search_respects_mocked_vmem(self, monkeypatch):
+        """A 16 MiB-VMEM device (v3-class) rejects tiles a v5e accepts."""
+        from blur_algorithms_tpu.ops.plan import make_plan
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        plan = make_plan((8192, 8192), 308.0)  # r ~ 1024, wide regime
+
+        v5e = hw.spec_for_kind("TPU v5 lite")
+        v3 = hw.spec_for_kind("TPU v3")
+        monkeypatch.setattr(fused_blur, "_hw", lambda: v5e)
+        tile_v5e = fused_blur._pick_tile(plan)
+        assert tile_v5e[0] >= 256
+
+        monkeypatch.setattr(fused_blur, "_hw", lambda: v3)
+        # v3's 16 MiB VMEM cannot hold the wide-radius band matrices at all
+        import pytest
+
+        with pytest.raises(ValueError):
+            fused_blur._pick_tile(plan)
+
+    def test_small_radius_unaffected_by_device(self, monkeypatch):
+        """The measured-good small-radius tile rule is device-independent."""
+        from blur_algorithms_tpu.ops.plan import make_plan
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        plan = make_plan((2160, 3840), 10.0)
+        v5e = hw.spec_for_kind("TPU v5 lite")
+        v6e = hw.spec_for_kind("TPU v6e")
+        monkeypatch.setattr(fused_blur, "_hw", lambda: v5e)
+        t1 = fused_blur._pick_tile(plan)
+        monkeypatch.setattr(fused_blur, "_hw", lambda: v6e)
+        t2 = fused_blur._pick_tile(plan)
+        assert t1 == t2
