@@ -61,7 +61,7 @@ def unsharp_mask(
     sigma: float,
     amount: float = 1.0,
     threshold: int = 0,
-    size_mode: str = "smooth235",
+    size_mode: str = "auto",
 ) -> jnp.ndarray:
     """Unsharp masking: ``out = x + amount * (x - gaussian_blur(x))``.
 
@@ -83,7 +83,7 @@ def unsharp_mask(
 
 
 def high_pass(
-    img: jnp.ndarray, sigma: float, size_mode: str = "smooth235"
+    img: jnp.ndarray, sigma: float, size_mode: str = "auto"
 ) -> jnp.ndarray:
     """High-pass residual ``x - gaussian_blur(x)`` as float32 planar.
 

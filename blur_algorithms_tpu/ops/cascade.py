@@ -54,7 +54,7 @@ def _cascade_plans(shape: tuple[int, int], sigma: float, size_mode: str):
     )
 
 
-def blur_cascade(planar, sigma: float, size_mode: str = "smooth235"):
+def blur_cascade(planar, sigma: float, size_mode: str = "auto"):
     """Cascaded fused blur of float planar ``(..., H, W)`` (or uint8 in)."""
     from blur_algorithms_tpu.pallas_kernels.fused_blur import blur_fused
 
@@ -65,7 +65,7 @@ def blur_cascade(planar, sigma: float, size_mode: str = "smooth235"):
     return out
 
 
-def blur_cascade_u8(planar_u8, sigma: float, size_mode: str = "smooth235"):
+def blur_cascade_u8(planar_u8, sigma: float, size_mode: str = "auto"):
     """uint8 planar in/out: intermediate steps stay float32, one rounding."""
     from blur_algorithms_tpu.ops.layout import round_to_u8
 

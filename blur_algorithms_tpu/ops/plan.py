@@ -48,10 +48,18 @@ class AxisPlan:
     border: tuple[int, int]  # 2-D path per-side border (pad + growth split)
     taps: np.ndarray  # spatial taps, float32, length = support (odd)
     spectrum: np.ndarray  # Re(rfft(wrapped taps)), float32, fft_len//2 + 1
+    # full complex correlation spectrum, ONLY for asymmetric taps (None for
+    # symmetric ones, where Im == 0 and ``spectrum`` is the whole story)
+    spectrum_c: np.ndarray | None = None
 
     @property
     def support_radius(self) -> int:
         return (int(self.taps.shape[0]) - 1) // 2
+
+    @property
+    def symmetric(self) -> bool:
+        """True when the taps are palindromic (real spectrum suffices)."""
+        return self.spectrum_c is None
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -92,6 +100,8 @@ def _axis_plan(
     growth = fft_len - min_len
     border = (pad + growth // 2, pad + (growth - growth // 2))
     spectrum = kernels.real_spectrum(taps, fft_len)
+    symmetric = bool(np.allclose(taps, taps[::-1]))
+    spectrum_c = None if symmetric else kernels.complex_spectrum(taps, fft_len)
     return AxisPlan(
         dim=dim,
         width=width,
@@ -101,6 +111,7 @@ def _axis_plan(
         border=border,
         taps=taps,
         spectrum=spectrum,
+        spectrum_c=spectrum_c,
     )
 
 
@@ -108,7 +119,7 @@ def make_plan(
     shape: tuple[int, int],
     nsmooth: float,
     kernel: KernelKind = "gaussian",
-    size_mode: str = "smooth235",
+    size_mode: str = "auto",
     box_passes: int = 2,
 ) -> BlurPlan:
     """Plan a blur of an ``(H, W)`` image.
@@ -185,7 +196,7 @@ def make_custom_plan(
     shape: tuple[int, int],
     taps_row,
     taps_col=None,
-    size_mode: str = "smooth235",
+    size_mode: str = "auto",
 ) -> BlurPlan:
     """Plan an arbitrary separable CORRELATION filter (reflect-101 borders).
 

@@ -22,7 +22,14 @@ __all__ = [
 
 _N_MIN = 32
 
-SIZE_MODES = ("smooth235", "pow2")
+SIZE_MODES = ("auto", "smooth235", "pow2")
+
+# ``auto``: above this length a TPU backend plans pow2 instead of smooth235.
+# XLA's TPU FFT both compiles and runs far better on power-of-two lengths;
+# smooth235 at 14 MP+ frames measured multi-minute compiles (STATUS.md round
+# 1 known limitations). Below the threshold the two modes compile in the
+# same ballpark and smooth235 pads less, so reference behavior is kept.
+_AUTO_POW2_THRESHOLD = 2048
 
 
 def is_valid_size(n: int) -> bool:
@@ -60,12 +67,30 @@ def next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-def plan_fft_size(n: int, mode: str = "smooth235") -> int:
+def _backend_is_tpu() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def plan_fft_size(n: int, mode: str = "auto") -> int:
     """Legal transform length >= n for the given planner mode.
 
     ``smooth235`` reproduces the reference's padding policy exactly;
-    ``pow2`` trades extra trailing zeros for TPU FFT speed.
+    ``pow2`` trades extra trailing zeros for TPU FFT speed; ``auto`` (the
+    default) is smooth235 except on a TPU backend above
+    ``_AUTO_POW2_THRESHOLD``, where smooth235's non-pow2 XLA FFTs hit
+    multi-minute compiles — explicit ``smooth235`` remains the parity mode.
     """
+    if mode == "auto":
+        mode = (
+            "pow2"
+            if n > _AUTO_POW2_THRESHOLD and _backend_is_tpu()
+            else "smooth235"
+        )
     if mode == "smooth235":
         return n if is_valid_size(n) else nearest_transform_size(n)
     if mode == "pow2":

@@ -88,7 +88,7 @@ def blur_u8(
     img_hwc: np.ndarray,
     nsmooth: float,
     kernel: str = "gaussian",
-    size_mode: str = "smooth235",
+    size_mode: str = "auto",
 ) -> np.ndarray:
     """End-to-end uint8 HWC blur: the reference flag-2 pipeline."""
     if img_hwc.dtype != np.uint8:

@@ -55,3 +55,21 @@ def test_plan_modes():
     assert sizes.plan_fft_size(1000, "smooth235") == sizes.nearest_transform_size(1000)
     assert sizes.plan_fft_size(1000, "pow2") == 1024
     np.testing.assert_raises(ValueError, sizes.plan_fft_size, 10, "bogus")
+
+
+def test_plan_fft_size_auto_mode(monkeypatch):
+    """auto = smooth235 off-TPU always; pow2 on TPU above the threshold."""
+    monkeypatch.setattr(sizes, "_backend_is_tpu", lambda: False)
+    assert sizes.plan_fft_size(1000, "auto") == sizes.plan_fft_size(1000, "smooth235")
+    assert sizes.plan_fft_size(30000, "auto") == sizes.plan_fft_size(30000, "smooth235")
+    monkeypatch.setattr(sizes, "_backend_is_tpu", lambda: True)
+    # below threshold: still reference parity
+    assert sizes.plan_fft_size(1000, "auto") == sizes.plan_fft_size(1000, "smooth235")
+    # above threshold: pow2 (the multi-minute smooth235 compile footgun)
+    assert sizes.plan_fft_size(5000, "auto") == 8192
+    assert sizes.plan_fft_size(30000, "auto") == 32768
+
+
+def test_auto_is_default_mode():
+    assert sizes.SIZE_MODES[0] == "auto"
+    assert sizes.plan_fft_size(1000) == sizes.plan_fft_size(1000, "auto")
