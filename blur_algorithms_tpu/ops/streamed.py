@@ -47,9 +47,15 @@ def estimate_fft_tiles_bytes(plan: BlurPlan, channels: int = 3) -> int:
 
 
 def _fft_blur_chunk(chunk: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
-    """Reflect-pad + rFFT + xRe(ker) + irFFT + crop along ``axis`` (static)."""
+    """Reflect-pad + rFFT + x ker-spectrum + irFFT + crop along ``axis``.
+
+    Real spectrum for symmetric taps (the reference trick), full complex
+    half-spectrum for asymmetric custom taps (``kernels.complex_spectrum``).
+    """
     pad, n, flen = axis_plan.pad, axis_plan.dim, axis_plan.fft_len
-    spectrum = jnp.asarray(axis_plan.spectrum)
+    spectrum = jnp.asarray(
+        axis_plan.spectrum if axis_plan.symmetric else axis_plan.spectrum_c
+    )
     chunk = jnp.moveaxis(chunk, axis, -1)
     tile = reflect_101(chunk, [(pad, pad)])
     spec = jnp.fft.rfft(tile, n=flen, axis=-1)
@@ -109,12 +115,38 @@ def _pass_over_strips(
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "strip"))
+def _blur_fft_tiles_streamed_impl(
+    planar: jnp.ndarray, plan: BlurPlan, strip: int = 1024
+) -> jnp.ndarray:
+    x = _pass_over_strips(planar, plan.row, -1, -2, strip, jnp.float32)
+    return _pass_over_strips(x, plan.col, -2, -1, strip, jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def blur_fft_tiles_streamed(
     planar: jnp.ndarray, plan: BlurPlan, strip: int = 1024
 ) -> jnp.ndarray:
-    """Float32 planar ``(..., H, W)`` in/out, strip-streamed FFT blur."""
-    x = _pass_over_strips(planar, plan.row, -1, -2, strip, jnp.float32)
-    return _pass_over_strips(x, plan.col, -2, -1, strip, jnp.float32)
+    """Float32 planar ``(..., H, W)`` in/out, strip-streamed FFT blur.
+
+    Differentiable via the explicit blur adjoint (the strip loop's
+    ``fori_loop``/``dynamic_update_slice`` has no efficient transpose);
+    the backward pass runs the whole-frame adjoint, so gradients of frames
+    near the HBM limit may exceed it — stream the cotangent in that regime.
+    """
+    return _blur_fft_tiles_streamed_impl(planar, plan, strip)
+
+
+def _tiles_streamed_fwd(planar, plan, strip):
+    return blur_fft_tiles_streamed(planar, plan, strip), None
+
+
+def _streamed_bwd(plan, _strip, _res, ct):
+    from blur_algorithms_tpu.ops.adjoint import blur_adjoint
+
+    return (blur_adjoint(ct, plan),)
+
+
+blur_fft_tiles_streamed.defvjp(_tiles_streamed_fwd, _streamed_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "strip"))
@@ -131,16 +163,34 @@ def blur_fft_tiles_streamed_u8(
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "strip"))
-def blur_fft_mxu_streamed(
+def _blur_fft_mxu_streamed_impl(
     planar: jnp.ndarray, plan: BlurPlan, strip: int = 1024
 ) -> jnp.ndarray:
-    """Strip-streamed four-step MXU FFT blur (frames too big to pad whole)."""
     x = _pass_over_strips(
         planar, plan.row, -1, -2, strip, jnp.float32, _mxu_blur_chunk
     )
     return _pass_over_strips(
         x, plan.col, -2, -1, strip, jnp.float32, _mxu_blur_chunk
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def blur_fft_mxu_streamed(
+    planar: jnp.ndarray, plan: BlurPlan, strip: int = 1024
+) -> jnp.ndarray:
+    """Strip-streamed four-step MXU FFT blur (frames too big to pad whole).
+
+    Differentiable via the explicit blur adjoint (see
+    ``blur_fft_tiles_streamed``).
+    """
+    return _blur_fft_mxu_streamed_impl(planar, plan, strip)
+
+
+def _mxu_streamed_fwd(planar, plan, strip):
+    return blur_fft_mxu_streamed(planar, plan, strip), None
+
+
+blur_fft_mxu_streamed.defvjp(_mxu_streamed_fwd, _streamed_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "strip"))

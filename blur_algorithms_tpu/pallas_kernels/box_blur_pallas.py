@@ -30,9 +30,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from blur_algorithms_tpu.ops.layout import round_to_u8
 from blur_algorithms_tpu.ops.pad import reflect_101
 
-__all__ = ["box_blur_pallas", "box_blur_pallas_axis"]
+__all__ = ["box_blur_pallas", "box_blur_pallas_axis", "box_blur_pallas_u8"]
 
 
 def _inclusive_scan_last(x: jnp.ndarray) -> jnp.ndarray:
@@ -84,34 +85,66 @@ def _window_mean_last(x: jnp.ndarray, r: int, m: int) -> jnp.ndarray:
     return (hi - lo) * (1.0 / w)
 
 
-def _kernel(x_ref, out_ref, *, r: int, passes: int, n: int):
-    x = x_ref[0].astype(jnp.float32)
+def _kernel(x_ref, out_ref, *, r: int, passes: int, n: int, out_u8: bool):
+    x = x_ref[0]
+    # uint8 input converts in VMEM (Mosaic has no direct u8 -> f32 cast)
+    x = (
+        x.astype(jnp.int32).astype(jnp.float32)
+        if x.dtype == jnp.uint8
+        else x.astype(jnp.float32)
+    )
     length = x.shape[-1]  # n + 2 * passes * r; shrinks by 2r per pass
     for _ in range(passes):
         x = _window_mean_last(x, r, length - 2 * r)
         length -= 2 * r
-    out_ref[0] = x[..., :n]
+    x = x[..., :n]
+    if out_u8:
+        # reference +0.5 rounding in VMEM (no direct f32 -> u8 cast)
+        x = jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
+        x = x.astype(jnp.int32).astype(jnp.uint8)
+    out_ref[0] = x
 
 
-@functools.partial(jax.jit, static_argnames=("r", "passes", "tile_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("r", "passes", "tile_rows", "out_u8")
+)
 def box_blur_pallas_axis(
-    planar: jnp.ndarray, r: int, passes: int = 2, tile_rows: int = 128
+    planar: jnp.ndarray,
+    r: int,
+    passes: int = 2,
+    tile_rows: int = 128,
+    out_u8: bool = False,
 ) -> jnp.ndarray:
-    """Box blur along the last axis of float32 ``(..., M, N)``; ``passes`` x."""
+    """Box blur along the last axis of ``(..., M, N)``; ``passes`` x.
+
+    Accepts float32 or uint8 input (uint8 converts in VMEM — no full-frame
+    f32 copy ever reaches HBM); ``out_u8`` rounds in VMEM and writes uint8.
+    """
+    out_dtype = jnp.uint8 if out_u8 else jnp.float32
+    is_u8_in = planar.dtype == jnp.uint8
+
+    def passthrough(x):
+        if out_u8:
+            return round_to_u8(x) if not is_u8_in else x
+        return x.astype(jnp.float32)
+
     if r <= 0:
-        return planar.astype(jnp.float32)
+        return passthrough(planar)
     n = planar.shape[-1]
     pad = min(passes * r, n - 1) if n > 1 else 0
     eff_r = pad // passes  # keep each pass's window inside the padded span
     if eff_r == 0:
-        return planar.astype(jnp.float32)
+        return passthrough(planar)
 
     lead = planar.shape[:-2]
-    x = planar.reshape((-1,) + planar.shape[-2:]).astype(jnp.float32)
+    x = planar.reshape((-1,) + planar.shape[-2:])
+    if not is_u8_in:
+        x = x.astype(jnp.float32)
     x = reflect_101(x, [(passes * eff_r, passes * eff_r)], axes=[-1])
 
     if jax.default_backend() != "tpu":
         # XLA fallback: same scan-difference math
+        x = x.astype(jnp.float32)
         length = x.shape[-1]
         for _ in range(passes):
             cs = jnp.cumsum(x, axis=-1)
@@ -124,7 +157,8 @@ def box_blur_pallas_axis(
             )
             x = (hi - lo) * (1.0 / w)
             length = m
-        return x[..., :n].reshape(lead + planar.shape[-2:])
+        out = x[..., :n].reshape(lead + planar.shape[-2:])
+        return round_to_u8(out) if out_u8 else out
 
     # lane-align the scan axis so every 128-chunk slice is full-width;
     # trailing zeros are inert (they only extend the prefix sum's tail)
@@ -142,7 +176,7 @@ def box_blur_pallas_axis(
     x = jnp.pad(x, [(0, 0), (0, nth * th - mrows), (0, 0)])
 
     out = pl.pallas_call(
-        functools.partial(_kernel, r=eff_r, passes=passes, n=n),
+        functools.partial(_kernel, r=eff_r, passes=passes, n=n, out_u8=out_u8),
         grid=(bc, nth),
         in_specs=[
             pl.BlockSpec(
@@ -152,10 +186,45 @@ def box_blur_pallas_axis(
         out_specs=pl.BlockSpec(
             (1, th, n), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bc, nth * th, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bc, nth * th, n), out_dtype),
     )(x)
 
     return out[:, :mrows, :].reshape(lead + planar.shape[-2:])
+
+
+def _box_blur_2d(planar: jnp.ndarray, radius: int, passes: int) -> jnp.ndarray:
+    out = box_blur_pallas_axis(planar, radius, passes)
+    out = jnp.swapaxes(
+        box_blur_pallas_axis(jnp.swapaxes(out, -1, -2), radius, passes), -1, -2
+    )
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _box_blur_diff(planar, radius, passes):
+    return _box_blur_2d(planar, radius, passes)
+
+
+def _box_blur_fwd(planar, radius, passes):
+    return _box_blur_diff(planar, radius, passes), None
+
+
+def _box_blur_bwd(radius, passes, _res, ct):
+    # the scan-difference pipeline equals one pass of the folded
+    # box_passes_kernel taps with reflect-101 borders (same per-axis radius
+    # clamp: min(passes*r, dim-1) // passes both here and in make_plan), so
+    # the VJP is the standard blur adjoint of that plan
+    from blur_algorithms_tpu.ops.adjoint import blur_adjoint
+    from blur_algorithms_tpu.ops.plan import make_plan
+
+    plan = make_plan(
+        (ct.shape[-2], ct.shape[-1]), radius, kernel="box_fast",
+        box_passes=passes,
+    )
+    return (blur_adjoint(ct, plan),)
+
+
+_box_blur_diff.defvjp(_box_blur_fwd, _box_blur_bwd)
 
 
 def box_blur_pallas(
@@ -164,10 +233,29 @@ def box_blur_pallas(
     """FastBoxBlur semantics on float32 planar ``(..., H, W)``.
 
     ``passes`` box passes per axis (rows then columns), each width
-    ``2*radius + 1``, reflect-101 borders.
+    ``2*radius + 1``, reflect-101 borders. Differentiable: the pipeline is
+    linear and ships an explicit adjoint ``custom_vjp`` (Pallas kernels
+    have no automatic transpose).
     """
-    out = box_blur_pallas_axis(planar, radius, passes)
+    return _box_blur_diff(planar, int(radius), int(passes))
+
+
+def box_blur_pallas_u8(
+    planar_u8: jnp.ndarray, radius: int, passes: int = 2
+) -> jnp.ndarray:
+    """uint8 planar ``(..., H, W)`` in -> uint8 out, scan kernel end to end.
+
+    Mirrors ``blur_fused_u8``: the rows pass converts uint8 in VMEM and the
+    columns pass rounds back to uint8 in VMEM, so only ONE full-frame f32
+    intermediate (between the passes) ever exists in HBM — the generic
+    ``to_planar``/``from_planar`` route materializes two more.
+    """
+    out = box_blur_pallas_axis(planar_u8, int(radius), int(passes))
     out = jnp.swapaxes(
-        box_blur_pallas_axis(jnp.swapaxes(out, -1, -2), radius, passes), -1, -2
+        box_blur_pallas_axis(
+            jnp.swapaxes(out, -1, -2), int(radius), int(passes), out_u8=True
+        ),
+        -1,
+        -2,
     )
     return out

@@ -91,3 +91,73 @@ def test_adjointness_wide_radius(rng):
     lhs = float(jnp.vdot(bx, y))
     rhs = float(jnp.vdot(x, aty))
     assert abs(lhs - rhs) < 1e-2 * max(1.0, abs(lhs))
+
+
+import pytest
+
+# every public engine: <blur(x), y> == <x, grad_x <blur(x), y>> (linearity)
+_GRAD_ENGINES = [
+    "fft2", "fft_tiles", "conv", "band", "fused", "fft_mxu",
+    "fft_stream", "box_scan", "box", "cascade", "auto",
+]
+
+
+@pytest.mark.parametrize("engine", _GRAD_ENGINES)
+def test_engine_grad_matrix(engine, rng):
+    """jax.grad works through EVERY engine (README's differentiability claim).
+
+    For a linear operator A, grad_x <A x, y> = A^T y, so the adjoint
+    identity <A x, y> == <x, A^T y> verifies both that grad runs and that
+    the VJP is the true adjoint.
+    """
+    from blur_algorithms_tpu.api import blur
+
+    x = jnp.asarray(rng.random((18, 22)).astype(np.float32))
+    y = jnp.asarray(rng.random((18, 22)).astype(np.float32))
+    nsmooth = 2.0  # box engines read this as radius = 4, 2 passes
+
+    def f(v):
+        return blur(v, nsmooth, engine=engine)
+
+    bx = f(x)
+    g = jax.grad(lambda v: jnp.vdot(f(v), y))(x)
+    assert g.shape == x.shape and np.isfinite(np.asarray(g)).all()
+    lhs = float(jnp.vdot(bx, y))
+    rhs = float(jnp.vdot(x, g))
+    assert abs(lhs - rhs) < 1e-2 * max(abs(lhs), 1.0), (engine, lhs, rhs)
+
+
+def test_box_scan_grad_matches_band_autodiff(rng):
+    """The box-scan custom_vjp equals autodiff through the band engine."""
+    from blur_algorithms_tpu.ops.plan import make_plan
+    from blur_algorithms_tpu.pallas_kernels.box_blur_pallas import (
+        box_blur_pallas,
+    )
+
+    r, passes = 3, 2
+    x = jnp.asarray(rng.random((20, 28)).astype(np.float32))
+    ct = jnp.asarray(rng.random((20, 28)).astype(np.float32))
+    plan = make_plan((20, 28), r, kernel="box_fast", box_passes=passes)
+
+    _, vjp_scan = jax.vjp(lambda v: box_blur_pallas(v, r, passes), x)
+    _, vjp_band = jax.vjp(lambda v: blur_band_matmul(v, plan), x)
+    (g_scan,) = vjp_scan(ct)
+    (g_band,) = vjp_band(ct)
+    np.testing.assert_allclose(
+        np.asarray(g_scan), np.asarray(g_band), atol=2e-3
+    )
+
+
+def test_streamed_grad_matches_tiles_autodiff(rng):
+    from blur_algorithms_tpu.ops.fft_conv import blur_fft_tiles
+    from blur_algorithms_tpu.ops.plan import make_plan
+    from blur_algorithms_tpu.ops.streamed import blur_fft_tiles_streamed
+
+    plan = make_plan((24, 40), 3.0)
+    x = jnp.asarray(rng.random((24, 40)).astype(np.float32))
+    ct = jnp.asarray(rng.random((24, 40)).astype(np.float32))
+    _, vjp_s = jax.vjp(lambda v: blur_fft_tiles_streamed(v, plan, 16), x)
+    _, vjp_t = jax.vjp(lambda v: blur_fft_tiles(v, plan), x)
+    (g_s,) = vjp_s(ct)
+    (g_t,) = vjp_t(ct)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_t), atol=2e-3)
