@@ -39,6 +39,21 @@ def _mirror_full(rspec: np.ndarray, n: int) -> np.ndarray:
     return full
 
 
+def _mirror_full_c(rspec: np.ndarray, n: int) -> np.ndarray:
+    """Complex CCS unpack: upper bins are conjugates of the mirrored lower."""
+    full = np.zeros(n, dtype=np.complex64)
+    half = n // 2 + 1
+    full[:half] = rspec[:half]
+    full[half:] = np.conj(rspec[1 : n - half + 1][::-1])
+    return full
+
+
+def _axis_spectrum(axis_plan) -> np.ndarray:
+    """Half spectrum for the rows multiply: real (symmetric taps — the
+    reference's real-spectrum trick) or complex (asymmetric custom taps)."""
+    return axis_plan.spectrum if axis_plan.symmetric else axis_plan.spectrum_c
+
+
 def blur_fft2(
     planar: jnp.ndarray, plan: BlurPlan, pallas_multiply: bool = False
 ) -> jnp.ndarray:
@@ -58,8 +73,16 @@ def blur_fft2(
     padded = reflect_101(planar, [(bt, bb), (bl, br)])
     spec = jnp.fft.rfft2(padded, axes=(-2, -1))
 
-    ker_col = _mirror_full(plan.col.spectrum, fft_h)
+    ker_col = (
+        _mirror_full(plan.col.spectrum, fft_h)
+        if plan.col.symmetric
+        else _mirror_full_c(plan.col.spectrum_c, fft_h)
+    )
     if pallas_multiply:
+        if not (plan.col.symmetric and plan.row.symmetric):
+            raise ValueError(
+                "pallas_multiply supports symmetric (real-spectrum) taps only"
+            )
         from blur_algorithms_tpu.pallas_kernels.spectral_multiply import (
             spectral_multiply_2d,
         )
@@ -69,7 +92,11 @@ def blur_fft2(
         # keep the two 1-D spectra as separate constants and let XLA fuse the
         # broadcast — materializing the outer product would bake an
         # O(fft_h * fft_w) constant into the program (~700 MB at 348 MP)
-        spec = spec * jnp.asarray(ker_col)[:, None] * jnp.asarray(plan.row.spectrum)
+        spec = (
+            spec
+            * jnp.asarray(ker_col)[:, None]
+            * jnp.asarray(_axis_spectrum(plan.row))
+        )
     out = jnp.fft.irfft2(spec, s=(fft_h, fft_w), axes=(-2, -1))
     return out[..., bt : bt + h, bl : bl + w]
 
@@ -92,13 +119,17 @@ def _tile_pass(
 
     spec = jnp.fft.rfft(tile, n=flen, axis=-1)
     if pallas_multiply:
+        if not axis_plan.symmetric:
+            raise ValueError(
+                "pallas_multiply supports symmetric (real-spectrum) taps only"
+            )
         from blur_algorithms_tpu.pallas_kernels.spectral_multiply import (
             spectral_multiply_rows,
         )
 
         spec = spectral_multiply_rows(spec, axis_plan.spectrum)
     else:
-        spec = spec * jnp.asarray(axis_plan.spectrum)
+        spec = spec * jnp.asarray(_axis_spectrum(axis_plan))
     out = jnp.fft.irfft(spec, n=flen, axis=-1)
     out = out[..., pad : pad + n]
     return jnp.moveaxis(out, -1, axis)

@@ -131,11 +131,19 @@ def _fft4step(xre, xim, consts, precision, inverse: bool):
 
 
 @functools.lru_cache(maxsize=256)
-def _perm_spectrum(plan_axis, n: int) -> np.ndarray:
-    """Full real kernel spectrum in the four-step's (k1, k2) bin layout."""
+def _perm_spectrum_c(plan_axis, n: int):
+    """(hre, him) correlation spectrum in (k1, k2) layout; him None when
+    the taps are symmetric (purely real spectrum — the fast path)."""
     n1, n2 = _factor(n)
-    full = np.fft.fft(wrap_centered(plan_axis.taps, n)).real.astype(np.float32)
-    return np.ascontiguousarray(full.reshape(n2, n1).T)  # [k1, k2]
+    # conj: engines implement circular convolution; plan semantics are
+    # correlation (see kernels.complex_spectrum). Re is conj-invariant, so
+    # the symmetric path is unchanged.
+    full = np.conj(np.fft.fft(wrap_centered(plan_axis.taps, n)))
+    hre = np.ascontiguousarray(full.real.astype(np.float32).reshape(n2, n1).T)
+    if plan_axis.symmetric:
+        return hre, None
+    him = np.ascontiguousarray(full.imag.astype(np.float32).reshape(n2, n1).T)
+    return hre, him
 
 
 def transform_length(axis_plan) -> int:
@@ -198,8 +206,17 @@ def _conv_rows_einsum(rows: jnp.ndarray, n: int, axis_plan, precision):
     zim = rows[r2:].reshape(r2, n1, n2)
 
     sre, sim = _fft4step(zre, zim, consts, precision, inverse=False)
-    hperm = jnp.asarray(_perm_spectrum(axis_plan, n))
-    sre, sim = sre * hperm, sim * hperm
+    hre, him = _perm_spectrum_c(axis_plan, n)
+    hre = jnp.asarray(hre)
+    if him is None:
+        # symmetric taps: purely real spectrum (reference Source.cpp:258)
+        sre, sim = sre * hre, sim * hre
+    else:
+        # asymmetric custom taps: full complex multiply — the packed
+        # two-real-rows trick still holds because the KERNEL is real in
+        # space, so conv(row) stays real and IFFT linearity separates them
+        him = jnp.asarray(him)
+        sre, sim = sre * hre - sim * him, sre * him + sim * hre
     yre, yim = _fft4step(sre, sim, consts, precision, inverse=True)
 
     return jnp.concatenate(

@@ -30,6 +30,7 @@ __all__ = [
     "box_passes_kernel",
     "wrap_centered",
     "real_spectrum",
+    "complex_spectrum",
 ]
 
 
@@ -132,3 +133,21 @@ def real_spectrum(taps: np.ndarray, fft_length: int) -> np.ndarray:
     """
     wrapped = wrap_centered(taps, fft_length)
     return np.fft.rfft(wrapped).real.astype(np.float32)
+
+
+def complex_spectrum(taps: np.ndarray, fft_length: int) -> np.ndarray:
+    """Full complex rFFT spectrum implementing CORRELATION by the taps.
+
+    Shape ``(fft_length//2 + 1,)`` complex64. The engines compute
+    ``irfft(rfft(x) * S)`` — a circular convolution by the wrapped kernel —
+    but the plan semantics are correlation (``out[i] = sum_t taps[t] *
+    x[i - r + t]``, matching ``oracle.blur_direct`` / ``cv2.filter2D``).
+    Correlation is convolution by the REVERSED taps, and the wrapped reverse
+    is the circular time-reversal of the wrapped taps, whose DFT is the
+    conjugate — so ``S = conj(rfft(wrap_centered(taps)))``. For symmetric
+    taps ``Im(S) = 0`` and ``Re(S)`` equals :func:`real_spectrum` exactly
+    (the reference's real-spectrum trick, ``Source.cpp:258``, is the
+    symmetric special case).
+    """
+    wrapped = wrap_centered(taps, fft_length)
+    return np.conj(np.fft.rfft(wrapped)).astype(np.complex64)

@@ -32,7 +32,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from blur_algorithms_tpu.ops.fft_mxu import _factor, _perm_spectrum, _stage_consts
+from blur_algorithms_tpu.ops.fft_mxu import (
+    _factor,
+    _perm_spectrum_c,
+    _stage_consts,
+)
 
 __all__ = ["blur_fft_mxu_pallas", "fft_conv_rows"]
 
@@ -60,8 +64,10 @@ def _c2r_mat(re: np.ndarray, im: np.ndarray, conj: bool = False,
 
 def _kernel(xre_ref, xim_ref,
             f1f, f2f, f2i, f1i,
-            tw_re, tw_im, twt_re, twt_im, hperm2,
-            ore_ref, oim_ref, *, n1: int, n2: int, rb: int):
+            tw_re, tw_im, twt_re, twt_im, *h_and_out,
+            n1: int, n2: int, rb: int, complex_h: bool = False):
+    ore_ref, oim_ref = h_and_out[-2:]
+    h_refs = h_and_out[:-2]
     f32 = jnp.float32
 
     def dot3(x, mref):
@@ -104,10 +110,21 @@ def _kernel(xre_ref, xim_ref,
     are, aim = rot(are, aim, n2, n1)                        # (rb*n1, n2)
     bre, bim = cdot(are, aim, f2f, n2)
 
-    # spectral multiply: real kernel spectrum in permuted (k1, k2) bins
-    h = hperm2[...][None]  # (1, n1, 2*n2): the spectrum tiled over [re | im]
-    b = jnp.concatenate([bre, bim], axis=-1).reshape(rb, n1, 2 * n2) * h
-    b = b.reshape(rb * n1, 2 * n2)
+    if complex_h:
+        # asymmetric taps: full complex multiply in the permuted bins (the
+        # kernel is still real in SPACE, so the packed-rows trick holds)
+        hre = h_refs[0][...][None]  # (1, n1, n2)
+        him = h_refs[1][...][None]
+        bre3 = bre.reshape(rb, n1, n2)
+        bim3 = bim.reshape(rb, n1, n2)
+        b = jnp.concatenate(
+            [bre3 * hre - bim3 * him, bre3 * him + bim3 * hre], axis=-1
+        ).reshape(rb * n1, 2 * n2)
+    else:
+        # spectral multiply: real kernel spectrum in permuted (k1, k2) bins
+        h = h_refs[0][...][None]  # (1, n1, 2*n2): spectrum tiled [re | im]
+        b = jnp.concatenate([bre, bim], axis=-1).reshape(rb, n1, 2 * n2) * h
+        b = b.reshape(rb * n1, 2 * n2)
 
     c = dot3(b, f2i)  # undo stage 2
     cre, cim = c[:, :n2], c[:, n2:]
@@ -137,7 +154,7 @@ def _conv_rows_pallas(rows: jnp.ndarray, n: int, axis_plan) -> jnp.ndarray:
     # pad) so the kernel's stage-1 lane contraction needs no VMEM relayout
     x3 = jnp.swapaxes(x.reshape(2 * r2p, n1, n2), 1, 2)
 
-    h = _perm_spectrum(axis_plan, n)
+    hre, him = _perm_spectrum_c(axis_plan, n)
     consts = [
         _stack_bf16(_c2r_mat(f1re_, f1im_)),
         _stack_bf16(_c2r_mat(f2re_, f2im_)),
@@ -145,8 +162,12 @@ def _conv_rows_pallas(rows: jnp.ndarray, n: int, axis_plan) -> jnp.ndarray:
         _stack_bf16(_c2r_mat(f1re_, f1im_, conj=True, scale=1.0 / n)),
         jnp.asarray(twre_), jnp.asarray(twim_),
         jnp.asarray(twre_.T), jnp.asarray(twim_.T),
-        jnp.asarray(np.concatenate([h, h], axis=-1)),  # tiled over [re | im]
     ]
+    if him is None:
+        # symmetric: one tiled-[re | im] multiply in the kernel
+        consts.append(jnp.asarray(np.concatenate([hre, hre], axis=-1)))
+    else:
+        consts.extend([jnp.asarray(hre), jnp.asarray(him)])
 
     blk = lambda off: pl.BlockSpec(
         (rb, n2, n1), lambda i, off=off: (i + off, 0, 0),
@@ -158,7 +179,9 @@ def _conv_rows_pallas(rows: jnp.ndarray, n: int, axis_plan) -> jnp.ndarray:
     steps = r2p // rb
 
     ore, oim = pl.pallas_call(
-        functools.partial(_kernel, n1=n1, n2=n2, rb=rb),
+        functools.partial(
+            _kernel, n1=n1, n2=n2, rb=rb, complex_h=him is not None
+        ),
         interpret=jax.default_backend() != "tpu",
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         grid=(steps,),

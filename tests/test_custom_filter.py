@@ -104,18 +104,55 @@ class TestConvolveSeparable:
         b = np.asarray(convolve_separable(jnp.asarray(x), TENT, engine="fused"))
         np.testing.assert_allclose(a, b, atol=3e-2)
 
-    def test_fft_engine_rejects_asymmetric(self, rng):
-        x = (rng.random((1, 16, 16)) * 255).astype(np.float32)
-        with pytest.raises(ValueError, match="symmetric"):
-            convolve_separable(jnp.asarray(x), DERIV, engine="fft2")
+    @pytest.mark.parametrize(
+        "engine", ["fft2", "fft_tiles", "fft_mxu", "fft_stream"]
+    )
+    def test_fft_engines_handle_asymmetric(self, engine, rng):
+        """Every FFT engine runs asymmetric taps via the complex spectrum."""
+        x = (rng.random((1, 28, 36)) * 255).astype(np.float32)
+        got = np.asarray(
+            convolve_separable(jnp.asarray(x), DERIV, engine=engine)
+        )
+        plan = make_custom_plan((28, 36), DERIV)
+        want = oracle.blur_direct(x, plan)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_fft_engine_fully_asymmetric_taps(self, rng):
+        """Non-antisymmetric, non-symmetric taps (general complex spectrum)."""
+        taps = np.array([0.1, -0.3, 0.8, 0.25, 0.05], np.float32)
+        x = (rng.random((1, 30, 26)) * 255).astype(np.float32)
+        for engine in ("fft2", "fft_tiles", "fft_mxu"):
+            got = np.asarray(
+                convolve_separable(jnp.asarray(x), taps, engine=engine)
+            )
+            plan = make_custom_plan((30, 26), taps)
+            want = oracle.blur_direct(x, plan)
+            np.testing.assert_allclose(got, want, atol=2e-3, err_msg=engine)
 
     def test_auto_asymmetric_routes_off_fft(self, rng):
-        """AUTO never hands asymmetric taps to an FFT engine."""
+        """AUTO with asymmetric taps still matches the oracle."""
         x = (rng.random((1, 24, 24)) * 255).astype(np.float32)
         got = np.asarray(convolve_separable(jnp.asarray(x), DERIV, DERIV))
         plan = make_custom_plan((24, 24), DERIV, DERIV)
         want = oracle.blur_direct(x, plan)
         np.testing.assert_allclose(got, want, atol=2e-2)
+
+    def test_auto_wide_asymmetric_no_longer_refused(self, rng):
+        """Wide asymmetric taps AUTO-route to an FFT engine and match the
+        oracle (round 1 raised here: STATUS.md top known limitation)."""
+        width = 5201  # radius 2600 > _AUTO_FUSED_MAX_RADIUS_F32
+        t = rng.standard_normal(width).astype(np.float32)
+        t[width // 2] += 3.0  # clearly asymmetric
+        t /= np.abs(t).sum()
+        h, w = 24, 6000
+        x = (rng.random((1, h, w)) * 255).astype(np.float32)
+        got = np.asarray(
+            convolve_separable(jnp.asarray(x), t, np.ones(1, np.float32))
+        )
+        plan = make_custom_plan((h, w), t, np.ones(1, np.float32))
+        assert plan.row.support_radius == 2600
+        want = oracle.blur_direct(x, plan)
+        np.testing.assert_allclose(got, want, atol=1e-3)
 
     def test_difference_of_gaussians(self, rng):
         """DoG band-pass: g(1) - g(2), symmetric signed taps, sum ~0."""
