@@ -44,3 +44,28 @@ def test_bad_inputs(rgb_image):
         channel_smooth(rgb_image, (1, 1))
     with pytest.raises(ValueError):
         channel_smooth(rgb_image, (1, 1, 1), colorspace="hsv")
+
+
+def test_single_program_per_recipe(rng):
+    """The whole recipe compiles once per (shape, sigmas) — no host hops."""
+    import importlib
+
+    cs = importlib.import_module("blur_algorithms_tpu.models.channel_smooth")
+
+    cs._compiled_recipe.cache_clear()
+    img = (rng.random((32, 40, 3)) * 255).astype(np.uint8)
+    a = cs.channel_smooth(img, (1.0, 2.0, 3.0))
+    b = cs.channel_smooth(img, (1.0, 2.0, 3.0))
+    info = cs._compiled_recipe.cache_info()
+    assert info.misses == 1 and info.hits == 1
+    np.testing.assert_array_equal(a, b)
+
+
+def test_zero_sigma_channel_untouched_fused_program(rng):
+    from blur_algorithms_tpu.models.channel_smooth import channel_smooth
+
+    img = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+    out = channel_smooth(img, (0, 5.0, None))
+    np.testing.assert_array_equal(out[..., 0], img[..., 0])
+    np.testing.assert_array_equal(out[..., 2], img[..., 2])
+    assert not np.array_equal(out[..., 1], img[..., 1])
