@@ -10,6 +10,17 @@ exchange over ICI (``jax.lax.ppermute``), expressed with
 """
 
 from blur_algorithms_tpu.parallel.mesh import make_mesh
-from blur_algorithms_tpu.parallel.sharded import blur_sharded, blur_sharded_u8
+from blur_algorithms_tpu.parallel.sharded import (
+    blur_fft_sharded,
+    blur_fft_sharded_u8,
+    blur_sharded,
+    blur_sharded_u8,
+)
 
-__all__ = ["make_mesh", "blur_sharded", "blur_sharded_u8"]
+__all__ = [
+    "make_mesh",
+    "blur_sharded",
+    "blur_sharded_u8",
+    "blur_fft_sharded",
+    "blur_fft_sharded_u8",
+]

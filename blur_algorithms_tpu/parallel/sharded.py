@@ -35,7 +35,12 @@ from jax.sharding import PartitionSpec as P
 from blur_algorithms_tpu.ops.pad import reflect_101
 from blur_algorithms_tpu.ops.plan import BlurPlan
 
-__all__ = ["blur_sharded", "blur_sharded_u8"]
+__all__ = [
+    "blur_sharded",
+    "blur_sharded_u8",
+    "blur_fft_sharded",
+    "blur_fft_sharded_u8",
+]
 
 
 def _local_plan(plan: BlurPlan, h_loc: int, w: int) -> BlurPlan:
@@ -68,11 +73,17 @@ def blur_sharded(
     if h != plan.shape[0] or w != plan.shape[1]:
         raise ValueError(f"plan shape {plan.shape} != image shape {(h, w)}")
     n_dp, n_sp = mesh.shape["dp"], mesh.shape["sp"]
-    if b % n_dp:
-        raise ValueError(f"batch {b} not divisible by dp={n_dp}")
-    if h % n_sp:
-        raise ValueError(f"height {h} not divisible by sp={n_sp}")
-    h_loc = h // n_sp
+    # indivisible batch/height: zero-pad up to the mesh grid and crop after.
+    # The padded rows never leak into real outputs — the halo arithmetic
+    # below reflects against the TRUE height, so every output row < h reads
+    # exactly the rows the single-device blur would.
+    pad_b = (-b) % n_dp
+    pad_h = (-h) % n_sp
+    if pad_b or pad_h:
+        planar = jnp.pad(
+            planar, [(0, pad_b), (0, 0), (0, pad_h), (0, 0)]
+        )
+    h_loc = (h + pad_h) // n_sp
     r = plan.col.support_radius
     local_plan = _local_plan(plan, h_loc, w)
 
@@ -101,7 +112,7 @@ def blur_sharded(
             haloed = block
         elif n_sp == 1:
             haloed = reflect_101(block, [(r, r)], axes=[-2])
-        elif r <= h_loc - 1:
+        elif pad_h == 0 and r <= h_loc - 1:
             idx = jax.lax.axis_index("sp")
             # interior halos over ICI: my edge rows -> my neighbors
             from_above = jax.lax.ppermute(
@@ -117,11 +128,13 @@ def blur_sharded(
             bot = jnp.where((idx == n_sp - 1), reflect_bot, from_below)
             haloed = jnp.concatenate([top, block, bot], axis=-2)
         else:
-            # kernel wider than a shard: gather whole blocks from the k
-            # nearest neighbors each way (absent sources deliver zeros),
-            # then index the (2k+1)-block context with reflect-101 row
-            # arithmetic so out-of-image rows pick up the mirrored data —
-            # which may itself live in a neighbor's contribution.
+            # kernel wider than a shard (or padded height): gather whole
+            # blocks from the k nearest neighbors each way (absent sources
+            # deliver zeros), then index the (2k+1)-block context with
+            # reflect-101 row arithmetic against the TRUE height so
+            # out-of-image rows pick up the mirrored data — which may
+            # itself live in a neighbor's contribution. Outputs for the
+            # zero-pad rows (>= h) are garbage and cropped by the caller.
             k = min(-(-r // h_loc), n_sp - 1)
             idx = jax.lax.axis_index("sp")
             above = [
@@ -139,15 +152,21 @@ def blur_sharded(
             ext = jnp.concatenate(above + [block] + below, axis=-2)
             # ext row 0 is global row idx*h_loc - k*h_loc; plan clamping
             # guarantees r <= h - 1, so one reflection always lands inside
+            # for every REAL output row; the final clip only matters for
+            # the cropped pad rows, whose reflection can escape the image
             g = idx * h_loc + jnp.arange(-r, h_loc + r)
             g = jnp.where(g < 0, -g, g)
             g = jnp.where(g > h - 1, 2 * (h - 1) - g, g)
+            g = jnp.clip(g, 0, h - 1)
             haloed = jnp.take(ext, g - (idx - k) * h_loc, axis=-2)
         return blur_fused_haloed(
             haloed, local_plan, precision=precision, out_u8=out_u8
         )
 
-    return run(planar)
+    out = run(planar)
+    if pad_b or pad_h:
+        out = out[:b, :, :h, :]
+    return out
 
 
 def blur_sharded_u8(img: jnp.ndarray, plan: BlurPlan, mesh: Mesh) -> jnp.ndarray:
@@ -158,4 +177,76 @@ def blur_sharded_u8(img: jnp.ndarray, plan: BlurPlan, mesh: Mesh) -> jnp.ndarray
     """
     planar = jnp.moveaxis(img, -1, -3)
     out = blur_sharded(planar, plan, mesh, out_u8=True)
+    return jnp.moveaxis(out, -3, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "mesh", "out_u8"))
+def blur_fft_sharded(
+    planar: jnp.ndarray, plan: BlurPlan, mesh: Mesh, out_u8: bool = False
+) -> jnp.ndarray:
+    """FFT-engine blur of planar ``(B, C, H, W)`` over a ``(dp, sp)`` mesh.
+
+    The classic distributed-FFT decomposition (the scaling-book recipe:
+    pick a mesh, place explicit collectives where the layout flips): the
+    rows pass transforms axis -1 with H sharded over ``sp`` — every row
+    lives whole on one device, so the batched rFFT runs shard-local — then
+    one ``all_to_all`` over ICI flips the layout to W-sharded and the
+    columns pass transforms axis -2 the same way, followed by the inverse
+    flip. No halo exchange exists because the FFT consumes the full axis,
+    and no device ever holds a full frame. Semantics are identical to
+    ``fft_tiles`` (same pads/spectra/crops, ``ops/fft_conv._tile_pass``).
+    Indivisible B/H/W pad-and-crop like :func:`blur_sharded`.
+    """
+    from blur_algorithms_tpu.ops.fft_conv import _tile_pass
+    from blur_algorithms_tpu.ops.layout import round_to_u8
+
+    b, c, h, w = planar.shape
+    if h != plan.shape[0] or w != plan.shape[1]:
+        raise ValueError(f"plan shape {plan.shape} != image shape {(h, w)}")
+    n_dp, n_sp = mesh.shape["dp"], mesh.shape["sp"]
+    # pad-and-crop for indivisible shapes. Each 1-D pass slices its conv
+    # axis back to the TRUE length first (the zero-pad must not feed the
+    # reflect border) and re-pads after — pad rows/cols are then extra
+    # independent rows of the batched FFT that never mix with real data.
+    pad_b, pad_h, pad_w = (-b) % n_dp, (-h) % n_sp, (-w) % n_sp
+    if pad_b or pad_h or pad_w:
+        planar = jnp.pad(
+            planar, [(0, pad_b), (0, 0), (0, pad_h), (0, pad_w)]
+        )
+
+    spec = P("dp", None, "sp", None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False,
+    )
+    def run(block):
+        y = _tile_pass(block[..., :w].astype(jnp.float32), plan.row, -1)
+        if pad_w:
+            y = jnp.pad(y, [(0, 0)] * 3 + [(0, pad_w)])
+        if n_sp > 1:  # H-sharded -> W-sharded: one all-to-all over ICI
+            y = jax.lax.all_to_all(
+                y, "sp", split_axis=3, concat_axis=2, tiled=True
+            )
+        y = _tile_pass(y[..., :h, :], plan.col, -2)
+        if pad_h:
+            y = jnp.pad(y, [(0, 0), (0, 0), (0, pad_h), (0, 0)])
+        if n_sp > 1:  # and back
+            y = jax.lax.all_to_all(
+                y, "sp", split_axis=2, concat_axis=3, tiled=True
+            )
+        return round_to_u8(y) if out_u8 else y
+
+    out = run(planar)
+    if pad_b or pad_h or pad_w:
+        out = out[:b, :, :h, :w]
+    return out
+
+
+def blur_fft_sharded_u8(
+    img: jnp.ndarray, plan: BlurPlan, mesh: Mesh
+) -> jnp.ndarray:
+    """uint8 frames ``(B, H, W, C)`` through the sharded FFT pipeline."""
+    planar = jnp.moveaxis(img, -1, -3)
+    out = blur_fft_sharded(planar, plan, mesh, out_u8=True)
     return jnp.moveaxis(out, -3, -1)

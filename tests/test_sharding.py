@@ -76,3 +76,96 @@ def test_radius_barely_exceeding_shard(frames):
 def test_bad_mesh_factor():
     with pytest.raises(ValueError):
         make_mesh(dp=3, sp=2)  # 6 != 8
+
+
+class TestIndivisibleShapes:
+    """Pad-and-crop fallback: B % dp != 0 and H % sp != 0 just work."""
+
+    def test_indivisible_batch(self):
+        rng = np.random.default_rng(3)
+        frames = (rng.random((5, 3, 64, 48)) * 255).astype(np.float32)
+        plan = make_plan((64, 48), 4.0)
+        mesh = make_mesh(dp=4, sp=2)  # 5 % 4 != 0
+        got = np.asarray(blur_sharded(jnp.asarray(frames), plan, mesh))
+        want = np.asarray(blur_band_matmul(jnp.asarray(frames), plan))
+        assert got.shape == frames.shape
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_indivisible_height(self):
+        rng = np.random.default_rng(4)
+        frames = (rng.random((4, 3, 61, 48)) * 255).astype(np.float32)
+        plan = make_plan((61, 48), 4.0)
+        mesh = make_mesh(dp=2, sp=4)  # 61 % 4 != 0
+        got = np.asarray(blur_sharded(jnp.asarray(frames), plan, mesh))
+        want = np.asarray(blur_band_matmul(jnp.asarray(frames), plan))
+        assert got.shape == frames.shape
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_indivisible_both_u8_wide_kernel(self):
+        rng = np.random.default_rng(5)
+        batch = (rng.random((3, 45, 64, 3)) * 255).astype(np.uint8)
+        sigma = 12.0  # radius > h_loc: multi-hop + pad-and-crop together
+        plan = make_plan((45, 64), sigma)
+        assert plan.col.support_radius > 45 // 4
+        mesh = make_mesh(dp=2, sp=4)
+        got = np.asarray(blur_sharded_u8(jnp.asarray(batch), plan, mesh))
+        assert got.shape == batch.shape
+        want = oracle.blur_u8(batch[0], sigma)
+        d = np.abs(got[0].astype(int) - want.astype(int))
+        assert d.max() <= 1
+
+
+class TestShardedFFT:
+    """The distributed-FFT route: reshard between the two 1-D passes."""
+
+    def test_matches_fft_tiles(self, frames):
+        from blur_algorithms_tpu.ops.fft_conv import blur_fft_tiles
+        from blur_algorithms_tpu.parallel import blur_fft_sharded
+
+        plan = make_plan((64, 48), 4.0)
+        mesh = make_mesh(dp=4, sp=2)
+        got = np.asarray(blur_fft_sharded(jnp.asarray(frames), plan, mesh))
+        want = np.asarray(blur_fft_tiles(jnp.asarray(frames), plan))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_u8_matches_oracle(self, rgb_image):
+        from blur_algorithms_tpu.parallel import blur_fft_sharded_u8
+
+        batch = np.stack([rgb_image] * 8)
+        plan = make_plan((96, 80), 5.0)
+        mesh = make_mesh(dp=4, sp=2)
+        got = np.asarray(blur_fft_sharded_u8(jnp.asarray(batch), plan, mesh))
+        want = oracle.blur_u8(rgb_image, 5.0)
+        d = np.abs(got[0].astype(int) - want.astype(int))
+        assert d.max() <= 1
+
+
+class TestAutoSharding:
+    """AUTO routes batches over all devices when divisibility permits."""
+
+    def test_auto_shards_divisible_batch(self, rgb_image):
+        from blur_algorithms_tpu import api
+
+        batch = np.stack([rgb_image] * 8)
+        fn = api._compiled_u8((8, 96, 80, 3), 5.0, api.Engine.AUTO,
+                              "gaussian", "auto")
+        assert getattr(fn, "_sharded", False)
+        got = np.asarray(api.blur_u8(jnp.asarray(batch), 5.0))
+        want = oracle.blur_u8(rgb_image, 5.0)
+        d = np.abs(got[0].astype(int) - want.astype(int))
+        assert d.max() <= 1
+        np.testing.assert_array_equal(got[0], got[7])
+
+    def test_auto_single_frame_not_sharded(self):
+        from blur_algorithms_tpu import api
+
+        fn = api._compiled_u8((96, 80, 3), 5.0, api.Engine.AUTO,
+                              "gaussian", "auto")
+        assert not getattr(fn, "_sharded", False)
+
+    def test_explicit_fused_not_sharded(self):
+        from blur_algorithms_tpu import api
+
+        fn = api._compiled_u8((8, 96, 80, 3), 5.0, api.Engine.FUSED,
+                              "gaussian", "auto")
+        assert not getattr(fn, "_sharded", False)
