@@ -62,10 +62,28 @@ void blurfx_deinterleave_u8_f32(const uint8_t* interleaved, float* planar,
     const int64_t r1 = std::min(h, r0 + kRowsPerTask);
     for (int64_t y = r0; y < r1; ++y) {
       const uint8_t* src = interleaved + y * w * c;
-      for (int64_t x = 0; x < w; ++x) {
-        for (int64_t ch = 0; ch < c; ++ch) {
-          planar[ch * plane + y * w + x] =
-              static_cast<float>(src[x * c + ch]);
+      if (c == 3) {
+        // single pass, three write streams — one read of the row, no
+        // strided re-reads (the common RGB case)
+        float* p0 = planar + 0 * plane + y * w;
+        float* p1 = planar + 1 * plane + y * w;
+        float* p2 = planar + 2 * plane + y * w;
+        const uint8_t* s = src;
+        for (int64_t x = 0; x < w; ++x, s += 3) {
+          p0[x] = static_cast<float>(s[0]);
+          p1[x] = static_cast<float>(s[1]);
+          p2[x] = static_cast<float>(s[2]);
+        }
+        continue;
+      }
+      // channel-outer: contiguous plane writes, strided u8 gathers — the
+      // row stays in L1/L2 across the c sweeps (channel-inner scattered
+      // writes across far-apart planes measured ~2x slower than NumPy)
+      for (int64_t ch = 0; ch < c; ++ch) {
+        float* dst = planar + ch * plane + y * w;
+        const uint8_t* s = src + ch;
+        for (int64_t x = 0; x < w; ++x) {
+          dst[x] = static_cast<float>(s[x * c]);
         }
       }
     }
@@ -83,11 +101,29 @@ void blurfx_interleave_f32_u8(const float* planar, uint8_t* interleaved,
     const int64_t r1 = std::min(h, r0 + kRowsPerTask);
     for (int64_t y = r0; y < r1; ++y) {
       uint8_t* dst = interleaved + y * w * c;
-      for (int64_t x = 0; x < w; ++x) {
-        for (int64_t ch = 0; ch < c; ++ch) {
-          const float v =
-              std::floor(planar[ch * plane + y * w + x] + 0.5f);
-          dst[x * c + ch] = static_cast<uint8_t>(
+      if (c == 3) {
+        const float* p0 = planar + 0 * plane + y * w;
+        const float* p1 = planar + 1 * plane + y * w;
+        const float* p2 = planar + 2 * plane + y * w;
+        uint8_t* d = dst;
+        auto q = [](float v) {
+          v = std::floor(v + 0.5f);
+          return static_cast<uint8_t>(std::min(255.0f, std::max(0.0f, v)));
+        };
+        for (int64_t x = 0; x < w; ++x, d += 3) {
+          d[0] = q(p0[x]);
+          d[1] = q(p1[x]);
+          d[2] = q(p2[x]);
+        }
+        continue;
+      }
+      // channel-outer: contiguous f32 plane reads (see deinterleave)
+      for (int64_t ch = 0; ch < c; ++ch) {
+        const float* src = planar + ch * plane + y * w;
+        uint8_t* d = dst + ch;
+        for (int64_t x = 0; x < w; ++x) {
+          const float v = std::floor(src[x] + 0.5f);
+          d[x * c] = static_cast<uint8_t>(
               std::min(255.0f, std::max(0.0f, v)));
         }
       }

@@ -91,3 +91,35 @@ def test_stream_empty_and_single(rng):
     only = _img(rng, 24, 24)
     [(k, out)] = list(pipe.stream([only], prefetch=4))
     assert k == 0 and np.asarray(out).shape == only.shape
+
+
+def test_stream_host_pad_matches_direct_call(rng, tmp_path):
+    """Bucketed stream (host-side native reflect pad) == direct __call__."""
+    from blur_algorithms_tpu.models.pipeline import BlurPipeline
+
+    frames = [
+        (rng.random((100, 130, 3)) * 255).astype(np.uint8),
+        (rng.random((60, 200, 3)) * 255).astype(np.uint8),
+    ]
+    pipe = BlurPipeline(3.0, bucket=64)
+    streamed = {k: np.asarray(v) for k, v in pipe.stream(frames)}
+    for i, f in enumerate(frames):
+        direct = np.asarray(BlurPipeline(3.0, bucket=64)(f))
+        assert streamed[i].shape == f.shape
+        np.testing.assert_array_equal(streamed[i], direct)
+
+
+def test_native_reflect_matches_device_pad(rng):
+    """native/blurfx.cpp reflect-101 == the XLA reflect_101 (incl. clamp)."""
+    import jax.numpy as jnp
+
+    from blur_algorithms_tpu.ops.pad import reflect_101
+    from blur_algorithms_tpu.utils import native
+
+    arr = (rng.random((5, 7, 3)) * 255).astype(np.uint8)
+    for pads in [((0, 3), (0, 2)), ((2, 6), (4, 9))]:  # incl. > dim-1 clamp
+        a = native.reflect101_u8(arr, pads)
+        b = np.asarray(
+            reflect_101(jnp.asarray(arr), list(pads), axes=[0, 1])
+        )
+        np.testing.assert_array_equal(a, b)
