@@ -1,0 +1,27 @@
+# blur_algorithms_tpu — developer entry points.
+
+PY ?= python
+
+.PHONY: test certify bench native clean
+
+# CPU test suite (tests/conftest.py forces an 8-device virtual CPU mesh)
+test:
+	$(PY) -m pytest tests/ -q
+
+# TPU certification: the structured engine x sigma parity grid PLUS a
+# randomized fuzz sweep, all vs the CPU pocketfft oracle, gate max<=1.
+# Runs on whatever backend jax resolves (the real chip in production);
+# records benchmarks/certify.json as the per-round artifact.
+certify:
+	$(PY) benchmarks/parity_grid.py --fuzz 24 --out benchmarks/certify.json
+
+# headline benchmark (one JSON line; real TPU)
+bench:
+	$(PY) bench.py
+
+# native host runtime (reflect-101 / de+interleave / crc32)
+native:
+	$(MAKE) -C native
+
+clean:
+	$(MAKE) -C native clean

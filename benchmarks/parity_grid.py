@@ -25,6 +25,9 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--hw", nargs=2, type=int, default=[333, 444])
     p.add_argument("--out", default="benchmarks/parity_grid.json")
+    p.add_argument("--fuzz", type=int, default=0, metavar="N",
+                   help="append N randomized (shape, sigma, engine) cases")
+    p.add_argument("--seed", type=int, default=11)
     args = p.parse_args()
 
     import jax
@@ -82,6 +85,29 @@ def main() -> int:
         rows.append(row)
         worst = max(worst, row["max"])
         print(json.dumps(row), flush=True)
+
+    # randomized fuzz on the SAME backend (TPU under make certify): odd/even
+    # dims, elongated frames, log-uniform sigma, every planar engine
+    if args.fuzz:
+        frng = np.random.default_rng(args.seed)
+        fuzz_engines = engines + [Engine.AUTO]
+        for i in range(args.fuzz):
+            fh = int(frng.integers(17, 500))
+            fw = int(frng.integers(17, 500))
+            sigma = float(np.exp(frng.uniform(np.log(0.5), np.log(150.0))))
+            eng = fuzz_engines[int(frng.integers(len(fuzz_engines)))]
+            fimg = (frng.random((fh, fw, 3)) * 255).astype(np.uint8)
+            got = np.asarray(blur_u8(jnp.asarray(fimg), sigma, engine=eng))
+            want = oracle.blur_u8(fimg, sigma)
+            d = np.abs(got.astype(int) - want.astype(int))
+            row = {
+                "case": f"fuzz[{i}] {fh}x{fw} s={sigma:.2f} {eng.value}",
+                "max": int(d.max()),
+                "exact": round(float((d == 0).mean()), 5),
+            }
+            rows.append(row)
+            worst = max(worst, row["max"])
+            print(json.dumps(row), flush=True)
 
     summary = {
         "backend": jax.default_backend(),

@@ -82,3 +82,31 @@ def test_box_scan_u8_end_to_end(rng):
     )
     want = np.clip(np.floor(np.moveaxis(want_f, 0, -1) + 0.5), 0, 255).astype(int)
     assert np.abs(got.astype(int) - want).max() <= 1
+
+
+def test_box_scan_u8_kernel_end_to_end(rng):
+    """box_blur_pallas_u8: u8 in / u8 out == float path + reference round."""
+    from blur_algorithms_tpu.pallas_kernels.box_blur_pallas import (
+        box_blur_pallas_u8,
+    )
+
+    x = (rng.random((3, 40, 56)) * 255).astype(np.uint8)
+    got = np.asarray(box_blur_pallas_u8(jnp.asarray(x), 4, passes=2))
+    assert got.dtype == np.uint8
+    want_f = np.asarray(
+        box_blur_pallas(jnp.asarray(x).astype(jnp.float32), 4, passes=2)
+    )
+    want = np.clip(np.floor(want_f + 0.5), 0, 255).astype(np.uint8)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1 and (diff == 0).mean() > 0.999
+
+
+def test_box_scan_u8_zero_radius(rng):
+    from blur_algorithms_tpu.pallas_kernels.box_blur_pallas import (
+        box_blur_pallas_u8,
+    )
+
+    x = (rng.random((2, 16, 16)) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(box_blur_pallas_u8(jnp.asarray(x), 0)), x
+    )
