@@ -196,6 +196,37 @@ def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
     raise ValueError(f"engine {engine} is not a planar blur engine")
 
 
+def _fused_u8_interleaved(plan: BlurPlan):
+    """uint8 (..., H, W, C) -> uint8 via the fused engine, u8 end to end.
+
+    Convert + round happen inside the Pallas kernel. int8 = the fixed-point
+    MXU path (~1.3x bf16x3, same <=1-count gate); it self-falls-back to
+    bf16x3 where inapplicable (radius-0 axis, the split form's f32
+    intermediate). In the small-radius regime on TPU the exact-window DMA
+    form (bit-identical, ~1.6x instead of 4x input HBM traffic, measured
+    11.7 vs 10.6 GP/s at 4K) takes over.
+    """
+    from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+        blur_fused_u8_dma,
+        dma_form_applicable,
+    )
+
+    if dma_form_applicable(jnp.uint8, plan):
+
+        def fn(img):
+            planar = jnp.moveaxis(img, -1, -3)
+            return jnp.moveaxis(blur_fused_u8_dma(planar, plan), -3, -1)
+
+        return fn
+
+    def fn(img):
+        planar = jnp.moveaxis(img, -1, -3)
+        out = fused_blur.blur_fused_u8(planar, plan, precision="int8")
+        return jnp.moveaxis(out, -3, -1)
+
+    return fn
+
+
 def _make_box_plan(h: int, w: int, nsmooth: float, size_mode: str) -> BlurPlan:
     # FastBoxBlur call-site semantics: radius = nsmooth^2, 2 passes
     # (Source.cpp:587), folded into effective taps (see box_passes_kernel).
@@ -299,16 +330,7 @@ def _compiled_u8(
         return fn_sharded
 
     if eng is Engine.FUSED:
-        # keep uint8 end to end: convert + round inside the Pallas kernel.
-        # int8 = the fixed-point MXU path (~1.3x bf16x3 end to end, same
-        # <=1-count gate); it self-falls-back to bf16x3 where inapplicable
-        # (radius-0 axis, the split form's f32 intermediate).
-        def fn(img):
-            planar = jnp.moveaxis(img, -1, -3)
-            out = fused_blur.blur_fused_u8(planar, plan, precision="int8")
-            return jnp.moveaxis(out, -3, -1)
-
-        return jax.jit(fn)
+        return jax.jit(_fused_u8_interleaved(plan))
 
     if eng is Engine.FFT_MXU and jax.default_backend() == "tpu":
         import math
@@ -432,15 +454,7 @@ def _compiled_box(
     if not is_u8:
         return jax.jit(lambda x: _blur_planar(x.astype(jnp.float32), plan, eng))
     if eng is Engine.FUSED:
-        return jax.jit(
-            lambda x: jnp.moveaxis(
-                fused_blur.blur_fused_u8(
-                    jnp.moveaxis(x, -1, -3), plan, precision="int8"
-                ),
-                -3,
-                -1,
-            )
-        )
+        return jax.jit(_fused_u8_interleaved(plan))
     if eng is Engine.BOX_SCAN:
         from blur_algorithms_tpu.pallas_kernels.box_blur_pallas import (
             box_blur_pallas_u8,
@@ -555,11 +569,7 @@ def _compiled_custom(
     )
     if is_u8:
         if eng is Engine.FUSED:
-
-            def fn(img):
-                planar = jnp.moveaxis(img, -1, -3)
-                out = fused_blur.blur_fused_u8(planar, plan, precision="int8")
-                return jnp.moveaxis(out, -3, -1)
+            fn = _fused_u8_interleaved(plan)
 
         else:
 

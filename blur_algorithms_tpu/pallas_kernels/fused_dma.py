@@ -1,0 +1,239 @@
+"""Exact-window DMA form of the fused separable-blur kernel.
+
+The blocked form (``fused_blur.py``) fetches an ``nh x nw`` neighborhood of
+whole grid blocks per output tile through standard pipelined BlockSpecs —
+simple, but every input byte is read ``nh*nw`` (= 4 in the small-radius
+regime) times from HBM. At 4K sigma=10 that re-read is ~20% of kernel
+time. This form keeps the input in HBM (``memory_space=ANY``) and streams
+the EXACT ``(th + 2rh) x (tw + 2rw)`` halo window per tile with manual
+double-buffered async DMA, cutting input traffic to ``(1 + 2rh/th) *
+(1 + 2rw/tw)`` (~1.6x) — and the per-tile compute collapses to ONE full
+band matmul per pass instead of ``nh*nw`` chunked partial dots.
+
+Layout: grid ``(batch*channels, row-strips)``; each grid step loops over
+the column tiles of its strip with a two-slot VMEM window buffer — DMA of
+window ``j+1`` overlaps the matmuls of window ``j`` (the guide's classic
+double-buffering pattern). Band matrices ride constant-index BlockSpecs
+(fetched once). The int8 fixed-point math is identical to
+``fused_blur._kernel_int8`` (same quantizer, scales, digit split, <=1-count
+certification class); uint8 conversion and +0.5 rounding stay in VMEM.
+
+TPU-only (no interpreter path — the blocked form is the portable fallback).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blur_algorithms_tpu.ops.band_matmul import band_block_matrix
+from blur_algorithms_tpu.ops.pad import reflect_101
+from blur_algorithms_tpu.ops.plan import BlurPlan
+from blur_algorithms_tpu.pallas_kernels.fused_blur import (
+    _hw,
+    _quantize_band_int8,
+    int8_applicable,
+    pick_int8_scale,
+)
+
+__all__ = ["blur_fused_u8_dma", "dma_form_applicable"]
+
+
+def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
+            sh: int, sw: int, swp: int, th: int, tw: int, nbw: int,
+            rows_shift: int, cols_scale: int, out_u8: bool):
+    """One row-strip: loop column windows with double-buffered DMA."""
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def get_dma(slot, j):
+        # DMA slices need a 128-aligned lane extent: fetch swp >= sw and
+        # compute on the leading sw lanes
+        return pltpu.make_async_copy(
+            x_hbm.at[c, pl.ds(i * th, sh), pl.ds(j * tw, swp)],
+            win.at[slot],
+            sem.at[slot],
+        )
+
+    get_dma(0, 0).start()
+
+    def body(j, _):
+        slot = j % 2
+
+        @pl.when(j + 1 < nbw)
+        def _():
+            get_dma((j + 1) % 2, j + 1).start()
+
+        get_dma(slot, j).wait()
+
+        x = win[slot][:, :sw]  # (sh, sw) of the (sh, swp) fetch
+        xc = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+
+        def dot(a, b, dims):
+            return jax.lax.dot_general(
+                a, b, (dims, ((), ())), preferred_element_type=jnp.int32
+            )
+
+        # rows pass: ONE full band matmul (contraction sw = tw + 2rw)
+        r = dot(xc, bw_ref[0], ((1,), (0,))) * 128 + dot(
+            xc, bw_ref[1], ((1,), (0,))
+        )
+        # width-independent 14-bit intermediate E = 127*(conv - 128)
+        e = (r + (1 << (rows_shift - 1))) >> rows_shift
+        e1 = (e + 64) >> 7
+        e0 = (e - e1 * 128).astype(jnp.int8)
+        e1 = e1.astype(jnp.int8)
+
+        # cols pass: digit products against the (sh, th) column band stack
+        p1 = dot(bh_ref[0], e1, ((0,), (0,)))
+        p23 = dot(bh_ref[0], e0, ((0,), (0,))) + dot(
+            bh_ref[1], e1, ((0,), (0,))
+        )
+        p4 = dot(bh_ref[1], e0, ((0,), (0,)))
+
+        inv = 1.0 / (127.0 * cols_scale)
+        outf = (
+            p1.astype(jnp.float32) * (16384.0 * inv)
+            + p23.astype(jnp.float32) * (128.0 * inv)
+            + p4.astype(jnp.float32) * inv
+            + 128.0
+        )
+        if out_u8:
+            outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
+            outf = outf.astype(jnp.int32).astype(jnp.uint8)
+        out_ref[0, :, pl.ds(j * tw, tw)] = outf
+
+    jax.lax.fori_loop(0, nbw, body, None, unroll=False)
+
+
+def dma_form_applicable(dtype, plan: BlurPlan) -> bool:
+    """The DMA form serves the u8 int8 full-kernel regime on TPU."""
+    if jax.default_backend() != "tpu":
+        return False
+    if jnp.dtype(dtype) != jnp.uint8:
+        return False
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    if rh == 0 or rw == 0:
+        return False
+    if 2 * max(rh, rw) > 512:
+        # wide-radius regimes keep the blocked machinery (tall-tile halo
+        # amortization, the e32 split, the wide cost model) — only the
+        # measured-good small-radius regime moves to exact-window DMA
+        return False
+    if not int8_applicable(plan, jnp.uint8):
+        return False
+    # VMEM: 2 windows (u8) + band stacks (int8 x2) + int32 strip + out tile
+    th, tw = _pick_tile_dma(plan)
+    sh, sw = th + 2 * rh, tw + 2 * rw
+    vmem = (
+        2 * sh * sw
+        + 2 * sw * tw
+        + 2 * sh * th
+        + sh * tw * 4
+        + th * tw * 8
+    )
+    return vmem <= _hw().wide_vmem_budget
+
+
+def _pick_tile_dma(plan: BlurPlan) -> tuple[int, int]:
+    """Tile for the DMA form (no halo-block constraint on th).
+
+    Measured sweep at 4K sigma=10 batch 4 (min-of-reps, /tmp sweeps round
+    2): (216, 384) 11.7 GP/s > (240, 384) 11.5 > (240, 256) 11.2 >
+    (432, 512) 9.5 > (720, 512) 7.8 — the MXU favors tw=384 contractions
+    and ~216-row strips; bigger tiles LOSE despite less DMA traffic. Row
+    tile prefers dividing H exactly (zero grid padding waste)."""
+    h, w = plan.shape
+
+    def rows_tile() -> int:
+        if h <= 224:
+            return max(8, -(-h // 8) * 8)
+        best = None
+        for t in range(160, 385, 8):
+            if h % t == 0 and (best is None or abs(t - 216) < abs(best - 216)):
+                best = t
+        return best if best is not None else 216
+
+    th = rows_tile()
+    tw = 384 if w >= 384 else max(128, -(-w // 128) * 128)
+    return th, tw
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "tile"))
+def blur_fused_u8_dma(
+    planar_u8: jnp.ndarray,
+    plan: BlurPlan,
+    tile: tuple[int, int] | None = None,
+) -> jnp.ndarray:
+    """uint8 planar ``(..., H, W)`` -> uint8, exact-window DMA fused blur.
+
+    Same math and <=1-count class as ``fused_blur.blur_fused_u8`` with
+    ``precision="int8"``; ~1.6x input HBM traffic instead of 4x. Callers
+    must check :func:`dma_form_applicable` first (TPU + u8 + int8 plans).
+    """
+    h, w = plan.shape
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    th, tw = tile or _pick_tile_dma(plan)
+    sh, sw = th + 2 * rh, tw + 2 * rw
+    swp = -(-sw // 128) * 128  # DMA lane alignment
+
+    lead = planar_u8.shape[:-2]
+    x = planar_u8.reshape((-1,) + planar_u8.shape[-2:])
+    bc = x.shape[0]
+    nbh, nbw = -(-h // th), -(-w // tw)
+
+    # reflect by the radius; zero-fill so every (sh, sw) window starting at
+    # (i*th, j*tw) is in bounds, plus lane alignment for the DMA edges
+    x = reflect_101(x, [(rh, rh), (rw, rw)], axes=[-2, -1])
+    hp = (nbh - 1) * th + sh
+    wp = -(-((nbw - 1) * tw + swp) // 128) * 128
+    x = jnp.pad(
+        x, [(0, 0), (0, hp - x.shape[-2]), (0, wp - x.shape[-1])]
+    )
+
+    rows_scale = pick_int8_scale(plan.row.taps, pow2=True)
+    cols_scale = pick_int8_scale(plan.col.taps)
+    rows_shift = 7 + (rows_scale // (127 * 128)).bit_length() - 1
+
+    def as_i8(q: np.ndarray) -> jnp.ndarray:
+        return jnp.asarray(np.stack([q >> 7, q & 127]).astype(np.int8))
+
+    bw = as_i8(_quantize_band_int8(band_block_matrix(plan.row.taps, tw),
+                                   rows_scale))  # (2, sw, tw)
+    bh = as_i8(_quantize_band_int8(band_block_matrix(plan.col.taps, th),
+                                   cols_scale))  # (2, sh, th)
+
+    mat = lambda shape: pl.BlockSpec(
+        shape, (lambda c, i: (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, sh=sh, sw=sw, swp=swp, th=th, tw=tw, nbw=nbw,
+            rows_shift=rows_shift, cols_scale=cols_scale, out_u8=True,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_hw().kernel_vmem_limit
+        ),
+        grid=(bc, nbh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            mat(bw.shape),
+            mat(bh.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, nbw * tw), lambda c, i: (c, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bc, nbh * th, nbw * tw), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((2, sh, swp), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(x, bw, bh)
+
+    return out[:, :h, :w].reshape(lead + (h, w))

@@ -517,3 +517,28 @@ class TestInt8E32Split:
             s = pick_int8_scale(taps, pow2=True)
             q = _quantize_band_int8(band_block_matrix(taps, 64), s)
             assert q.max() < 1 << 14
+
+
+class TestDmaForm:
+    """Exact-window DMA kernel plumbing (device runs are TPU-only)."""
+
+    def test_not_applicable_off_tpu(self, rng):
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            dma_form_applicable,
+        )
+
+        plan = make_plan((64, 64), 4.0)
+        assert not dma_form_applicable(jnp.uint8, plan)  # CPU backend
+
+    def test_tile_and_window_geometry(self):
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _pick_tile_dma,
+        )
+
+        plan = make_plan((2160, 3840), 10.0)
+        th, tw = _pick_tile_dma(plan)
+        assert 2160 % th == 0 and th % 8 == 0
+        assert tw % 128 == 0
+        small = make_plan((100, 90), 3.0)
+        th2, tw2 = _pick_tile_dma(small)
+        assert th2 % 8 == 0 and tw2 % 128 == 0
