@@ -45,17 +45,17 @@ __all__ = ["blur_fused_u8_dma", "dma_form_applicable"]
 
 
 def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
-            sh: int, sw: int, swp: int, th: int, tw: int, nbw: int,
-            rows_shift: int, cols_scale: int, out_u8: bool):
+            sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
+            nbw: int, rows_shift: int, cols_scale: int, out_u8: bool):
     """One row-strip: loop column windows with double-buffered DMA."""
     c = pl.program_id(0)
     i = pl.program_id(1)
 
     def get_dma(slot, j):
-        # DMA slices need a 128-aligned lane extent: fetch swp >= sw and
-        # compute on the leading sw lanes
+        # DMA slices need tiling-aligned extents (8 sublanes x 128 lanes):
+        # fetch (shp, swp) >= (sh, sw) and compute on the leading span
         return pltpu.make_async_copy(
-            x_hbm.at[c, pl.ds(i * th, sh), pl.ds(j * tw, swp)],
+            x_hbm.at[c, pl.ds(i * th, shp), pl.ds(j * tw, swp)],
             win.at[slot],
             sem.at[slot],
         )
@@ -71,7 +71,7 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
 
         get_dma(slot, j).wait()
 
-        x = win[slot][:, :sw]  # (sh, sw) of the (sh, swp) fetch
+        x = win[slot][:sh, :sw]  # (sh, sw) of the (shp, swp) fetch
         xc = (x.astype(jnp.int32) - 128).astype(jnp.int8)
 
         def dot(a, b, dims):
@@ -180,6 +180,7 @@ def blur_fused_u8_dma(
     rh, rw = plan.col.support_radius, plan.row.support_radius
     th, tw = tile or _pick_tile_dma(plan)
     sh, sw = th + 2 * rh, tw + 2 * rw
+    shp = -(-sh // 8) * 8  # DMA sublane alignment
     swp = -(-sw // 128) * 128  # DMA lane alignment
 
     lead = planar_u8.shape[:-2]
@@ -190,7 +191,7 @@ def blur_fused_u8_dma(
     # reflect by the radius; zero-fill so every (sh, sw) window starting at
     # (i*th, j*tw) is in bounds, plus lane alignment for the DMA edges
     x = reflect_101(x, [(rh, rh), (rw, rw)], axes=[-2, -1])
-    hp = (nbh - 1) * th + sh
+    hp = (nbh - 1) * th + shp
     wp = -(-((nbw - 1) * tw + swp) // 128) * 128
     x = jnp.pad(
         x, [(0, 0), (0, hp - x.shape[-2]), (0, wp - x.shape[-1])]
@@ -213,7 +214,7 @@ def blur_fused_u8_dma(
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, sh=sh, sw=sw, swp=swp, th=th, tw=tw, nbw=nbw,
+            _kernel, sh=sh, shp=shp, sw=sw, swp=swp, th=th, tw=tw, nbw=nbw,
             rows_shift=rows_shift, cols_scale=cols_scale, out_u8=True,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -231,7 +232,7 @@ def blur_fused_u8_dma(
         ),
         out_shape=jax.ShapeDtypeStruct((bc, nbh * th, nbw * tw), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((2, sh, swp), jnp.uint8),
+            pltpu.VMEM((2, shp, swp), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(x, bw, bh)
