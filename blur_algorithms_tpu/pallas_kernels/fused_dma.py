@@ -125,10 +125,14 @@ def dma_form_applicable(dtype, plan: BlurPlan) -> bool:
         # amortization, the e32 split, the wide cost model) — only the
         # measured-good small-radius regime moves to exact-window DMA
         return False
+    th, tw = _pick_tile_dma(plan)
+    if (1 + 2 * rh / th) * (1 + 2 * rw / tw) > 3.5:
+        # the exact window's traffic advantage over the blocked form's flat
+        # 4x erodes as the halo outgrows the tile; stay blocked past ~3.5x
+        return False
     if not int8_applicable(plan, jnp.uint8):
         return False
     # VMEM: 2 windows (u8) + band stacks (int8 x2) + int32 strip + out tile
-    th, tw = _pick_tile_dma(plan)
     sh, sw = th + 2 * rh, tw + 2 * rw
     vmem = (
         2 * sh * sw
