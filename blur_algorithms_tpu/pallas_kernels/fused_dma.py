@@ -120,16 +120,16 @@ def dma_form_applicable(dtype, plan: BlurPlan) -> bool:
     rh, rw = plan.col.support_radius, plan.row.support_radius
     if rh == 0 or rw == 0:
         return False
-    if 2 * max(rh, rw) > 512:
-        # wide-radius regimes keep the blocked machinery (tall-tile halo
-        # amortization, the e32 split, the wide cost model) — only the
-        # measured-good small-radius regime moves to exact-window DMA
+    if max(rh, rw) > 600:
+        # measured DMA wins (4K batch 4, min-of-reps) through r=515:
+        # +11% at r=33, +15% at r=165, +9% at r=332, +7% at r=515 — the
+        # single dense band matmul per pass beats the blocked form's
+        # chunked neighbor dots even where the exact window READS more
+        # (compute-side win). Beyond the measured range the blocked wide
+        # machinery (tall-tile cost model, the int16-E split) keeps the
+        # regime it was calibrated for.
         return False
     th, tw = _pick_tile_dma(plan)
-    if (1 + 2 * rh / th) * (1 + 2 * rw / tw) > 3.5:
-        # the exact window's traffic advantage over the blocked form's flat
-        # 4x erodes as the halo outgrows the tile; stay blocked past ~3.5x
-        return False
     if not int8_applicable(plan, jnp.uint8):
         return False
     # VMEM: 2 windows (u8) + band stacks (int8 x2) + int32 strip + out tile
@@ -147,24 +147,32 @@ def dma_form_applicable(dtype, plan: BlurPlan) -> bool:
 def _pick_tile_dma(plan: BlurPlan) -> tuple[int, int]:
     """Tile for the DMA form (no halo-block constraint on th).
 
-    Measured sweep at 4K sigma=10 batch 4 (min-of-reps, /tmp sweeps round
-    2): (216, 384) 11.7 GP/s > (240, 384) 11.5 > (240, 256) 11.2 >
-    (432, 512) 9.5 > (720, 512) 7.8 — the MXU favors tw=384 contractions
-    and ~216-row strips; bigger tiles LOSE despite less DMA traffic. Row
-    tile prefers dividing H exactly (zero grid padding waste)."""
+    Measured sweeps at 4K batch 4 (min-of-reps): r=33 best (216, 384)
+    11.7 GP/s (vs 11.5 at 240-tall, 9.5 at (432, 512), 7.8 at (720, 512));
+    r=165 best (432, 384) 5.9; r=332 best (432, 256) 3.9; r=515 best
+    (432, 384) 2.6 — the row tile tracks ~2.6*rh up to a 432 cap, the
+    lane tile prefers 384 until the window contraction is already long
+    (rw >= 300), where 256 wins. Row tile prefers dividing H exactly
+    (zero grid padding waste)."""
     h, w = plan.shape
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    target = min(max(216, int(2.6 * rh)), 432)
 
     def rows_tile() -> int:
         if h <= 224:
             return max(8, -(-h // 8) * 8)
         best = None
-        for t in range(160, 385, 8):
-            if h % t == 0 and (best is None or abs(t - 216) < abs(best - 216)):
+        for t in range(160, 513, 8):
+            if h % t == 0 and (
+                best is None or abs(t - target) < abs(best - target)
+            ):
                 best = t
-        return best if best is not None else 216
+        return best if best is not None else -(-target // 8) * 8
 
     th = rows_tile()
-    tw = 384 if w >= 384 else max(128, -(-w // 128) * 128)
+    tw = 384 if rw < 300 else 256
+    if w < tw:
+        tw = max(128, -(-w // 128) * 128)
     return th, tw
 
 
