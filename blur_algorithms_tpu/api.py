@@ -211,11 +211,20 @@ def _fused_u8_interleaved(plan: BlurPlan):
         dma_form_applicable,
     )
 
-    if dma_form_applicable(jnp.uint8, plan):
+    # signed/asymmetric taps run the DMA form at bf16x3 (measured +24% on
+    # a 4K sharpen vs the blocked bf16x3 kernel); blur taps run int8
+    prec = (
+        "int8"
+        if fused_blur.int8_applicable(plan, jnp.uint8)
+        else "bf16x3"
+    )
+    if dma_form_applicable(jnp.uint8, plan, prec):
 
         def fn(img):
             planar = jnp.moveaxis(img, -1, -3)
-            return jnp.moveaxis(blur_fused_u8_dma(planar, plan), -3, -1)
+            return jnp.moveaxis(
+                blur_fused_u8_dma(planar, plan, precision=prec), -3, -1
+            )
 
         return fn
 

@@ -542,3 +542,17 @@ class TestDmaForm:
         small = make_plan((100, 90), 3.0)
         th2, tw2 = _pick_tile_dma(small)
         assert th2 % 8 == 0 and tw2 % 128 == 0
+
+    def test_bf16x3_mode_gating(self):
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            dma_form_applicable,
+        )
+        from blur_algorithms_tpu.ops.plan import make_custom_plan
+
+        # signed taps: int8 mode refuses, bf16x3 mode is gated only by
+        # backend (False here on CPU) — exercised end to end on TPU
+        plan = make_custom_plan(
+            (64, 64), np.array([-0.25, 1.5, -0.25], np.float32)
+        )
+        assert not dma_form_applicable(jnp.uint8, plan, "int8")
+        assert not dma_form_applicable(jnp.uint8, plan, "bf16x3")  # CPU
