@@ -219,8 +219,14 @@ def _pick_tile_dma(plan: BlurPlan) -> tuple[int, int]:
     r=165 best (432, 384) 5.9; r=332 best (432, 256) 3.9; r=515 best
     (432, 384) 2.6 — the row tile tracks ~2.6*rh up to a 432 cap, the
     lane tile prefers 384 until the window contraction is already long
-    (rw >= 300), where 256 wins. Row tile prefers dividing H exactly
-    (zero grid padding waste)."""
+    (rw >= 300), where 256 wins. The row tile is then refined by a local
+    cost search (halo-traffic ratio x grid-padding waste) in a +-56 band
+    around that target: an early exact-divisor-of-H preference picked
+    pathologically short tiles at awkward heights (H=23000 -> th=200,
+    a 6x instead of 3.3x input-traffic ratio at r~500 — the 1.2-1.4x
+    giant-frame sweep regressions), while at the measured anchors the
+    search reproduces the swept winners. Ties within 5% prefer tiles
+    dividing H exactly, then proximity to the target."""
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
     target = min(max(216, int(2.6 * rh)), 432)
@@ -228,13 +234,19 @@ def _pick_tile_dma(plan: BlurPlan) -> tuple[int, int]:
     def rows_tile() -> int:
         if h <= 224:
             return max(8, -(-h // 8) * 8)
-        best = None
-        for t in range(160, 513, 8):
-            if h % t == 0 and (
-                best is None or abs(t - target) < abs(best - target)
-            ):
-                best = t
-        return best if best is not None else -(-target // 8) * 8
+
+        def cost(t: int) -> float:
+            traffic = (t + 2 * rh) / t
+            waste = (-(-h // t) * t) / h
+            return traffic * waste
+
+        lo = -(-max(160, target - 56) // 8) * 8  # sublane-aligned tiles
+        cands = list(range(lo, target + 57, 8))
+        cmin = min(cost(t) for t in cands)
+        near = [t for t in cands if cost(t) <= cmin * 1.05]
+        return min(
+            near, key=lambda t: (h % t != 0, abs(t - target), t)
+        )
 
     th = rows_tile()
     tw = 384 if rw < 300 else 256
