@@ -65,6 +65,7 @@ class Engine(str, enum.Enum):
     FFT_MXU = "fft_mxu"  # Bailey 4-step FFT as MXU matmuls (radius-free)
     FFT_STREAM = "fft_stream"  # strip-streamed tiles for giant images
     CASCADE = "cascade"  # huge sigma as k composed MXU blurs (approximation)
+    DERICHE = "deriche"  # recursive Gaussian: O(1)/px in sigma (<=1 count)
     AUTO = "auto"
 
 
@@ -85,6 +86,14 @@ FLAG_TO_ENGINE = {
 # crossover at ~2560 (706 vs 776 MP/s at r=3328) — keep that for floats.
 _AUTO_FUSED_MAX_RADIUS_U8 = 3500
 _AUTO_FUSED_MAX_RADIUS_F32 = 2560
+
+# The Deriche recursive engine (sigma-independent cost) never wins AUTO on
+# this hardware: measured v5e u8 3x2160x3840 r=498..1464 deriche 0.99-1.6
+# GP/s vs fused int8/DMA 4.3-8.0; 3x5120x5120 r=2029-2560 deriche 0.89-1.17
+# vs fused 3.4 and fft_mxu 1.6-1.7. Radii past the fused crossover (r>3500)
+# exist only on frames >7000 px wide (width clamps to the largest dim,
+# Source.cpp:66), where fft_mxu still beats it — so AUTO ignores it and it
+# remains an explicit engine (see ops/deriche.py for when it's useful).
 
 
 def _fused_tile_ok(plan: BlurPlan, in_bytes: int = 1) -> bool:
@@ -193,6 +202,14 @@ def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
         from blur_algorithms_tpu.ops.streamed import blur_fft_tiles_streamed
 
         return blur_fft_tiles_streamed(x, plan)
+    if engine is Engine.DERICHE:
+        if plan.kernel != "gaussian":
+            raise ValueError(
+                "deriche engine approximates gaussian kernels only"
+            )
+        from blur_algorithms_tpu.ops.deriche import blur_deriche
+
+        return blur_deriche(x, plan.sigma)
     raise ValueError(f"engine {engine} is not a planar blur engine")
 
 
@@ -368,6 +385,20 @@ def _compiled_u8(
         def fn(img):
             planar = jnp.moveaxis(img, -1, -3)
             out = blur_fft_tiles_streamed_u8(planar, plan)
+            return jnp.moveaxis(out, -3, -1)
+
+        return jax.jit(fn)
+
+    if eng is Engine.DERICHE:
+        if plan.kernel != "gaussian":
+            raise ValueError("deriche engine approximates gaussian kernels only")
+        # uint8 straight into the band kernel (converted in VMEM); the tails
+        # and the final round are the only f32 stages
+        from blur_algorithms_tpu.ops.deriche import blur_deriche_u8
+
+        def fn(img):
+            planar = jnp.moveaxis(img, -1, -3)
+            out = blur_deriche_u8(planar, plan.sigma)
             return jnp.moveaxis(out, -3, -1)
 
         return jax.jit(fn)

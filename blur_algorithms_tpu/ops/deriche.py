@@ -1,0 +1,300 @@
+"""Deriche recursive-Gaussian engine — sigma-independent wide blurs on the MXU.
+
+The reference's wide-sigma story is O(r) work per pixel: every FFT engine
+pays the transform of the grown frame and the banded/fused MXU paths pay
+``O(r)`` MACs per pixel (``Source.cpp:143-392`` all scale with the kernel).
+This engine makes the wide regime O(1) per pixel: Deriche's 4th-order
+recursive approximation of the Gaussian (R. Deriche, "Recursively
+implementing the Gaussian and its derivatives", 1993) writes the kernel as
+two complex exponential modes
+
+    g_sigma(k) ~ h(k) = Re[ sum_p gamma_p z_p^|k| ],   z_p = e^{(-b_p + i w_p)/sigma}
+
+whose infinite tails obey first-order recurrences. Instead of translating
+the classic sequential scan (which would serialize the lane axis on TPU),
+the axis is cut into L-length blocks and the operator splits exactly into
+
+    y = band(x, h[|k| <= 2L-1])              # dense banded matmul -> MXU
+      + Re sum_p gamma_p z_p^(o+L+1) s_p[j-2]  # left-tail boundary states
+      + Re sum_p gamma_p z_p^(2L-o)   r_p[j+2] # right-tail boundary states
+      - V_L x_{j-2} - V_R x_{j+2}            # band/state overlap, triangular
+
+where ``s_p/r_p`` are per-block-boundary mode accumulators (a tiny
+associative scan over ~N/L blocks) and the V corrections are fixed (L, L)
+triangular matrices. The band part IS this repo's fused Pallas kernel with
+510-tap custom filters; everything sigma-dependent lives in trace-time
+constants. Decomposition validated exact to 2e-13 against the dense sum.
+
+Accuracy vs the CPU pocketfft oracle (truncated-Gaussian semantics): the
+L1 distance between the normalized Deriche kernel and the reference's
+truncated+renormalized Gaussian bounds the ADVERSARIAL uint8 error at
+255 * L1 = 0.62 counts at sigma=10 falling to 0.49 by sigma=30 — inside
+the framework's <=1-count gate even for worst-case inputs. The engine
+refuses sigma below ``_SIGMA_MIN`` and frames whose axes cannot hold the
+reflect pad; see :func:`deriche_applicable`.
+
+Positioning (measured, TPU v5e): this is an EXPLICIT engine, never routed
+by AUTO. Its sigma-independent cost (~1.0-1.6 GP/s u8) loses to the fused
+int8/DMA kernel (4.3-8.0 GP/s at 4K r=498-1464; 3.4 GP/s at 78 MP
+r=2029-2560) at every radius the width clamp allows, and to the four-step
+MXU FFT (1.6-1.7 GP/s) beyond the fused crossover. It exists because it is
+a different algorithm class: O(1) per pixel in sigma with no frame growth
+beyond the scan pad, fully differentiable through plain XLA ops (the tails
+are einsums/scans; the band reuses the fused kernel's custom_vjp), and the
+right starting point for ports to hardware without the fused kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blur_algorithms_tpu.ops.pad import reflect_101
+from blur_algorithms_tpu.ops.plan import BlurPlan, make_custom_plan
+
+__all__ = [
+    "blur_deriche",
+    "blur_deriche_u8",
+    "deriche_applicable",
+    "deriche_taps",
+]
+
+# Deriche 1993 4th-order constants: (a, s, b, w) per complex pole pair;
+# h(x) = sum_pairs (a cos(w x/sigma) + s sin(w x/sigma)) e^{-b x/sigma}
+_MODES = (
+    (1.6800, 3.7350, 1.7830, 0.6318),
+    (-0.6803, -0.2598, 1.7230, 1.9970),
+)
+
+_L = 128  # state-block length (lane-width aligned)
+_RB = 2 * _L - 1  # band radius: fixed 255 -> 511 taps through the fused engine
+
+# Deriche-vs-truncated-Gaussian L1 bound crosses 1.0/255 near sigma=5 and
+# is ~0.62/255 at sigma=10; certify from 16 with margin for engine numerics.
+_SIGMA_MIN = 16.0
+# pad factor: tail mass beyond 4.75*sigma is ~2e-4 of the kernel (~0.02
+# uint8 counts adversarially) — the scan-truncation budget
+_PAD_SIGMAS = 4.75
+
+
+def _modes(sigma: float):
+    """Normalized mode amplitudes and poles (complex128)."""
+    g = np.array([complex(a, -s) for a, s, _, _ in _MODES])
+    z = np.array([np.exp(complex(-b, w) / sigma) for _, _, b, w in _MODES])
+    scale = np.sum((g * (1 + z) / (1 - z)).real)  # sum_{k in Z} h(|k|)
+    return g / scale, z
+
+
+def _hn(dist: np.ndarray, gn: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Normalized kernel values at integer distances >= 0 (float64)."""
+    return np.sum(gn[None, :] * z[None, :] ** dist[:, None], axis=-1).real
+
+
+def deriche_taps(sigma: float) -> np.ndarray:
+    """The 511 band taps h_n[|k| <= 255], float32 (the near-field part)."""
+    gn, z = _modes(sigma)
+    half = _hn(np.arange(_RB + 1), gn, z)
+    return np.concatenate([half[:0:-1], half]).astype(np.float32)
+
+
+def _scan_pad(sigma: float) -> int:
+    """One-side reflect pad for the state scans (tail-truncation budget)."""
+    return max(_RB + 1, math.ceil(_PAD_SIGMAS * sigma))
+
+
+def deriche_applicable(shape: tuple[int, int], sigma: float) -> bool:
+    """True when the Deriche engine serves this (shape, sigma).
+
+    Requires sigma >= 16 (kernel-approximation accuracy gate) and both axes
+    long enough for the scan reflect pad (``<= dim - 1``, the same
+    single-reflection constraint every engine shares) — which also covers
+    the band pass's 255-pixel pad. Alignment fill is zeros beyond the
+    reflect pad, so only the true ~4.75*sigma budget constrains the shape.
+    """
+    if sigma < _SIGMA_MIN:
+        return False
+    return _scan_pad(sigma) <= min(int(shape[0]), int(shape[1])) - 1
+
+
+@functools.lru_cache(maxsize=32)
+def _consts(sigma: float) -> dict:
+    """Trace-time constant matrices for one sigma (NumPy float32)."""
+    gn, z = _modes(sigma)
+    o = np.arange(_L)
+    wl = gn[None, :] * z[None, :] ** (o[:, None] + _L + 1)  # (L, P) complex
+    wr = gn[None, :] * z[None, :] ** (2 * _L - o[:, None])
+    pl = z[None, :] ** (_L - 1 - o)[:, None]  # left-state injection (L, P)
+    pr = z[None, :] ** o[:, None]  # right-state injection
+    dist = np.arange(2 * _L - (_L - 1), 2 * _L + _L)  # [L+1 .. 3L-1] span
+    hv = _hn(np.arange(3 * _L), gn, z)
+    vl = np.zeros((_L, _L), np.float64)  # overlap vs left states (x_{j-2})
+    vr = np.zeros((_L, _L), np.float64)  # overlap vs right states (x_{j+2})
+    for oo in range(_L):
+        for op in range(oo + 1, _L):
+            vl[oo, op] = hv[2 * _L + oo - op]
+        for op in range(oo):
+            vr[oo, op] = hv[2 * _L + op - oo]
+    f32 = lambda m: np.ascontiguousarray(m, dtype=np.float32)
+    return {
+        "decay": (z ** _L).astype(np.complex64),  # per-block state decay
+        "wl_re": f32(wl.real), "wl_im": f32(wl.imag),
+        "wr_re": f32(wr.real), "wr_im": f32(wr.imag),
+        "pl_re": f32(pl.real), "pl_im": f32(pl.imag),
+        "pr_re": f32(pr.real), "pr_im": f32(pr.imag),
+        "vl": f32(vl), "vr": f32(vr),
+    }
+
+
+def _scan_states(inj_re, inj_im, decay, reverse: bool):
+    """Affine scan s[b] = z^L s[b-1] + inj[b] over the block axis (-2).
+
+    Complex state as an (re, im) pair; ``decay`` is the constant per-pole
+    multiplier z^L. Associative scan keeps the ~N/L-step recurrence
+    log-depth on the VPU.
+    """
+    ar = jnp.broadcast_to(jnp.real(decay), inj_re.shape).astype(jnp.float32)
+    ai = jnp.broadcast_to(jnp.imag(decay), inj_re.shape).astype(jnp.float32)
+
+    def compose(left, right):
+        lar, lai, lvr, lvi = left
+        rar, rai, rvr, rvi = right
+        return (
+            lar * rar - lai * rai,
+            lar * rai + lai * rar,
+            rvr + rar * lvr - rai * lvi,
+            rvi + rar * lvi + rai * lvr,
+        )
+
+    _, _, sr, si = jax.lax.associative_scan(
+        compose, (ar, ai, inj_re, inj_im), axis=inj_re.ndim - 2,
+        reverse=reverse,
+    )
+    return sr, si
+
+
+def _shift_blocks(arr, offset: int):
+    """arr shifted along the block axis (-2) by ``offset`` (zero-filled)."""
+    nb = arr.shape[-2]
+    zeros = jnp.zeros(arr.shape[:-2] + (abs(offset),) + arr.shape[-1:],
+                      arr.dtype)
+    if offset > 0:  # arr[..., b - offset, :]
+        return jnp.concatenate([zeros, arr[..., : nb - offset, :]], axis=-2)
+    return jnp.concatenate([arr[..., -offset:, :], zeros], axis=-2)
+
+
+def _tails_last(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Tail contributions (|k| > 255) along the last axis of ``(..., N)``.
+
+    The near field (|k| <= 255) is the band pass's job; this adds the
+    infinite exponential tails exactly (given the mode model) from
+    per-block boundary states over the reflect-extended axis.
+    """
+    c = _consts(float(sigma))
+    n = x.shape[-1]
+    pad = _scan_pad(sigma)
+    xp = reflect_101(x.astype(jnp.float32), [(pad, pad)], axes=[-1])
+    # zero-fill beyond the reflect pad (the truncation zone) so (a) the
+    # interior starts block-aligned, (b) its first/last blocks have j-+2
+    # state neighbors. Zeros inject nothing into the states.
+    a = (-pad) % _L
+    if (a + pad) // _L < 2:
+        a += _L * (2 - (a + pad) // _L)
+    j_last = (a + pad + n - 1) // _L
+    npad = max(-(-(a + xp.shape[-1]) // _L), j_last + 3) * _L
+    xp = jnp.pad(
+        xp, [(0, 0)] * (xp.ndim - 1) + [(a, npad - a - xp.shape[-1])]
+    )
+    xb = xp.reshape(xp.shape[:-1] + (npad // _L, _L))
+    pad = a + pad  # interior start (block-aligned)
+
+    hi = jax.lax.Precision.HIGHEST
+    ein = functools.partial(jnp.einsum, precision=hi)
+    inj = lambda pm: ein("...bl,lp->...bp", xb, jnp.asarray(c[pm]))
+    sl_re, sl_im = _scan_states(
+        inj("pl_re"), inj("pl_im"), c["decay"], reverse=False
+    )
+    sr_re, sr_im = _scan_states(
+        inj("pr_re"), inj("pr_im"), c["decay"], reverse=True
+    )
+    sl_re, sl_im = _shift_blocks(sl_re, 2), _shift_blocks(sl_im, 2)
+    sr_re, sr_im = _shift_blocks(sr_re, -2), _shift_blocks(sr_im, -2)
+
+    t = (
+        ein("...bp,op->...bo", sl_re, jnp.asarray(c["wl_re"]))
+        - ein("...bp,op->...bo", sl_im, jnp.asarray(c["wl_im"]))
+        + ein("...bp,op->...bo", sr_re, jnp.asarray(c["wr_re"]))
+        - ein("...bp,op->...bo", sr_im, jnp.asarray(c["wr_im"]))
+    )
+    # subtract the band/state overlap (x blocks are uint8-valued: exact in
+    # bf16, and V entries are far-tail magnitudes — default MXU precision
+    # keeps the correction's error ~1e-2 counts)
+    t -= jnp.einsum("...bl,ol->...bo", _shift_blocks(xb, 2),
+                    jnp.asarray(c["vl"]))
+    t -= jnp.einsum("...bl,ol->...bo", _shift_blocks(xb, -2),
+                    jnp.asarray(c["vr"]))
+    t = t.reshape(t.shape[:-2] + (npad,))
+    return t[..., pad : pad + n]
+
+
+@functools.lru_cache(maxsize=32)
+def _band_plans(shape: tuple[int, int], sigma: float) -> tuple:
+    taps = deriche_taps(sigma)
+    ident = np.array([1.0], np.float32)
+    return (
+        make_custom_plan(shape, taps, ident),  # rows band
+        make_custom_plan(shape, ident, taps),  # cols band
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "out_u8"))
+def _blur_deriche_impl(planar, sigma: float, out_u8: bool):
+    from blur_algorithms_tpu.ops.layout import round_to_u8
+    from blur_algorithms_tpu.pallas_kernels.fused_blur import blur_fused
+
+    h, w = planar.shape[-2], planar.shape[-1]
+    plan_r, plan_c = _band_plans((h, w), float(sigma))
+
+    x = planar
+    if x.dtype != jnp.uint8:
+        x = x.astype(jnp.float32)
+    # rows: fused band pass (u8 or f32 in) + exponential tails
+    y = blur_fused(x, plan_r, precision="bf16x3") + _tails_last(x, sigma)
+    # cols: same along axis -2
+    yc = blur_fused(y, plan_c, precision="bf16x3")
+    tc = jnp.swapaxes(
+        _tails_last(jnp.swapaxes(y, -1, -2), sigma), -1, -2
+    )
+    out = yc + tc
+    return round_to_u8(out) if out_u8 else out
+
+
+def blur_deriche(planar: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Recursive-Gaussian blur of planar ``(..., H, W)`` -> float32.
+
+    Sigma-independent cost (the band is fixed at 511 taps; the tails are
+    O(1) per pixel): the wide-sigma owner past the fused split form's
+    crossover. Callers must check :func:`deriche_applicable`. Error vs the
+    truncated-Gaussian oracle <= 1 uint8 count (adversarial bound 0.5-0.6
+    counts for sigma >= 16; certified on the TPU parity grid).
+    """
+    if not deriche_applicable(planar.shape[-2:], float(sigma)):
+        raise ValueError(
+            f"deriche engine not applicable: shape {planar.shape[-2:]}, "
+            f"sigma {sigma} (needs sigma >= {_SIGMA_MIN} and "
+            f"{_PAD_SIGMAS}*sigma reflect pad <= dim - 1)"
+        )
+    return _blur_deriche_impl(planar, float(sigma), False)
+
+
+def blur_deriche_u8(planar_u8: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """uint8 planar ``(..., H, W)`` -> uint8 via the Deriche engine."""
+    if not deriche_applicable(planar_u8.shape[-2:], float(sigma)):
+        raise ValueError(
+            f"deriche engine not applicable: shape {planar_u8.shape[-2:]}, "
+            f"sigma {sigma}"
+        )
+    return _blur_deriche_impl(planar_u8, float(sigma), True)
