@@ -71,6 +71,24 @@ def main() -> int:
             worst = max(worst, row["max"])
             print(json.dumps(row), flush=True)
 
+    # deriche recursive engine: an approximation, held to the same gate
+    from blur_algorithms_tpu.ops.deriche import deriche_applicable
+
+    for sigma in [16.0, 30.0, 60.0]:
+        if not deriche_applicable((h, w), sigma):
+            continue
+        want = oracle.blur_u8(img, sigma)
+        got = np.asarray(blur_u8(xj, sigma, engine=Engine.DERICHE))
+        d = np.abs(got.astype(int) - want.astype(int))
+        row = {
+            "case": f"gaussian s={sigma} deriche",
+            "max": int(d.max()),
+            "exact": round(float((d == 0).mean()), 5),
+        }
+        rows.append(row)
+        worst = max(worst, row["max"])
+        print(json.dumps(row), flush=True)
+
     # box paths vs naive sequential box convolution
     from blur_algorithms_tpu.ops.plan import make_plan
 
