@@ -338,6 +338,9 @@ def _compiled_u8(
         Engine(engine) is Engine.AUTO
         and eng is Engine.FUSED
         and len(shape) == 4
+        and jax.process_count() == 1  # multi-host batches are host-local:
+        # sharding them over the global mesh would need a distributed array
+        # the caller didn't build — keep AUTO single-device there
         and len(jax.devices()) > 1
         and shape[0] % len(jax.devices()) == 0
     ):

@@ -129,7 +129,6 @@ def _consts(sigma: float) -> dict:
     wr = gn[None, :] * z[None, :] ** (2 * _L - o[:, None])
     pl = z[None, :] ** (_L - 1 - o)[:, None]  # left-state injection (L, P)
     pr = z[None, :] ** o[:, None]  # right-state injection
-    dist = np.arange(2 * _L - (_L - 1), 2 * _L + _L)  # [L+1 .. 3L-1] span
     hv = _hn(np.arange(3 * _L), gn, z)
     vl = np.zeros((_L, _L), np.float64)  # overlap vs left states (x_{j-2})
     vr = np.zeros((_L, _L), np.float64)  # overlap vs right states (x_{j+2})

@@ -52,10 +52,10 @@ def _fft_blur_chunk(chunk: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
     Real spectrum for symmetric taps (the reference trick), full complex
     half-spectrum for asymmetric custom taps (``kernels.complex_spectrum``).
     """
+    from blur_algorithms_tpu.ops.fft_conv import _axis_spectrum
+
     pad, n, flen = axis_plan.pad, axis_plan.dim, axis_plan.fft_len
-    spectrum = jnp.asarray(
-        axis_plan.spectrum if axis_plan.symmetric else axis_plan.spectrum_c
-    )
+    spectrum = jnp.asarray(_axis_spectrum(axis_plan))
     chunk = jnp.moveaxis(chunk, axis, -1)
     tile = reflect_101(chunk, [(pad, pad)])
     spec = jnp.fft.rfft(tile, n=flen, axis=-1)

@@ -75,9 +75,23 @@ def blur_planar_fft2(planar: np.ndarray, plan: BlurPlan) -> np.ndarray:
     assert padded.shape[-2:] == (fft_h, fft_w)
 
     spec = np.fft.rfft2(padded, axes=(-2, -1))  # complex64
-    ker_col = _mirror_full(plan.col.spectrum, fft_h)  # Re, full length
-    ker_row = plan.row.spectrum  # Re, half spectrum
-    spec *= ker_col[:, None].astype(np.float32) * ker_row[None, :].astype(np.float32)
+    if plan.col.symmetric:
+        ker_col = _mirror_full(plan.col.spectrum, fft_h).astype(np.float32)
+    else:
+        # asymmetric custom taps: full complex correlation spectrum, upper
+        # bins conjugate-mirrored (CCS unpack — same as the fft2 engine)
+        ker_col = np.zeros(fft_h, np.complex64)
+        half = fft_h // 2 + 1
+        ker_col[:half] = plan.col.spectrum_c[:half]
+        ker_col[half:] = np.conj(
+            plan.col.spectrum_c[1 : fft_h - half + 1][::-1]
+        )
+    ker_row = (
+        plan.row.spectrum.astype(np.float32)
+        if plan.row.symmetric
+        else plan.row.spectrum_c
+    )
+    spec *= ker_col[:, None] * ker_row[None, :]
     out = np.fft.irfft2(spec, s=(fft_h, fft_w), axes=(-2, -1))
 
     h, w = plan.shape

@@ -198,15 +198,22 @@ def dma_form_applicable(dtype, plan: BlurPlan, precision: str = "int8") -> bool:
         return False
     th, tw = _pick_tile_dma(plan)
     sh, sw = th + 2 * rh, tw + 2 * rw
+    shp, swp = -(-sh // 8) * 8, -(-sw // 128) * 128  # DMA-aligned fetch
+    nbw = -(-plan.shape[1] // tw)
     in_b = 1 if is_u8 else 4
     mat_b = 2 if precision == "int8" else 4
-    # VMEM: 2 windows + band stacks + f32 rows strip + out tile
+    # VMEM: double-buffered aligned windows + band hi/lo stacks + the
+    # rows-pass intermediate + per-window f32 tile + the out BlockSpec,
+    # which holds the WHOLE row strip (1, th, nbw*tw) — at u8 width for
+    # the u8 route, f32 for float frames (where wide frames can exceed
+    # the budget and must fall back to the blocked kernel)
     vmem = (
-        2 * sh * sw * in_b
+        2 * shp * swp * in_b
         + sw * tw * mat_b
         + sh * th * mat_b
         + sh * tw * 4
-        + th * tw * 8
+        + th * tw * 4
+        + th * nbw * tw * in_b
     )
     return vmem <= _hw().wide_vmem_budget
 

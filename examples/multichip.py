@@ -21,7 +21,6 @@ import os
 
 if __name__ == "__main__":
     # request 8 virtual CPU devices BEFORE jax initializes (no-op on TPU pods)
-    os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (

@@ -64,6 +64,19 @@ class TestConvolveSeparable:
         want = oracle.blur_direct(x, plan)
         np.testing.assert_allclose(got, want, atol=2e-2)
 
+    def test_oracle_fft2_asymmetric_matches_direct(self, rng):
+        # the np.fft oracle must carry the full complex correlation
+        # spectrum for asymmetric plans, not just its real (symmetrized)
+        # part — else it silently certifies the wrong operator
+        x = (rng.random((2, 44, 52)) * 255).astype(np.float32)
+        tr = np.array([0.2, 0.5, 0.9, -0.3, 0.1], np.float32)
+        tc = np.array([-0.1, 0.8, 0.4], np.float32)
+        plan = make_custom_plan((44, 52), tr, tc)
+        assert not (plan.row.symmetric or plan.col.symmetric)
+        got = oracle.blur_planar_fft2(x, plan)
+        want = oracle.blur_direct(x, plan)
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
     def test_asymmetric_derivative_matches_numpy(self, rng):
         x = (rng.random((48, 40)) * 255).astype(np.float32)
         ident = np.array([1.0], np.float32)
