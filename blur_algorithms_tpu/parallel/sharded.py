@@ -112,8 +112,21 @@ def blur_sharded(
             haloed = block
         elif n_sp == 1:
             haloed = reflect_101(block, [(r, r)], axes=[-2])
-        elif pad_h == 0 and r <= h_loc - 1:
+        elif r + 2 * pad_h + 1 <= h_loc:
             idx = jax.lax.axis_index("sp")
+            if pad_h:
+                # indivisible height: the bottom shard's zero-pad rows get
+                # the reflect-101 continuation of the TRUE image (rows
+                # h-2, h-3, ...) so edge-row halos stay geometrically
+                # correct — keeping the cheap path instead of falling to
+                # the whole-block gather for a few pad rows
+                fill = block[
+                    ..., h_loc - 2 * pad_h - 1 : h_loc - pad_h - 1, :
+                ][..., ::-1, :]
+                filled = jnp.concatenate(
+                    [block[..., : h_loc - pad_h, :], fill], axis=-2
+                )
+                block = jnp.where(idx == n_sp - 1, filled, block)
             # interior halos over ICI: my edge rows -> my neighbors
             from_above = jax.lax.ppermute(
                 block[..., -r:, :], "sp", [(i, i + 1) for i in range(n_sp - 1)]
@@ -121,9 +134,12 @@ def blur_sharded(
             from_below = jax.lax.ppermute(
                 block[..., :r, :], "sp", [(i + 1, i) for i in range(n_sp - 1)]
             )
-            # global borders: reflect-101 (row 0 / row -1 not repeated)
+            # global borders: reflect-101 (row 0 / row -1 not repeated);
+            # the bottom mirror continues past the filled pad rows, hence
+            # the 2*pad_h shift of its source window
             reflect_top = block[..., 1 : r + 1, :][..., ::-1, :]
-            reflect_bot = block[..., -r - 1 : -1, :][..., ::-1, :]
+            lo = h_loc - 1 - 2 * pad_h - r
+            reflect_bot = block[..., lo : lo + r, :][..., ::-1, :]
             top = jnp.where((idx == 0), reflect_top, from_above)
             bot = jnp.where((idx == n_sp - 1), reflect_bot, from_below)
             haloed = jnp.concatenate([top, block, bot], axis=-2)

@@ -101,6 +101,31 @@ class TestIndivisibleShapes:
         assert got.shape == frames.shape
         np.testing.assert_allclose(got, want, atol=2e-3)
 
+    def test_indivisible_height_fast_edge_path(self):
+        # small radius + small pad: the pad-row reflect fill keeps the
+        # cheap edge-row ppermute path (no whole-block gather)
+        rng = np.random.default_rng(6)
+        frames = (rng.random((4, 3, 61, 48)) * 255).astype(np.float32)
+        plan = make_plan((61, 48), 3.0)
+        mesh = make_mesh(dp=4, sp=2)  # h_loc=31, pad_h=1
+        r = plan.col.support_radius
+        assert r + 2 * 1 + 1 <= 31  # documents the branch taken
+        got = np.asarray(blur_sharded(jnp.asarray(frames), plan, mesh))
+        want = np.asarray(blur_band_matmul(jnp.asarray(frames), plan))
+        assert got.shape == frames.shape
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_indivisible_height_fill_exceeds_shard_falls_back(self):
+        # r + 2*pad_h + 1 > h_loc: must still route the gather fallback
+        rng = np.random.default_rng(7)
+        frames = (rng.random((2, 3, 61, 48)) * 255).astype(np.float32)
+        plan = make_plan((61, 48), 4.0)
+        assert plan.col.support_radius + 2 * 3 + 1 > 16  # sp=4: h_loc=16
+        mesh = make_mesh(dp=2, sp=4)
+        got = np.asarray(blur_sharded(jnp.asarray(frames), plan, mesh))
+        want = np.asarray(blur_band_matmul(jnp.asarray(frames), plan))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
     def test_indivisible_both_u8_wide_kernel(self):
         rng = np.random.default_rng(5)
         batch = (rng.random((3, 45, 64, 3)) * 255).astype(np.uint8)
