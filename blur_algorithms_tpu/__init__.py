@@ -31,6 +31,10 @@ from blur_algorithms_tpu.api import (
     dft_spectrum,
     Engine,
 )
+from blur_algorithms_tpu.ops.multi_sigma import (
+    blur_multi_sigma,
+    blur_multi_sigma_u8,
+)
 from blur_algorithms_tpu.ops.plan import BlurPlan, make_custom_plan, make_plan
 
 __version__ = "0.1.0"
@@ -42,6 +46,8 @@ __all__ = [
     "box_blur",
     "convolve_separable",
     "dft_spectrum",
+    "blur_multi_sigma",
+    "blur_multi_sigma_u8",
     "Engine",
     "BlurPlan",
     "make_custom_plan",

@@ -67,9 +67,17 @@ def main() -> int:
         print(f"{label}: spatial std {frame.std():.1f}, "
               f"spectrum mean {np.asarray(spec_vis).mean():.1f}")
 
-    for sigma in args.sigmas:
-        strip(np.asarray(blur_u8(jnp.asarray(img), max(sigma, 0.1))),
-              f"sigma={sigma}")
+    # the whole sigma sweep is ONE compiled dispatch (shared forward FFT,
+    # per-sigma spectra batched) — the reference loop recompiles per sigma
+    from blur_algorithms_tpu import blur_multi_sigma_u8
+
+    sweep = np.asarray(
+        blur_multi_sigma_u8(
+            jnp.asarray(img), [max(s, 0.1) for s in args.sigmas]
+        )
+    )
+    for sigma, frame in zip(args.sigmas, sweep):
+        strip(frame, f"sigma={sigma}")
 
     noise_rng = np.random.default_rng(0)
     for noise in args.noises:
