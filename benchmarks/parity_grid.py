@@ -89,6 +89,24 @@ def main() -> int:
         worst = max(worst, row["max"])
         print(json.dumps(row), flush=True)
 
+    # multi-sigma sweep: every slice of the one-dispatch sweep must match
+    # the per-sigma oracle like a standalone blur would
+    from blur_algorithms_tpu import blur_multi_sigma_u8
+
+    ms_sigmas = [1.0, 8.0, 40.0]
+    ms_out = np.asarray(blur_multi_sigma_u8(xj, ms_sigmas))
+    for i, sigma in enumerate(ms_sigmas):
+        want = oracle.blur_u8(img, sigma)
+        d = np.abs(ms_out[i].astype(int) - want.astype(int))
+        row = {
+            "case": f"multi_sigma[{i}] s={sigma}",
+            "max": int(d.max()),
+            "exact": round(float((d == 0).mean()), 5),
+        }
+        rows.append(row)
+        worst = max(worst, row["max"])
+        print(json.dumps(row), flush=True)
+
     # box paths vs naive sequential box convolution
     from blur_algorithms_tpu.ops.plan import make_plan
 

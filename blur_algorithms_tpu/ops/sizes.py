@@ -24,12 +24,14 @@ _N_MIN = 32
 
 SIZE_MODES = ("auto", "smooth235", "pow2")
 
-# ``auto``: above this length a TPU backend plans pow2 instead of smooth235.
-# XLA's TPU FFT both compiles and runs far better on power-of-two lengths;
-# smooth235 at 14 MP+ frames measured multi-minute compiles (STATUS.md round
-# 1 known limitations). Below the threshold the two modes compile in the
-# same ballpark and smooth235 pads less, so reference behavior is kept.
-_AUTO_POW2_THRESHOLD = 2048
+# ``auto``: on a TPU backend plan pow2 at EVERY length. XLA's TPU FFT
+# compile time on non-pow2 lengths is a lottery even for small multiple-
+# of-32 {2,3,5}-smooth sizes: measured rfft2+irfft2 first-call times
+# (v5e) — (320, 480) >3 min and 490 s inside a full program, while
+# (360, 450) takes 6.3 s and any pow2 ~3 s. A default that sometimes
+# hangs the first call for minutes is unacceptable; explicit
+# ``smooth235`` remains the reference-parity mode (identical results —
+# padding growth is provably never read by interior outputs).
 
 
 def is_valid_size(n: int) -> bool:
@@ -81,16 +83,12 @@ def plan_fft_size(n: int, mode: str = "auto") -> int:
 
     ``smooth235`` reproduces the reference's padding policy exactly;
     ``pow2`` trades extra trailing zeros for TPU FFT speed; ``auto`` (the
-    default) is smooth235 except on a TPU backend above
-    ``_AUTO_POW2_THRESHOLD``, where smooth235's non-pow2 XLA FFTs hit
-    multi-minute compiles — explicit ``smooth235`` remains the parity mode.
+    default) is pow2 on a TPU backend — XLA's non-pow2 TPU FFT compiles
+    are a multi-minute lottery even at small sizes (see the note above) —
+    and smooth235 elsewhere (CPU compiles are fast at any smooth size).
     """
     if mode == "auto":
-        mode = (
-            "pow2"
-            if n > _AUTO_POW2_THRESHOLD and _backend_is_tpu()
-            else "smooth235"
-        )
+        mode = "pow2" if _backend_is_tpu() else "smooth235"
     if mode == "smooth235":
         return n if is_valid_size(n) else nearest_transform_size(n)
     if mode == "pow2":

@@ -7,6 +7,11 @@ free. This example sharpens a blurred photo by gradient descent on
 engine in both the forward and the VJP.
 
 Usage: python examples/deblur.py <image> [--sigma 3] [--steps 150]
+       python examples/deblur.py <image> --wiener [--balance 1e-3]
+
+``--wiener`` runs the closed-form solve instead
+(``models.wiener_deconvolve``): one dispatch, no iterations — the direct
+counterpart when the blur kernel is known exactly and noise is modest.
 """
 
 from __future__ import annotations
@@ -29,6 +34,10 @@ def main() -> int:
     p.add_argument("--tv", type=float, default=1e-3)
     p.add_argument("--out", default="deblurred.png")
     p.add_argument("--max-dim", type=int, default=768)
+    p.add_argument("--wiener", action="store_true",
+                   help="closed-form Wiener solve instead of gradient descent")
+    p.add_argument("--balance", type=float, default=1e-3,
+                   help="Wiener regularizer (with --wiener)")
     args = p.parse_args()
 
     import jax
@@ -64,11 +73,16 @@ def main() -> int:
         val, g = jax.value_and_grad(loss)(x)
         return x - args.lr * g, val
 
-    x = observed
-    for i in range(args.steps):
-        x, val = step(x)
-        if i % 25 == 0:
-            print(f"step {i}: loss {float(val):.4f}")
+    if args.wiener:
+        from blur_algorithms_tpu.models import wiener_deconvolve
+
+        x = wiener_deconvolve(observed, args.sigma, balance=args.balance)
+    else:
+        x = observed
+        for i in range(args.steps):
+            x, val = step(x)
+            if i % 25 == 0:
+                print(f"step {i}: loss {float(val):.4f}")
 
     recovered = np.clip(np.floor(np.moveaxis(np.asarray(x), 0, -1) + 0.5), 0, 255)
     side = np.concatenate(
