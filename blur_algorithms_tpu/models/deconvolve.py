@@ -22,8 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from blur_algorithms_tpu.ops.fft_conv import _mirror_full
-from blur_algorithms_tpu.ops.pad import reflect_101
+from blur_algorithms_tpu.ops.fft_conv import _mirror_full, rfft2_pipeline
 from blur_algorithms_tpu.ops.plan import make_plan
 
 __all__ = ["wiener_deconvolve"]
@@ -42,19 +41,15 @@ def _compiled_wiener(
     plan = make_plan((h, w), nsmooth, kernel=kernel, size_mode=size_mode)
     if not (plan.col.symmetric and plan.row.symmetric):
         raise ValueError("wiener_deconvolve expects a symmetric blur kernel")
-    (bt, bb), (bl, br) = plan.col.border, plan.row.border
-    fft_h, fft_w = plan.fft_shape
-    hc = _mirror_full(plan.col.spectrum, fft_h)  # real, full length
-    hr = plan.row.spectrum  # real, half spectrum
+    hc = _mirror_full(plan.col.spectrum, plan.fft_shape[0])  # real, full
+
+    def gain(spec):
+        # per-bin gain H/(H^2 + balance), fused from the 1-D spectra
+        h2d = jnp.asarray(hc)[:, None] * jnp.asarray(plan.row.spectrum)
+        return spec * (h2d / (h2d * h2d + balance))
 
     def fn(planar):
-        padded = reflect_101(planar.astype(jnp.float32), [(bt, bb), (bl, br)])
-        spec = jnp.fft.rfft2(padded, axes=(-2, -1))
-        # per-bin gain H/(H^2 + balance), fused from the 1-D spectra
-        h2d = jnp.asarray(hc)[:, None] * jnp.asarray(hr)[None, :]
-        spec = spec * (h2d / (h2d * h2d + balance))
-        out = jnp.fft.irfft2(spec, s=(fft_h, fft_w), axes=(-2, -1))
-        out = out[..., bt : bt + h, bl : bl + w]
+        out = rfft2_pipeline(planar.astype(jnp.float32), plan, gain)
         if out_u8:
             from blur_algorithms_tpu.ops.layout import round_to_u8
 

@@ -54,6 +54,26 @@ def _axis_spectrum(axis_plan) -> np.ndarray:
     return axis_plan.spectrum if axis_plan.symmetric else axis_plan.spectrum_c
 
 
+def rfft2_pipeline(planar: jnp.ndarray, plan: BlurPlan, on_spectrum):
+    """Shared 2-D spectral scaffolding: pad, rFFT, transform, irFFT, crop.
+
+    Every 2-D spectral path (the ``fft2`` engine here, the multi-sigma
+    sweep, Wiener deconvolution) runs the same border-geometry contract:
+    reflect-101 pad by the plan borders, ``rfft2``, a caller-supplied
+    ``on_spectrum`` (which may add leading batch axes), ``irfft2`` at the
+    planned transform shape, crop the interior. Keeping it in one place
+    means a padding-policy change in ``ops/plan.py`` cannot desynchronize
+    the spectral paths.
+    """
+    h, w = plan.shape
+    (bt, bb), (bl, br) = plan.col.border, plan.row.border
+    fft_h, fft_w = plan.fft_shape
+    padded = reflect_101(planar, [(bt, bb), (bl, br)])
+    spec = on_spectrum(jnp.fft.rfft2(padded, axes=(-2, -1)))
+    out = jnp.fft.irfft2(spec, s=(fft_h, fft_w), axes=(-2, -1))
+    return out[..., bt : bt + h, bl : bl + w]
+
+
 def blur_fft2(
     planar: jnp.ndarray, plan: BlurPlan, pallas_multiply: bool = False
 ) -> jnp.ndarray:
@@ -66,13 +86,7 @@ def blur_fft2(
     extra HBM passes marshalling re/im), so the kernel exists for layout
     experiments and parity with the BASELINE.json component list.
     """
-    h, w = plan.shape
-    (bt, bb), (bl, br) = plan.col.border, plan.row.border
-    fft_h, fft_w = plan.fft_shape
-
-    padded = reflect_101(planar, [(bt, bb), (bl, br)])
-    spec = jnp.fft.rfft2(padded, axes=(-2, -1))
-
+    fft_h = plan.fft_shape[0]
     ker_col = (
         _mirror_full(plan.col.spectrum, fft_h)
         if plan.col.symmetric
@@ -87,18 +101,19 @@ def blur_fft2(
             spectral_multiply_2d,
         )
 
-        spec = spectral_multiply_2d(spec, ker_col, plan.row.spectrum)
+        mult = lambda spec: spectral_multiply_2d(
+            spec, ker_col, plan.row.spectrum
+        )
     else:
         # keep the two 1-D spectra as separate constants and let XLA fuse the
         # broadcast — materializing the outer product would bake an
         # O(fft_h * fft_w) constant into the program (~700 MB at 348 MP)
-        spec = (
+        mult = lambda spec: (
             spec
             * jnp.asarray(ker_col)[:, None]
             * jnp.asarray(_axis_spectrum(plan.row))
         )
-    out = jnp.fft.irfft2(spec, s=(fft_h, fft_w), axes=(-2, -1))
-    return out[..., bt : bt + h, bl : bl + w]
+    return rfft2_pipeline(planar, plan, mult)
 
 
 def _tile_pass(

@@ -30,11 +30,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from blur_algorithms_tpu.ops import kernels
-from blur_algorithms_tpu.ops.fft_conv import _mirror_full
-from blur_algorithms_tpu.ops.pad import reflect_101
+from blur_algorithms_tpu.ops.fft_conv import _mirror_full, rfft2_pipeline
 from blur_algorithms_tpu.ops.plan import make_plan
 
 __all__ = ["blur_multi_sigma", "blur_multi_sigma_u8"]
+
+
+def _sigma_tuple(sigmas) -> tuple[float, ...]:
+    sig = tuple(float(s) for s in np.atleast_1d(np.asarray(sigmas)))
+    if not sig:
+        raise ValueError("sigmas must be a non-empty sequence of floats")
+    return sig
 
 
 def _sigma_spectra(
@@ -70,13 +76,11 @@ def _compiled_multi(
     h, w = shape[-2], shape[-1]
     # geometry of the widest kernel serves every sigma exactly
     plan = make_plan((h, w), max(max(sigmas), 0.1), size_mode=size_mode)
-    (bt, bb), (bl, br) = plan.col.border, plan.row.border
     fft_h, fft_w = plan.fft_shape
     cols, rows = _sigma_spectra(sigmas, (h, w), size_mode, fft_h, fft_w)
 
     def fn(planar):
-        padded = reflect_101(planar.astype(jnp.float32), [(bt, bb), (bl, br)])
-        spec = jnp.fft.rfft2(padded, axes=(-2, -1))  # shared forward
+        planar = planar.astype(jnp.float32)
         # sigma batch axis in front; keep the two 1-D spectra as separate
         # broadcasts (XLA fuses them — materializing the (N, fft_h, hw)
         # outer product would bake a giant constant, see fft_conv.blur_fft2)
@@ -84,9 +88,7 @@ def _compiled_multi(
         n = len(sigmas)
         ck = jnp.asarray(cols).reshape((n,) + lead + (fft_h, 1))
         rk = jnp.asarray(rows).reshape((n,) + lead + (1, fft_w // 2 + 1))
-        out = jnp.fft.irfft2(
-            spec[None] * ck * rk, s=(fft_h, fft_w), axes=(-2, -1)
-        )[..., bt : bt + h, bl : bl + w]
+        out = rfft2_pipeline(planar, plan, lambda spec: spec[None] * ck * rk)
         if out_u8:
             from blur_algorithms_tpu.ops.layout import round_to_u8
 
@@ -106,7 +108,7 @@ def blur_multi_sigma(
     shared across the whole sweep. Each slice matches ``blur(x, sigma_i,
     engine="fft2")`` (and the CPU oracle) exactly.
     """
-    sig = tuple(float(s) for s in np.atleast_1d(np.asarray(sigmas)))
+    sig = _sigma_tuple(sigmas)
     fn = _compiled_multi(tuple(planar.shape), sig, size_mode, False)
     return fn(jnp.asarray(planar))
 
@@ -120,7 +122,7 @@ def blur_multi_sigma_u8(
         raise TypeError(f"blur_multi_sigma_u8 expects uint8, got {img.dtype}")
     from blur_algorithms_tpu.ops import layout
 
-    sig = tuple(float(s) for s in np.atleast_1d(np.asarray(sigmas)))
+    sig = _sigma_tuple(sigmas)
     planar = layout.to_planar(img)
     fn = _compiled_multi(tuple(planar.shape), sig, size_mode, True)
     return jnp.moveaxis(fn(planar), -3, -1)

@@ -52,6 +52,11 @@ def test_u8_matches_oracle(rgb_image):
         assert d.max() <= 1
 
 
+def test_empty_sigmas_rejected(frame):
+    with pytest.raises(ValueError, match="non-empty"):
+        blur_multi_sigma(frame, [])
+
+
 def test_single_compile_per_sweep(frame):
     _compiled_multi.cache_clear()
     blur_multi_sigma(frame, [1.0, 2.0, 3.0, 4.0])

@@ -58,14 +58,20 @@ def test_plan_modes():
 
 
 def test_plan_fft_size_auto_mode(monkeypatch):
-    """auto = smooth235 off-TPU always; pow2 on TPU above the threshold."""
+    """auto = smooth235 off-TPU; pow2 at EVERY length on TPU.
+
+    Non-pow2 XLA TPU FFT compiles are a multi-minute lottery even at small
+    multiple-of-32 smooth sizes (measured 455 s at (320, 480)) — auto must
+    never plan one on a TPU backend.
+    """
     monkeypatch.setattr(sizes, "_backend_is_tpu", lambda: False)
     assert sizes.plan_fft_size(1000, "auto") == sizes.plan_fft_size(1000, "smooth235")
     assert sizes.plan_fft_size(30000, "auto") == sizes.plan_fft_size(30000, "smooth235")
     monkeypatch.setattr(sizes, "_backend_is_tpu", lambda: True)
-    # below threshold: still reference parity
-    assert sizes.plan_fft_size(1000, "auto") == sizes.plan_fft_size(1000, "smooth235")
-    # above threshold: pow2 (the multi-minute smooth235 compile footgun)
+    # 480: smooth235 would keep it (is_valid_size), auto must NOT
+    assert sizes.plan_fft_size(480, "auto") == 512
+    # 1050: smooth235 -> 1152, pow2 -> 2048
+    assert sizes.plan_fft_size(1050, "auto") == 2048
     assert sizes.plan_fft_size(5000, "auto") == 8192
     assert sizes.plan_fft_size(30000, "auto") == 32768
 
