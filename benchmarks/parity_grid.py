@@ -145,6 +145,53 @@ def main() -> int:
             worst = max(worst, row["max"])
             print(json.dumps(row), flush=True)
 
+        # custom-tap fuzz: random odd-length taps, signed/asymmetric
+        # included, vs the direct-convolution oracle (absolute gate: taps
+        # scale ~unit-sum, so 1 count stays the right tolerance class)
+        from blur_algorithms_tpu import convolve_separable
+        from blur_algorithms_tpu.ops.plan import make_custom_plan
+
+        for i in range(max(4, args.fuzz // 3)):
+            fh = int(frng.integers(24, 300))
+            fw = int(frng.integers(24, 300))
+            nr = int(frng.integers(1, 12)) * 2 + 1
+            nc = int(frng.integers(1, 12)) * 2 + 1
+            tr = frng.normal(0, 0.4, nr).astype(np.float32)
+            tc = frng.normal(0, 0.4, nc).astype(np.float32)
+            kind = int(frng.integers(3))
+            if kind == 0:  # blur-like: non-negative unit-sum (int8 path)
+                tr, tc = np.abs(tr), np.abs(tc)
+                tr, tc = tr / tr.sum(), tc / tc.sum()
+            elif kind == 1:  # symmetric signed (sharpen-like)
+                tr, tc = (tr + tr[::-1]) / 2, (tc + tc[::-1]) / 2
+                tr, tc = tr / np.abs(tr).sum(), tc / np.abs(tc).sum()
+            else:  # fully asymmetric (complex-spectrum FFT route)
+                tr, tc = tr / np.abs(tr).sum(), tc / np.abs(tc).sum()
+            eng = [Engine.AUTO, Engine.FUSED, Engine.FFT2, Engine.BAND][
+                int(frng.integers(4))
+            ]
+            fimg = (frng.random((fh, fw, 3)) * 255).astype(np.uint8)
+            got = np.asarray(
+                convolve_separable(jnp.asarray(fimg), tr, tc, engine=eng)
+            )
+            plan = make_custom_plan((fh, fw), tr, tc)
+            want_f = oracle.blur_direct(
+                np.moveaxis(fimg, -1, 0).astype(np.float32), plan
+            )
+            want = np.clip(
+                np.floor(np.moveaxis(want_f, 0, -1) + 0.5), 0, 255
+            ).astype(int)
+            d = np.abs(got.astype(int) - want)
+            row = {
+                "case": f"custom_fuzz[{i}] {fh}x{fw} taps {nr}x{nc} "
+                f"kind={('blur', 'sym', 'asym')[kind]} {eng.value}",
+                "max": int(d.max()),
+                "exact": round(float((d == 0).mean()), 5),
+            }
+            rows.append(row)
+            worst = max(worst, row["max"])
+            print(json.dumps(row), flush=True)
+
     summary = {
         "backend": jax.default_backend(),
         "image": [h, w, 3],

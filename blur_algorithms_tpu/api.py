@@ -79,8 +79,8 @@ FLAG_TO_ENGINE = {
 
 # AUTO: the multi-block-halo fused kernel owns the MXU while its O(radius)
 # banded matmuls beat the radius-independent four-step MXU FFT (~0.8 GP/s);
-# measured on a 67 MP frame with the int8-e32 split: 900 vs 721 MP/s at
-# r=2046 and 685 vs 633 at r=3328 (benchmarks/wide_radius.json), putting
+# measured on a 67 MP frame with the int8-e32 split: 1056 vs 720 MP/s at
+# r=2046 and 684 vs 642 at r=3328 (benchmarks/wide_radius.json), putting
 # the u8 crossover near r~3500. Float inputs cannot use the int8-e32
 # split (bf16x3 pass 2), where the bf16x3-era measurements put the
 # crossover at ~2560 (706 vs 776 MP/s at r=3328) — keep that for floats.
