@@ -37,7 +37,7 @@ from blur_algorithms_tpu.ops.multi_sigma import (
 )
 from blur_algorithms_tpu.ops.plan import BlurPlan, make_custom_plan, make_plan
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "blur",
