@@ -7,10 +7,12 @@ regime) times from HBM, and wide radii split the band matmuls into many
 small chunked dots. This form keeps the input in HBM
 (``memory_space=ANY``) and streams the EXACT ``(th + 2rh) x (tw + 2rw)``
 halo window per tile with manual double-buffered async DMA — input traffic
-falls to ``(1 + 2rh/th)(1 + 2rw/tw)`` and the per-tile compute collapses
-to ONE full dense band matmul per pass. Measured 4K batch-4 u8 wins over
-the blocked kernel at every probed radius: +11% at r=33, +15% at r=165,
-+9% at r=332, +7% at r=515.
+falls to ``(1 + 2rh/th)(1 + 2rw/tw)``, and the band matmuls run in small
+translation-invariant CHUNKS (``_pick_chunks_dma``) so MACs per pixel
+track the kernel radius instead of the tile size. Measured 4K batch-4 u8:
+the dense-dot form beat the blocked kernel by +7..15% across radii; the
+chunked dots then cut r=32 from 2.97 to 1.76 ms (11.3 -> ~18.8 GP/s
+headline), bit-identical on the int8 path.
 
 Layout: grid ``(batch*channels, row-strips)``; each grid step loops over
 the column tiles of its strip with a two-slot VMEM window buffer — DMA of
@@ -57,8 +59,8 @@ __all__ = [
 
 def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
             sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
-            nbw: int, precision: str, rows_shift: int, cols_scale: int,
-            out_u8: bool):
+            nbw: int, cw: int, ch: int, precision: str, rows_shift: int,
+            cols_scale: int, out_u8: bool):
     """One row-strip: loop column windows with double-buffered DMA."""
     c = pl.program_id(0)
     i = pl.program_id(1)
@@ -88,13 +90,16 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
 
         x = win[slot][:sh, :sw]  # (sh, sw) of the (shp, swp) fetch
 
+        geom = dict(
+            tw=tw, th=th, rw=(sw - tw) // 2, rh=(sh - th) // 2, cw=cw, ch=ch
+        )
         if precision == "int8":
             outf = _tile_int8(
                 x, bw_ref, bh_ref, rows_shift=rows_shift,
-                cols_scale=cols_scale,
+                cols_scale=cols_scale, **geom,
             )
         else:
-            outf = _tile_bf16x3(x, bw_ref, bh_ref, in_u8=in_u8)
+            outf = _tile_bf16x3(x, bw_ref, bh_ref, in_u8=in_u8, **geom)
         if out_u8:
             outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
             outf = outf.astype(jnp.int32).astype(jnp.uint8)
@@ -105,8 +110,18 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
     jax.lax.fori_loop(0, nbw, body, None, unroll=False)
 
 
-def _tile_int8(x, bw_ref, bh_ref, *, rows_shift: int, cols_scale: int):
-    """Fixed-point digit pipeline on one (sh, sw) u8 window -> (th, tw) f32."""
+def _tile_int8(x, bw_ref, bh_ref, *, rows_shift: int, cols_scale: int,
+               tw: int, th: int, rw: int, rh: int, cw: int, ch: int):
+    """Fixed-point digit pipeline on one (sh, sw) u8 window -> (th, tw) f32.
+
+    The band matmuls run in translation-invariant CHUNKS of ``cw`` output
+    lanes (rows) / ``ch`` output sublanes (cols): every chunk multiplies
+    the same small ``(c + 2r, c)`` band matrix against a sliding slice of
+    the window, so MACs per output pixel drop from the dense
+    ``tw + 2r`` to ``c + 2r`` while the accumulated int32 arithmetic stays
+    BIT-IDENTICAL (the skipped terms are exact zeros). ``cw == tw`` /
+    ``ch == th`` degenerates to the single dense dot.
+    """
     xc = (x.astype(jnp.int32) - 128).astype(jnp.int8)
 
     def dot(a, b, dims):
@@ -114,20 +129,34 @@ def _tile_int8(x, bw_ref, bh_ref, *, rows_shift: int, cols_scale: int):
             a, b, (dims, ((), ())), preferred_element_type=jnp.int32
         )
 
-    # rows pass: ONE full band matmul (contraction sw = tw + 2rw)
-    r = dot(xc, bw_ref[0], ((1,), (0,))) * 128 + dot(
-        xc, bw_ref[1], ((1,), (0,))
-    )
+    # rows pass: chunked band matmuls (contraction cw + 2rw per chunk)
+    rs = []
+    for k in range(tw // cw):
+        xs = xc[:, k * cw : k * cw + cw + 2 * rw]
+        rs.append(
+            dot(xs, bw_ref[0], ((1,), (0,))) * 128
+            + dot(xs, bw_ref[1], ((1,), (0,)))
+        )
+    r = jnp.concatenate(rs, axis=1) if len(rs) > 1 else rs[0]
     # width-independent 14-bit intermediate E = 127*(conv - 128)
     e = (r + (1 << (rows_shift - 1))) >> rows_shift
     e1 = (e + 64) >> 7
     e0 = (e - e1 * 128).astype(jnp.int8)
     e1 = e1.astype(jnp.int8)
 
-    # cols pass: digit products against the (sh, th) column band stack
-    p1 = dot(bh_ref[0], e1, ((0,), (0,)))
-    p23 = dot(bh_ref[0], e0, ((0,), (0,))) + dot(bh_ref[1], e1, ((0,), (0,)))
-    p4 = dot(bh_ref[1], e0, ((0,), (0,)))
+    # cols pass: digit products against the (ch + 2rh, ch) column chunks
+    p1s, p23s, p4s = [], [], []
+    for m in range(th // ch):
+        s1 = e1[m * ch : m * ch + ch + 2 * rh, :]
+        s0 = e0[m * ch : m * ch + ch + 2 * rh, :]
+        p1s.append(dot(bh_ref[0], s1, ((0,), (0,))))
+        p23s.append(
+            dot(bh_ref[0], s0, ((0,), (0,)))
+            + dot(bh_ref[1], s1, ((0,), (0,)))
+        )
+        p4s.append(dot(bh_ref[1], s0, ((0,), (0,))))
+    cat = lambda ps: jnp.concatenate(ps, axis=0) if len(ps) > 1 else ps[0]
+    p1, p23, p4 = cat(p1s), cat(p23s), cat(p4s)
 
     inv = 1.0 / (127.0 * cols_scale)
     return (
@@ -138,12 +167,16 @@ def _tile_int8(x, bw_ref, bh_ref, *, rows_shift: int, cols_scale: int):
     )
 
 
-def _tile_bf16x3(x, bw_ref, bh_ref, *, in_u8: bool):
+def _tile_bf16x3(x, bw_ref, bh_ref, *, in_u8: bool,
+                 tw: int, th: int, rw: int, rh: int, cw: int, ch: int):
     """bf16 hi/lo split dots on one (sh, sw) window -> (th, tw) f32.
 
     Same numerics as ``fused_blur._kernel``'s bf16x3 path: uint8-valued
     inputs are exact in bfloat16; float inputs add an x_lo term on the
     rows pass; the cols pass splits its f32 intermediate and drops lo*lo.
+    Band matmuls run in translation-invariant chunks (see ``_tile_int8``);
+    the f32 accumulation drops the dense form's exact-zero terms, which
+    only tightens the error.
     """
     f32 = jnp.float32
 
@@ -158,19 +191,32 @@ def _tile_bf16x3(x, bw_ref, bh_ref, *, in_u8: bool):
         else x.astype(f32)
     )
     x_hi = xf.astype(jnp.bfloat16)
-    y = dot(x_hi, bw_ref[0], dims_r) + dot(x_hi, bw_ref[1], dims_r)
-    if not in_u8:
-        x_lo = (xf - x_hi.astype(f32)).astype(jnp.bfloat16)
-        y = y + dot(x_lo, bw_ref[0], dims_r)
+    x_lo = (
+        None if in_u8 else (xf - x_hi.astype(f32)).astype(jnp.bfloat16)
+    )
+    ys = []
+    for k in range(tw // cw):
+        sl = slice(k * cw, k * cw + cw + 2 * rw)
+        yk = dot(x_hi[:, sl], bw_ref[0], dims_r) + dot(
+            x_hi[:, sl], bw_ref[1], dims_r
+        )
+        if x_lo is not None:
+            yk = yk + dot(x_lo[:, sl], bw_ref[0], dims_r)
+        ys.append(yk)
+    y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
 
     dims_c = ((0,), (0,))
     y_hi = y.astype(jnp.bfloat16)
     y_lo = (y - y_hi.astype(f32)).astype(jnp.bfloat16)
-    return (
-        dot(bh_ref[0], y_hi, dims_c)
-        + dot(bh_ref[0], y_lo, dims_c)
-        + dot(bh_ref[1], y_hi, dims_c)
-    )
+    outs = []
+    for m in range(th // ch):
+        sl = slice(m * ch, m * ch + ch + 2 * rh)
+        outs.append(
+            dot(bh_ref[0], y_hi[sl], dims_c)
+            + dot(bh_ref[0], y_lo[sl], dims_c)
+            + dot(bh_ref[1], y_hi[sl], dims_c)
+        )
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
 def dma_form_applicable(dtype, plan: BlurPlan, precision: str = "int8") -> bool:
@@ -218,25 +264,64 @@ def dma_form_applicable(dtype, plan: BlurPlan, precision: str = "int8") -> bool:
     return vmem <= _hw().wide_vmem_budget
 
 
+def _pick_chunks_dma(
+    th: int, tw: int, rh: int, rw: int
+) -> tuple[int, int]:
+    """Band-matmul chunk sizes (cw lanes, ch sublanes) for one tile.
+
+    MACs per output pixel fall from the dense ``t + 2r`` to ``c + 2r``,
+    so smaller chunks cut compute. Rows chunking is shape-safe at any
+    radius (the dot keeps its tall M = sh; only N shrinks, and 128 is
+    exactly one MXU tile), so ``cw = 128`` whenever it divides. Cols
+    chunking shrinks the output M dim; measured at 4K r=32 the sweep gave
+    ch=24 as the sweet spot (2.97 -> 1.76-2.08 ms across tiles, vs 2.38
+    at ch=72 and 2.73 at ch=8); wider radii keep a taller ch=72 floor
+    until measured (the MAC saving shrinks toward 1.4x while the small-M
+    pipeline bubbles stay). Chunks must divide the tile exactly; with no
+    qualifying divisor the dense single-dot form is kept.
+    """
+
+    def pick(t: int, floor: int, align: int) -> int:
+        cands = [
+            c for c in range(floor, t, align)
+            if t % c == 0 and c % align == 0
+        ]
+        return min(cands) if cands else t
+
+    if rh > 64 or rw > 64:
+        # beyond the measured regime: keep the dense single-dot form until
+        # the chunk sweep runs at wide radii (the MAC saving shrinks toward
+        # 1.4x there while the small-M pipeline bubbles stay)
+        return tw, th
+    return pick(tw, 128, 128), pick(th, 24, 8)
+
+
 def _pick_tile_dma(plan: BlurPlan) -> tuple[int, int]:
     """Tile for the DMA form (no halo-block constraint on th).
 
-    Measured sweeps at 4K batch 4 (min-of-reps): r=33 best (216, 384)
-    11.7 GP/s (vs 11.5 at 240-tall, 9.5 at (432, 512), 7.8 at (720, 512));
-    r=165 best (432, 384) 5.9; r=332 best (432, 256) 3.9; r=515 best
-    (432, 384) 2.6 — the row tile tracks ~2.6*rh up to a 432 cap, the
-    lane tile prefers 384 until the window contraction is already long
-    (rw >= 300), where 256 wins. The row tile is then refined by a local
-    cost search (halo-traffic ratio x grid-padding waste) in a +-56 band
-    around that target: an early exact-divisor-of-H preference picked
-    pathologically short tiles at awkward heights (H=23000 -> th=200,
-    a 6x instead of 3.3x input-traffic ratio at r~500 — the 1.2-1.4x
-    giant-frame sweep regressions), while at the measured anchors the
-    search reproduces the swept winners. Ties within 5% prefer tiles
-    dividing H exactly, then proximity to the target."""
+    Dense-dot sweeps at 4K batch 4 put the row tile at ~2.6*rh capped
+    432 (r=33 best (216, 384) 11.7 GP/s). With the chunked band matmuls
+    (r <= 64, see ``_pick_chunks_dma``) the per-pixel compute no longer
+    grows with the tile, so the halo-traffic ratio dominates and TALLER
+    tiles win: re-swept at r=32, (720, 384) 1.76 ms vs (216, 384) 2.07
+    and (1080, 384) 1.85 — the chunked regime targets 720. The row tile is
+    then refined by a local cost search (halo-traffic ratio x grid-padding
+    waste) in a +-56 band around that target: an early exact-divisor-of-H
+    preference picked pathologically short tiles at awkward heights
+    (H=23000 -> th=200, a 6x instead of 3.3x input-traffic ratio at r~500
+    — the 1.2-1.4x giant-frame sweep regressions). Ties within 5% prefer
+    tiles dividing H exactly, then proximity to the target. The lane tile
+    prefers 384 until the window contraction is already long (rw >= 300),
+    where 256 wins."""
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
-    target = min(max(216, int(2.6 * rh)), 432)
+    if rh <= 64 and rw <= 64:
+        # chunked-dot regime: compute no longer grows with the tile, so
+        # the halo-traffic ratio dominates — go tall (capped by the frame)
+        target = min(720, -(-h // 8) * 8)
+    else:
+        # dense-dot regime (unchanged until the wide-radius chunk sweep)
+        target = min(max(216, int(2.6 * rh)), 432)
 
     def rows_tile() -> int:
         if h <= 224:
@@ -251,8 +336,11 @@ def _pick_tile_dma(plan: BlurPlan) -> tuple[int, int]:
         cands = list(range(lo, target + 57, 8))
         cmin = min(cost(t) for t in cands)
         near = [t for t in cands if cost(t) <= cmin * 1.05]
+        # prefer H-divisible, then chunkable (a 24-divisible tile lets the
+        # cols band matmul run in small chunks), then closest to target
         return min(
-            near, key=lambda t: (h % t != 0, abs(t - target), t)
+            near,
+            key=lambda t: (h % t != 0, t % 24 != 0, abs(t - target), t),
         )
 
     th = rows_tile()
@@ -263,7 +351,7 @@ def _pick_tile_dma(plan: BlurPlan) -> tuple[int, int]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("plan", "precision", "out_u8", "tile")
+    jax.jit, static_argnames=("plan", "precision", "out_u8", "tile", "chunks")
 )
 def _blur_fused_dma_impl(
     planar: jnp.ndarray,
@@ -271,10 +359,12 @@ def _blur_fused_dma_impl(
     precision: str,
     out_u8: bool,
     tile: tuple[int, int] | None = None,
+    chunks: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
     th, tw = tile or _pick_tile_dma(plan)
+    cw, ch = chunks or _pick_chunks_dma(th, tw, rh, rw)
     sh, sw = th + 2 * rh, tw + 2 * rw
     shp = -(-sh // 8) * 8  # DMA sublane alignment
     swp = -(-sw // 128) * 128  # DMA lane alignment
@@ -295,8 +385,8 @@ def _blur_fused_dma_impl(
         x, [(0, 0), (0, hp - x.shape[-2]), (0, wp - x.shape[-1])]
     )
 
-    bw_np = band_block_matrix(plan.row.taps, tw)  # (sw, tw)
-    bh_np = band_block_matrix(plan.col.taps, th)  # (sh, th)
+    bw_np = band_block_matrix(plan.row.taps, cw)  # (cw + 2rw, cw)
+    bh_np = band_block_matrix(plan.col.taps, ch)  # (ch + 2rh, ch)
     rows_shift = 7
     cols_scale = 1
     if precision == "int8":
@@ -325,6 +415,7 @@ def _blur_fused_dma_impl(
     out = pl.pallas_call(
         functools.partial(
             _kernel, sh=sh, shp=shp, sw=sw, swp=swp, th=th, tw=tw, nbw=nbw,
+            cw=cw, ch=ch,
             precision=precision, rows_shift=rows_shift,
             cols_scale=cols_scale, out_u8=out_u8,
         ),
