@@ -1,0 +1,160 @@
+"""DMA fused-form (tile x chunk) sweep: calibrate ``_pick_chunks_dma``.
+
+The exact-window DMA kernel (``pallas_kernels/fused_dma.py``) runs its band
+matmuls in translation-invariant chunks so MACs per output pixel track the
+kernel radius (``c + 2r``) instead of the tile size (``t + 2r``). The r<=64
+regime was swept by hand (4K batch-4 r=32: dense 2.97 ms -> 1.76 ms at
+tile (720, 384), chunks cw=128 / ch=24). This script makes that sweep
+rerunnable and extends it to wide radii, where the MAC saving shrinks and
+small-M pipeline bubbles may dominate — the data decides whether
+``_pick_chunks_dma`` keeps its dense fallback above r=64.
+
+Every timed variant is first checked BIT-IDENTICAL to the dense form on the
+full frame (the chunked int8 path skips only exact-zero terms); any mismatch
+is reported and the variant dropped. Candidates whose VMEM estimate exceeds
+the device budget are skipped host-side — repeated RESOURCE_EXHAUSTED
+programs can wedge the axon tunnel (see .claude/skills/verify/SKILL.md).
+
+Usage: python benchmarks/dma_chunk_sweep.py [--sigmas 14 42 71 143 222]
+           [--hw 2160 3840] [--batch 4] [--out benchmarks/dma_chunk_sweep.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def vmem_estimate(h, w, th, tw, cw, ch, rh, rw) -> int:
+    """Mirror of dma_form_applicable's estimate with chunked band matrices."""
+    sh, sw = th + 2 * rh, tw + 2 * rw
+    shp, swp = -(-sh // 8) * 8, -(-sw // 128) * 128
+    nbw = -(-w // tw)
+    return (
+        2 * shp * swp  # double-buffered u8 windows
+        + (cw + 2 * rw) * cw * 2  # rows band hi/lo (int8 stack)
+        + (ch + 2 * rh) * ch * 2  # cols band hi/lo
+        + sh * tw * 4  # rows-pass intermediate
+        + th * tw * 4  # per-window f32 tile
+        + th * nbw * tw  # out BlockSpec: whole u8 row strip
+    )
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--hw", nargs=2, type=int, default=[2160, 3840])
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--sigmas", nargs="+", type=float,
+                   default=[10.0, 29.0, 50.0, 100.0, 155.0])
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--out", default="benchmarks/dma_chunk_sweep.json")
+    p.add_argument("--tiles", nargs="*", type=int, default=None,
+                   help="explicit th candidates (default: radius-dependent)")
+    p.add_argument("--plan-only", action="store_true",
+                   help="print the variant grid without touching the device")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from blur_algorithms_tpu.ops.plan import make_plan
+    from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+        _blur_fused_dma_impl,
+        _pick_tile_dma,
+    )
+    from blur_algorithms_tpu.utils.hw import budgets
+    from blur_algorithms_tpu.utils.timing import time_fn_chained
+
+    h, w = args.hw
+    mp = args.batch * h * w / 1e6
+    budget = budgets().wide_vmem_budget
+    x = None
+    if not args.plan_only:
+        x = jax.jit(
+            lambda k: jax.random.randint(
+                k, (args.batch, 3, h, w), 0, 256, dtype=jnp.int32
+            ).astype(jnp.uint8)
+        )(jax.random.PRNGKey(0))
+
+    results = []
+    for sigma in args.sigmas:
+        plan = make_plan((h, w), sigma)
+        rh, rw = plan.col.support_radius, plan.row.support_radius
+        th0, tw0 = _pick_tile_dma(plan)
+        row = {"sigma": sigma, "radius": rh, "policy_tile": [th0, tw0]}
+        print(f"== sigma {sigma} radius {rh} policy tile ({th0}, {tw0})",
+              flush=True)
+
+        # dense baseline at the dense-regime tile policy
+        dense_tile = (min(max(216, int(2.6 * rh)), 432), 384 if rw < 300
+                      else 256)
+
+        # compiles are ~10-30 s each over the tunnel: keep the grid tight
+        # (ch=8 lost everywhere in the r=32 hand sweep; 216-tall only
+        # matters as the dense policy's own tile)
+        ths = args.tiles or sorted({dense_tile[0], 432, 720})
+        chs = (8, 24, 72) if rh <= 64 else (24, 72)
+        variants = [("dense", dense_tile, (dense_tile[1], dense_tile[0]))]
+        for th, tw, ch in itertools.product(ths, (256, 384), chs):
+            if th % ch or tw % 128:
+                continue
+            cw = 128
+            if vmem_estimate(h, w, th, tw, cw, ch, rh, rw) > budget:
+                continue
+            variants.append((f"t{th}x{tw}_c{cw}x{ch}", (th, tw), (cw, ch)))
+
+        if args.plan_only:
+            row["variants"] = [v[0] for v in variants]
+            print("  " + " ".join(row["variants"]), flush=True)
+            results.append(row)
+            continue
+
+        dense = _blur_fused_dma_impl(
+            x, plan, "int8", True, dense_tile, (dense_tile[1], dense_tile[0])
+        )
+
+        @jax.jit
+        def maxdiff(a, b):  # scalar fetch: full frames cost ~50 s RTT
+            return jnp.max(jnp.abs(
+                a.astype(jnp.int32) - b.astype(jnp.int32)
+            ))
+
+        for name, tile, chunks in variants:
+            try:
+                got = _blur_fused_dma_impl(
+                    x, plan, "int8", True, tile, chunks
+                )
+                d = int(maxdiff(got, dense))
+                if d:
+                    row[name] = f"MISMATCH max {d}"
+                    print(f"  {name}: MISMATCH max {d}", flush=True)
+                    continue
+                res = time_fn_chained(
+                    lambda tile=tile, chunks=chunks: (
+                        lambda v: _blur_fused_dma_impl(
+                            v, plan, "int8", True, tile, chunks
+                        )
+                    ),
+                    x, iters=args.iters, reps=2, name=name, megapixels=mp,
+                )
+                row[name] = round(res.median_ms, 2)
+                print(f"  {name}: {res.median_ms:.2f} ms "
+                      f"({res.mpix_per_s:.0f} MP/s)", flush=True)
+            except Exception as exc:
+                row[name] = f"ERR {type(exc).__name__}"
+                print(f"  {name}: ERR {exc}", flush=True)
+        results.append(row)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
