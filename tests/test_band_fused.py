@@ -556,3 +556,55 @@ class TestDmaForm:
         )
         assert not dma_form_applicable(jnp.uint8, plan, "int8")
         assert not dma_form_applicable(jnp.uint8, plan, "bf16x3")  # CPU
+
+    def test_chunk_policy_small_radius(self):
+        """r<=64: chunks divide the tile on MXU-friendly boundaries; the
+        4K sigma=10 anchor reproduces the measured winner (720, 384) /
+        (128, 24)."""
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _pick_chunks_dma,
+            _pick_tile_dma,
+        )
+
+        plan = make_plan((2160, 3840), 10.0)
+        rh, rw = plan.col.support_radius, plan.row.support_radius
+        assert rh <= 64 and rw <= 64
+        th, tw = _pick_tile_dma(plan)
+        assert (th, tw) == (720, 384)
+        cw, ch = _pick_chunks_dma(th, tw, rh, rw)
+        assert (cw, ch) == (128, 24)
+        assert tw % cw == 0 and th % ch == 0
+
+    def test_chunk_policy_dense_fallbacks(self):
+        """Wide radii and undividable tiles keep the dense single-dot
+        form (chunks == full tile)."""
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _pick_chunks_dma,
+        )
+
+        # beyond the measured regime: dense
+        assert _pick_chunks_dma(432, 384, 165, 165) == (384, 432)
+        # th=56 has no divisor that is >=24 and 8-aligned: cols stay dense
+        cw, ch = _pick_chunks_dma(56, 384, 20, 20)
+        assert ch == 56 and cw == 128
+        # tw=128 is already one MXU tile: rows stay dense
+        cw, ch = _pick_chunks_dma(720, 128, 20, 20)
+        assert cw == 128 and 720 % ch == 0
+
+    def test_chunk_geometry_any_plan(self):
+        """Chunk invariants over a sigma/shape grid: exact division and
+        alignment whenever chunking engages."""
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _pick_chunks_dma,
+            _pick_tile_dma,
+        )
+
+        for h, w in [(2160, 3840), (1000, 1500), (720, 1280), (97, 131)]:
+            for sigma in (2.0, 5.0, 10.0, 19.0):
+                plan = make_plan((h, w), sigma)
+                rh, rw = plan.col.support_radius, plan.row.support_radius
+                th, tw = _pick_tile_dma(plan)
+                cw, ch = _pick_chunks_dma(th, tw, rh, rw)
+                assert tw % cw == 0 and th % ch == 0
+                assert cw % 128 == 0
+                assert ch % 8 == 0 or ch == th
