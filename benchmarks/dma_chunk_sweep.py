@@ -30,21 +30,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def vmem_estimate(h, w, th, tw, cw, ch, rh, rw) -> int:
-    """Mirror of dma_form_applicable's estimate with chunked band matrices."""
-    sh, sw = th + 2 * rh, tw + 2 * rw
-    shp, swp = -(-sh // 8) * 8, -(-sw // 128) * 128
-    nbw = -(-w // tw)
-    return (
-        2 * shp * swp  # double-buffered u8 windows
-        + (cw + 2 * rw) * cw * 2  # rows band hi/lo (int8 stack)
-        + (ch + 2 * rh) * ch * 2  # cols band hi/lo
-        + sh * tw * 4  # rows-pass intermediate
-        + th * tw * 4  # per-window f32 tile
-        + th * nbw * tw  # out BlockSpec: whole u8 row strip
-    )
-
-
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--hw", nargs=2, type=int, default=[2160, 3840])
@@ -65,6 +50,7 @@ def main() -> int:
     from blur_algorithms_tpu.ops.plan import make_plan
     from blur_algorithms_tpu.pallas_kernels.fused_dma import (
         _blur_fused_dma_impl,
+        _dma_vmem_bytes,
         _pick_tile_dma,
     )
     from blur_algorithms_tpu.utils.hw import budgets
@@ -95,16 +81,15 @@ def main() -> int:
                       else 256)
 
         # compiles are ~10-30 s each over the tunnel: keep the grid tight
-        # (ch=8 lost everywhere in the r=32 hand sweep; 216-tall only
-        # matters as the dense policy's own tile)
+        # (ch=8 lost everywhere in the r=32 hand sweep, so it is excluded;
+        # 216-tall only matters as the dense policy's own tile)
         ths = args.tiles or sorted({dense_tile[0], 432, 720})
-        chs = (8, 24, 72) if rh <= 64 else (24, 72)
         variants = [("dense", dense_tile, (dense_tile[1], dense_tile[0]))]
-        for th, tw, ch in itertools.product(ths, (256, 384), chs):
+        for th, tw, ch in itertools.product(ths, (256, 384), (24, 72)):
             if th % ch or tw % 128:
                 continue
             cw = 128
-            if vmem_estimate(h, w, th, tw, cw, ch, rh, rw) > budget:
+            if _dma_vmem_bytes(h, w, th, tw, rh, rw, 1, 2, cw, ch) > budget:
                 continue
             variants.append((f"t{th}x{tw}_c{cw}x{ch}", (th, tw), (cw, ch)))
 

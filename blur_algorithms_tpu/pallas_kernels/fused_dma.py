@@ -242,30 +242,42 @@ def dma_form_applicable(dtype, plan: BlurPlan, precision: str = "int8") -> bool:
         # machinery (tall-tile cost model, the int16-E split) keeps the
         # regime it was calibrated for.
         return False
-    th, tw = _pick_tile_dma(plan)
-    sh, sw = th + 2 * rh, tw + 2 * rw
-    shp, swp = -(-sh // 8) * 8, -(-sw // 128) * 128  # DMA-aligned fetch
-    nbw = -(-plan.shape[1] // tw)
     in_b = 1 if is_u8 else 4
     mat_b = 2 if precision == "int8" else 4
-    # VMEM: double-buffered aligned windows + band hi/lo stacks + the
-    # rows-pass intermediate + per-window f32 tile + the out BlockSpec,
-    # which holds the WHOLE row strip (1, th, nbw*tw) — at u8 width for
-    # the u8 route, f32 for float frames (where wide frames can exceed
-    # the budget and must fall back to the blocked kernel)
-    vmem = (
+    h, w = plan.shape
+    th, tw = _pick_tile_dma(plan, in_b, precision)
+    cw, ch = _pick_chunks_dma(th, tw, rh, rw, precision)
+    vmem = _dma_vmem_bytes(h, w, th, tw, rh, rw, in_b, mat_b, cw, ch)
+    return vmem <= _hw().wide_vmem_budget
+
+
+def _dma_vmem_bytes(
+    h: int, w: int, th: int, tw: int, rh: int, rw: int,
+    in_b: int, mat_b: int, cw: int, ch: int,
+) -> int:
+    """VMEM bytes for one grid step of the DMA kernel at this geometry.
+
+    Double-buffered aligned input windows + the (chunk-sized) band hi/lo
+    stacks + the rows-pass intermediate + the per-window f32 tile + the
+    out BlockSpec, which holds the WHOLE row strip (1, th, nbw*tw) — at
+    u8 width for the u8 route, f32 for float frames (where wide frames
+    can exceed the budget and must fall back to the blocked kernel).
+    """
+    sh, sw = th + 2 * rh, tw + 2 * rw
+    shp, swp = -(-sh // 8) * 8, -(-sw // 128) * 128  # DMA-aligned fetch
+    nbw = -(-w // tw)
+    return (
         2 * shp * swp * in_b
-        + sw * tw * mat_b
-        + sh * th * mat_b
+        + (cw + 2 * rw) * cw * mat_b
+        + (ch + 2 * rh) * ch * mat_b
         + sh * tw * 4
         + th * tw * 4
         + th * nbw * tw * in_b
     )
-    return vmem <= _hw().wide_vmem_budget
 
 
 def _pick_chunks_dma(
-    th: int, tw: int, rh: int, rw: int
+    th: int, tw: int, rh: int, rw: int, precision: str = "int8"
 ) -> tuple[int, int]:
     """Band-matmul chunk sizes (cw lanes, ch sublanes) for one tile.
 
@@ -275,11 +287,21 @@ def _pick_chunks_dma(
     exactly one MXU tile), so ``cw = 128`` whenever it divides. Cols
     chunking shrinks the output M dim; measured at 4K r=32 the sweep gave
     ch=24 as the sweet spot (2.97 -> 1.76-2.08 ms across tiles, vs 2.38
-    at ch=72 and 2.73 at ch=8); wider radii keep a taller ch=72 floor
-    until measured (the MAC saving shrinks toward 1.4x while the small-M
-    pipeline bubbles stay). Chunks must divide the tile exactly; with no
-    qualifying divisor the dense single-dot form is kept.
+    at ch=72 and 2.73 at ch=8). Chunks must divide the tile exactly;
+    with no qualifying divisor the dense single-dot form is kept.
+
+    Only the int8 path chunks: its skipped terms are exact int32 zeros,
+    so the result is BIT-IDENTICAL and the TPU sweep certified it. The
+    bf16x3 path keeps the dense dot — chunking regroups its f32 partial
+    sums (the nonzero terms land in different 128-deep MXU accumulation
+    blocks), which can move rounding either way, and no device run has
+    certified that yet (``benchmarks/dma_chunk_sweep.py`` is the tool).
+    Radii beyond the measured r<=64 regime also stay dense until the
+    wide-radius sweep runs (the MAC saving shrinks toward 1.4x there
+    while the small-M pipeline bubbles stay).
     """
+    if precision != "int8" or rh > 64 or rw > 64:
+        return tw, th
 
     def pick(t: int, floor: int, align: int) -> int:
         cands = [
@@ -288,15 +310,12 @@ def _pick_chunks_dma(
         ]
         return min(cands) if cands else t
 
-    if rh > 64 or rw > 64:
-        # beyond the measured regime: keep the dense single-dot form until
-        # the chunk sweep runs at wide radii (the MAC saving shrinks toward
-        # 1.4x there while the small-M pipeline bubbles stay)
-        return tw, th
     return pick(tw, 128, 128), pick(th, 24, 8)
 
 
-def _pick_tile_dma(plan: BlurPlan) -> tuple[int, int]:
+def _pick_tile_dma(
+    plan: BlurPlan, in_b: int = 1, precision: str = "int8"
+) -> tuple[int, int]:
     """Tile for the DMA form (no halo-block constraint on th).
 
     Dense-dot sweeps at 4K batch 4 put the row tile at ~2.6*rh capped
@@ -312,18 +331,24 @@ def _pick_tile_dma(plan: BlurPlan) -> tuple[int, int]:
     — the 1.2-1.4x giant-frame sweep regressions). Ties within 5% prefer
     tiles dividing H exactly, then proximity to the target. The lane tile
     prefers 384 until the window contraction is already long (rw >= 300),
-    where 256 wins."""
+    where 256 wins. Taller tiles grow the out-strip VMEM term
+    (``th * nbw * tw * in_b``) — on very wide or float frames where the
+    720 target would blow the budget the old dense-regime target had
+    cleared, the picker falls back to that shorter target so the DMA
+    form keeps its pre-chunk envelope."""
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
-    if rh <= 64 and rw <= 64:
+    chunked = precision == "int8" and rh <= 64 and rw <= 64
+    dense_target = min(max(216, int(2.6 * rh)), 432)
+    if chunked:
         # chunked-dot regime: compute no longer grows with the tile, so
         # the halo-traffic ratio dominates — go tall (capped by the frame)
-        target = min(720, -(-h // 8) * 8)
+        targets = [min(720, -(-h // 8) * 8), dense_target]
     else:
         # dense-dot regime (unchanged until the wide-radius chunk sweep)
-        target = min(max(216, int(2.6 * rh)), 432)
+        targets = [dense_target]
 
-    def rows_tile() -> int:
+    def rows_tile(target: int) -> int:
         if h <= 224:
             return max(8, -(-h // 8) * 8)
 
@@ -336,18 +361,31 @@ def _pick_tile_dma(plan: BlurPlan) -> tuple[int, int]:
         cands = list(range(lo, target + 57, 8))
         cmin = min(cost(t) for t in cands)
         near = [t for t in cands if cost(t) <= cmin * 1.05]
-        # prefer H-divisible, then chunkable (a 24-divisible tile lets the
-        # cols band matmul run in small chunks), then closest to target
+        # prefer H-divisible, then (chunked regime only) 24-divisible —
+        # letting the cols band matmul run in small chunks — then
+        # closest to target
         return min(
             near,
-            key=lambda t: (h % t != 0, t % 24 != 0, abs(t - target), t),
+            key=lambda t: (
+                h % t != 0, chunked and t % 24 != 0, abs(t - target), t
+            ),
         )
 
-    th = rows_tile()
+    mat_b = 2 if precision == "int8" else 4
     tw = 384 if rw < 300 else 256
     if w < tw:
         tw = max(128, -(-w // 128) * 128)
-    return th, tw
+    choice = None
+    for target in targets:
+        th = rows_tile(target)
+        choice = (th, tw)
+        cw, ch = _pick_chunks_dma(th, tw, rh, rw, precision)
+        fits = _dma_vmem_bytes(
+            h, w, th, tw, rh, rw, in_b, mat_b, cw, ch
+        ) <= _hw().wide_vmem_budget
+        if fits:
+            return choice
+    return choice  # over budget at every target: applicability rejects
 
 
 @functools.partial(
@@ -363,8 +401,9 @@ def _blur_fused_dma_impl(
 ) -> jnp.ndarray:
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
-    th, tw = tile or _pick_tile_dma(plan)
-    cw, ch = chunks or _pick_chunks_dma(th, tw, rh, rw)
+    in_b = 1 if planar.dtype == jnp.uint8 else 4
+    th, tw = tile or _pick_tile_dma(plan, in_b, precision)
+    cw, ch = chunks or _pick_chunks_dma(th, tw, rh, rw, precision)
     sh, sw = th + 2 * rh, tw + 2 * rw
     shp = -(-sh // 8) * 8  # DMA sublane alignment
     swp = -(-sw // 128) * 128  # DMA lane alignment

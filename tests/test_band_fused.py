@@ -591,6 +591,40 @@ class TestDmaForm:
         cw, ch = _pick_chunks_dma(720, 128, 20, 20)
         assert cw == 128 and 720 % ch == 0
 
+    def test_bf16x3_stays_dense(self):
+        """Chunking is int8-only until a device run certifies the bf16x3
+        partial-sum regrouping (see _pick_chunks_dma docstring)."""
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _pick_chunks_dma,
+        )
+
+        assert _pick_chunks_dma(720, 384, 32, 32, "bf16x3") == (384, 720)
+        assert _pick_chunks_dma(720, 384, 32, 32, "int8") == (128, 24)
+
+    def test_tile_vmem_fallback_wide_float_frame(self):
+        """On a float frame wide enough that the 720-tall chunked target
+        blows the VMEM budget (the out BlockSpec holds a whole f32 row
+        strip), the picker falls back to the dense-regime target so the
+        DMA form keeps its pre-chunk envelope."""
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _dma_vmem_bytes,
+            _hw,
+            _pick_chunks_dma,
+            _pick_tile_dma,
+        )
+
+        plan = make_plan((2160, 40000), 10.0)
+        rh, rw = plan.col.support_radius, plan.row.support_radius
+        th_u8, _ = _pick_tile_dma(plan, in_b=1)
+        assert th_u8 == 720  # u8 strips fit: tall chunked target holds
+        th_f32, tw = _pick_tile_dma(plan, in_b=4)
+        assert th_f32 < 720  # f32 strips do not: dense-regime fallback
+        cw, ch = _pick_chunks_dma(th_f32, tw, rh, rw)
+        vmem = _dma_vmem_bytes(
+            2160, 40000, th_f32, tw, rh, rw, 4, 2, cw, ch
+        )
+        assert vmem <= _hw().wide_vmem_budget
+
     def test_chunk_geometry_any_plan(self):
         """Chunk invariants over a sigma/shape grid: exact division and
         alignment whenever chunking engages."""
