@@ -27,7 +27,11 @@ Two precisions, same numerics as the blocked forms:
 * ``bf16x3`` — hi/lo bfloat16 split dots (lo*lo dropped) for float inputs
   and signed/asymmetric custom taps; uint8 or float32 in, either out.
 
-TPU-only (no interpreter path — the blocked form is the portable fallback).
+Production-routed on TPU only (``dma_form_applicable`` rejects other
+backends; the blocked form is the portable fallback). Off TPU the
+pallas_call lowers through the Pallas interpreter — slow, but it lets the
+CPU suite exercise the kernel body (double-buffered DMA loop, chunked band
+matmuls, digit pipeline) without a chip.
 """
 
 from __future__ import annotations
@@ -463,7 +467,7 @@ def _blur_fused_dma_impl(
         ),
         grid=(bc, nbh),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             mat(bw.shape),
             mat(bh.shape),
         ],
@@ -478,6 +482,7 @@ def _blur_fused_dma_impl(
             pltpu.VMEM((2, shp, swp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        interpret=jax.default_backend() != "tpu",
     )(x, bw, bh)
 
     return out[:, :h, :w].reshape(lead + (h, w))
