@@ -9,14 +9,19 @@ rerunnable and extends it to wide radii, where the MAC saving shrinks and
 small-M pipeline bubbles may dominate — the data decides whether
 ``_pick_chunks_dma`` keeps its dense fallback above r=64.
 
-Every timed variant is first checked BIT-IDENTICAL to the dense form on the
-full frame (the chunked int8 path skips only exact-zero terms); any mismatch
-is reported and the variant dropped. Candidates whose VMEM estimate exceeds
-the device budget are skipped host-side — repeated RESOURCE_EXHAUSTED
-programs can wedge the axon tunnel (see .claude/skills/verify/SKILL.md).
+Every timed int8 variant is first checked BIT-IDENTICAL to the dense form
+on the full frame (the chunked int8 path skips only exact-zero terms); any
+mismatch is reported and the variant dropped. ``--precision bf16x3`` sweeps
+the float-dot route instead: there chunking regroups f32 partial sums, so
+the gate is max <= 1 uint8 count vs the dense form (the device data this
+produces is what would let ``_pick_chunks_dma`` enable bf16x3 chunking).
+Candidates whose VMEM estimate exceeds the device budget are skipped
+host-side — repeated RESOURCE_EXHAUSTED programs can wedge the axon tunnel
+(see .claude/skills/verify/SKILL.md).
 
 Usage: python benchmarks/dma_chunk_sweep.py [--sigmas 14 42 71 143 222]
-           [--hw 2160 3840] [--batch 4] [--out benchmarks/dma_chunk_sweep.json]
+           [--hw 2160 3840] [--batch 4] [--precision int8|bf16x3]
+           [--out benchmarks/dma_chunk_sweep.json]
 """
 
 from __future__ import annotations
@@ -40,6 +45,7 @@ def main() -> int:
     p.add_argument("--out", default="benchmarks/dma_chunk_sweep.json")
     p.add_argument("--tiles", nargs="*", type=int, default=None,
                    help="explicit th candidates (default: radius-dependent)")
+    p.add_argument("--precision", choices=("int8", "bf16x3"), default="int8")
     p.add_argument("--plan-only", action="store_true",
                    help="print the variant grid without touching the device")
     args = p.parse_args()
@@ -67,18 +73,21 @@ def main() -> int:
             ).astype(jnp.uint8)
         )(jax.random.PRNGKey(0))
 
+    prec = args.precision
+    mat_b = 2 if prec == "int8" else 4
     results = []
     for sigma in args.sigmas:
         plan = make_plan((h, w), sigma)
         rh, rw = plan.col.support_radius, plan.row.support_radius
-        th0, tw0 = _pick_tile_dma(plan)
-        row = {"sigma": sigma, "radius": rh, "policy_tile": [th0, tw0]}
+        th0, tw0 = _pick_tile_dma(plan, 1, prec)
+        row = {"sigma": sigma, "radius": rh, "precision": prec,
+               "policy_tile": [th0, tw0]}
         print(f"== sigma {sigma} radius {rh} policy tile ({th0}, {tw0})",
               flush=True)
 
-        # dense baseline at the dense-regime tile policy
-        dense_tile = (min(max(216, int(2.6 * rh)), 432), 384 if rw < 300
-                      else 256)
+        # dense baseline: the REAL dense-regime tile policy (incl. the
+        # row-tile cost search), not a reimplementation of its target
+        dense_tile = _pick_tile_dma(plan, 1, prec, chunked=False)
 
         # compiles are ~10-30 s each over the tunnel: keep the grid tight
         # (ch=8 lost everywhere in the r=32 hand sweep, so it is excluded;
@@ -89,7 +98,7 @@ def main() -> int:
             if th % ch or tw % 128:
                 continue
             cw = 128
-            if _dma_vmem_bytes(h, w, th, tw, rh, rw, 1, 2, cw, ch) > budget:
+            if _dma_vmem_bytes(h, w, th, tw, rh, rw, 1, mat_b, cw, ch) > budget:
                 continue
             variants.append((f"t{th}x{tw}_c{cw}x{ch}", (th, tw), (cw, ch)))
 
@@ -100,7 +109,7 @@ def main() -> int:
             continue
 
         dense = _blur_fused_dma_impl(
-            x, plan, "int8", True, dense_tile, (dense_tile[1], dense_tile[0])
+            x, plan, prec, True, dense_tile, (dense_tile[1], dense_tile[0])
         )
 
         @jax.jit
@@ -109,20 +118,23 @@ def main() -> int:
                 a.astype(jnp.int32) - b.astype(jnp.int32)
             ))
 
+        # int8 chunking skips exact int32 zeros: bit-identity required.
+        # bf16x3 chunking regroups f32 partial sums: <= 1 count allowed.
+        tol = 0 if prec == "int8" else 1
         for name, tile, chunks in variants:
             try:
                 got = _blur_fused_dma_impl(
-                    x, plan, "int8", True, tile, chunks
+                    x, plan, prec, True, tile, chunks
                 )
                 d = int(maxdiff(got, dense))
-                if d:
+                if d > tol:
                     row[name] = f"MISMATCH max {d}"
                     print(f"  {name}: MISMATCH max {d}", flush=True)
                     continue
                 res = time_fn_chained(
                     lambda tile=tile, chunks=chunks: (
                         lambda v: _blur_fused_dma_impl(
-                            v, plan, "int8", True, tile, chunks
+                            v, plan, prec, True, tile, chunks
                         )
                     ),
                     x, iters=args.iters, reps=2, name=name, megapixels=mp,
@@ -135,6 +147,8 @@ def main() -> int:
                 print(f"  {name}: ERR {exc}", flush=True)
         results.append(row)
 
+    if args.plan_only:
+        return 0  # never clobber the device artifact with a host-side plan
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {args.out}")

@@ -31,7 +31,7 @@ import numpy as np
 
 from blur_algorithms_tpu.ops import kernels
 from blur_algorithms_tpu.ops.fft_conv import _mirror_full, rfft2_pipeline
-from blur_algorithms_tpu.ops.plan import make_plan
+from blur_algorithms_tpu.ops.plan import clamped_axis_width, make_plan
 
 __all__ = ["blur_multi_sigma", "blur_multi_sigma_u8"]
 
@@ -44,15 +44,19 @@ def _sigma_tuple(sigmas) -> tuple[float, ...]:
 
 
 def _sigma_spectra(
-    sigmas: tuple[float, ...], shape: tuple[int, int], size_mode: str,
+    sigmas: tuple[float, ...], shape: tuple[int, int],
     fft_h: int, fft_w: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Stacked real spectra: cols ``(N, fft_h)`` full, rows ``(N, hw)`` half.
 
-    Taps come from each sigma's own plan (exact reference math including
-    the per-axis ``pad <= dim - 1`` width clamp + renormalization), wrapped
-    into the SHARED transform lengths of the widest kernel's geometry.
+    Taps follow each sigma's own plan exactly (reference width formula +
+    per-axis ``pad <= dim - 1`` clamp + renormalization — the same
+    ``clamped_axis_width``/``gaussian_kernel`` calls ``make_plan`` makes),
+    but are wrapped into the SHARED transform lengths of the widest
+    kernel's geometry, so no per-sigma plan (with its own throwaway FFT
+    lengths and spectra) is built.
     """
+    h, w = shape
     cols = np.empty((len(sigmas), fft_h), np.float32)
     rows = np.empty((len(sigmas), fft_w // 2 + 1), np.float32)
     for i, s in enumerate(sigmas):
@@ -60,11 +64,11 @@ def _sigma_spectra(
             cols[i] = 1.0  # identity: radius-0 kernel
             rows[i] = 1.0
             continue
-        p = make_plan(shape, s, size_mode=size_mode)
-        cols[i] = _mirror_full(
-            kernels.real_spectrum(p.col.taps, fft_h), fft_h
-        )
-        rows[i] = kernels.real_spectrum(p.row.taps, fft_w)
+        gw = kernels.gaussian_window(s, max(h, w))
+        col_taps = kernels.gaussian_kernel(s, clamped_axis_width(h, gw))
+        row_taps = kernels.gaussian_kernel(s, clamped_axis_width(w, gw))
+        cols[i] = _mirror_full(kernels.real_spectrum(col_taps, fft_h), fft_h)
+        rows[i] = kernels.real_spectrum(row_taps, fft_w)
     return cols, rows
 
 
@@ -77,7 +81,7 @@ def _compiled_multi(
     # geometry of the widest kernel serves every sigma exactly
     plan = make_plan((h, w), max(max(sigmas), 0.1), size_mode=size_mode)
     fft_h, fft_w = plan.fft_shape
-    cols, rows = _sigma_spectra(sigmas, (h, w), size_mode, fft_h, fft_w)
+    cols, rows = _sigma_spectra(sigmas, (h, w), fft_h, fft_w)
 
     def fn(planar):
         planar = planar.astype(jnp.float32)

@@ -27,7 +27,13 @@ import numpy as np
 
 from blur_algorithms_tpu.ops import kernels, sizes
 
-__all__ = ["AxisPlan", "BlurPlan", "make_plan", "make_custom_plan"]
+__all__ = [
+    "AxisPlan",
+    "BlurPlan",
+    "clamped_axis_width",
+    "make_plan",
+    "make_custom_plan",
+]
 
 KernelKind = Literal["gaussian", "box", "box_fast", "custom"]
 
@@ -80,6 +86,19 @@ class BlurPlan:
         return (self.col.fft_len, self.row.fft_len)
 
 
+def clamped_axis_width(dim: int, global_width: int) -> int:
+    """Kernel width clamped (odd) so the reflect pad fits: pad <= dim - 1.
+
+    The per-axis clamp of the module docstring, shared with callers that
+    need an axis's effective taps without building a full plan (e.g. the
+    multi-sigma sweep, which wraps each sigma's taps into SHARED transform
+    lengths instead of each plan's own)."""
+    width = min(global_width, 2 * (dim - 1) + 1) if dim > 1 else 1
+    if width % 2 == 0:
+        width -= 1
+    return max(width, 1)
+
+
 def _axis_plan(
     dim: int,
     global_width: int,
@@ -87,11 +106,7 @@ def _axis_plan(
     passes: int,
     size_mode: str,
 ) -> AxisPlan:
-    # Clamp the kernel so the reflect pad fits this axis: pad <= dim - 1.
-    width = min(global_width, 2 * (dim - 1) + 1) if dim > 1 else 1
-    if width % 2 == 0:
-        width -= 1
-    width = max(width, 1)
+    width = clamped_axis_width(dim, global_width)
     taps = taps_fn(width)
     pad = (int(taps.shape[0]) - 1) // 2 * passes if passes else (width - 1) // 2
     pad = min(pad, dim - 1) if dim > 1 else 0

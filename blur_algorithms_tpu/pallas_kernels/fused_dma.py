@@ -308,19 +308,24 @@ def _pick_chunks_dma(
         return tw, th
 
     def pick(t: int, floor: int, align: int) -> int:
-        cands = [
-            c for c in range(floor, t, align)
-            if t % c == 0 and c % align == 0
-        ]
+        # floor % align == 0 at both call sites, so every candidate from
+        # range(floor, t, align) is already align-divisible
+        cands = [c for c in range(floor, t, align) if t % c == 0]
         return min(cands) if cands else t
 
     return pick(tw, 128, 128), pick(th, 24, 8)
 
 
 def _pick_tile_dma(
-    plan: BlurPlan, in_b: int = 1, precision: str = "int8"
+    plan: BlurPlan, in_b: int = 1, precision: str = "int8",
+    chunked: bool | None = None,
 ) -> tuple[int, int]:
     """Tile for the DMA form (no halo-block constraint on th).
+
+    ``chunked=None`` infers the regime from (precision, radius);
+    ``chunked=False`` forces the dense-regime tile policy — the sweep
+    harness uses it to time the REAL dense baseline (incl. the row-tile
+    cost search) rather than a reimplementation of the target formula.
 
     Dense-dot sweeps at 4K batch 4 put the row tile at ~2.6*rh capped
     432 (r=33 best (216, 384) 11.7 GP/s). With the chunked band matmuls
@@ -342,7 +347,8 @@ def _pick_tile_dma(
     form keeps its pre-chunk envelope."""
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
-    chunked = precision == "int8" and rh <= 64 and rw <= 64
+    if chunked is None:
+        chunked = precision == "int8" and rh <= 64 and rw <= 64
     dense_target = min(max(216, int(2.6 * rh)), 432)
     if chunked:
         # chunked-dot regime: compute no longer grows with the tile, so

@@ -703,3 +703,31 @@ class TestDmaForm:
         )
         want = oracle.blur_direct(x, plan)
         np.testing.assert_allclose(out, want, atol=5e-2)
+
+    def test_bf16x3_multichunk_interpret(self, rng):
+        """TRUE multi-chunk bf16x3 (cw=128 < tw=256 AND ch=32 < th=64):
+        the chunk loops in ``_tile_bf16x3`` that ``_pick_chunks_dma``
+        keeps disabled in production until a device sweep certifies them
+        (``benchmarks/dma_chunk_sweep.py --precision bf16x3``). Chunking
+        regroups f32 partial sums, so the gate is the sweep's: <= 1 uint8
+        count vs the dense form, and <= 1 vs the oracle."""
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _blur_fused_dma_impl,
+        )
+
+        img = (rng.random((1, 64, 256)) * 255).astype(np.uint8)
+        plan = make_plan((64, 256), 2.5)
+        x = jnp.asarray(img)
+        chunked = np.asarray(
+            _blur_fused_dma_impl(
+                x, plan, "bf16x3", True, tile=(64, 256), chunks=(128, 32)
+            )
+        )
+        dense = np.asarray(
+            _blur_fused_dma_impl(
+                x, plan, "bf16x3", True, tile=(64, 256), chunks=(256, 64)
+            )
+        )
+        assert np.abs(chunked.astype(int) - dense.astype(int)).max() <= 1
+        want = oracle.blur_u8(img[0][..., None], 2.5)[..., 0]
+        assert np.abs(chunked[0].astype(int) - want.astype(int)).max() <= 1
