@@ -60,6 +60,14 @@ __all__ = [
     "dma_form_applicable",
 ]
 
+# Largest support radius at which the int8 band matmuls run chunked
+# (``_pick_chunks_dma``) and the tile targets go tall (``_pick_tile_dma``).
+# Calibrated by ``benchmarks/dma_chunk_sweep.py``; the r<=64 regime was
+# measured on v5e (4K batch-4 r=32: dense 2.97 ms -> 1.76 ms chunked).
+# Raise only with device data: past ~r=64 the MAC saving shrinks toward
+# 1.4x while the small-M pipeline bubbles stay.
+_CHUNK_MAX_RADIUS = 64
+
 
 def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
             sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
@@ -304,7 +312,7 @@ def _pick_chunks_dma(
     wide-radius sweep runs (the MAC saving shrinks toward 1.4x there
     while the small-M pipeline bubbles stay).
     """
-    if precision != "int8" or rh > 64 or rw > 64:
+    if precision != "int8" or max(rh, rw) > _CHUNK_MAX_RADIUS:
         return tw, th
 
     def pick(t: int, floor: int, align: int) -> int:
@@ -348,7 +356,8 @@ def _pick_tile_dma(
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
     if chunked is None:
-        chunked = precision == "int8" and rh <= 64 and rw <= 64
+        chunked = (precision == "int8"
+                   and max(rh, rw) <= _CHUNK_MAX_RADIUS)
     dense_target = min(max(216, int(2.6 * rh)), 432)
     if chunked:
         # chunked-dot regime: compute no longer grows with the tile, so
