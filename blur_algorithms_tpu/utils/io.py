@@ -11,12 +11,15 @@ import os
 
 import numpy as np
 
-__all__ = ["read_image", "write_image"]
+__all__ = ["read_image", "write_image", "decode_image", "encode_image"]
 
 
 def _read_ppm(path: str) -> np.ndarray:
     with open(path, "rb") as f:
-        data = f.read()
+        return _parse_ppm(f.read(), path)
+
+
+def _parse_ppm(data: bytes, path: str = "<bytes>") -> np.ndarray:
     fields: list[bytes] = []
     idx = 0
     while len(fields) < 4:
@@ -73,6 +76,74 @@ def read_image(path: str) -> np.ndarray:
     except ImportError as exc:
         raise RuntimeError(
             f"no codec for {path}; install PIL/cv2 or use .ppm/.npy"
+        ) from exc
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Decode in-memory image bytes (serving path; same codecs as files)."""
+    import io as _io
+
+    fmt = fmt.lstrip(".").lower()
+    if fmt == "npy":
+        img = np.load(_io.BytesIO(data))
+        if img.dtype != np.uint8:
+            raise ValueError(f".npy image must be uint8, got {img.dtype}")
+        return img
+    if fmt in ("ppm", "pnm"):
+        return _parse_ppm(data)
+    try:
+        from PIL import Image
+
+        with Image.open(_io.BytesIO(data)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except ImportError:
+        pass
+    try:
+        import cv2
+
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError(f"cv2 cannot decode {fmt} bytes")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except ImportError as exc:
+        raise RuntimeError(
+            f"no codec for {fmt}; install PIL/cv2 or use ppm/npy"
+        ) from exc
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    """Encode a uint8 HWC image to in-memory bytes (serving path)."""
+    import io as _io
+
+    img = np.asarray(img, dtype=np.uint8)
+    fmt = fmt.lstrip(".").lower()
+    if fmt == "npy":
+        buf = _io.BytesIO()
+        np.save(buf, img)
+        return buf.getvalue()
+    if fmt in ("ppm", "pnm"):
+        h, w = img.shape[:2]
+        return (f"P6\n{w} {h}\n255\n".encode()
+                + np.ascontiguousarray(img).tobytes())
+    try:
+        from PIL import Image
+
+        buf = _io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG" if fmt in ("jpg", "jpeg")
+                                  else fmt.upper())
+        return buf.getvalue()
+    except ImportError:
+        pass
+    try:
+        import cv2
+
+        ok, out = cv2.imencode(f".{fmt}", cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        if not ok:
+            raise IOError(f"cv2 failed to encode {fmt}")
+        return out.tobytes()
+    except ImportError as exc:
+        raise RuntimeError(
+            f"no codec for {fmt}; install PIL/cv2 or use ppm/npy"
         ) from exc
 
 
