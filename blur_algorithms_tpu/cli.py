@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DFT_image mode: export the log-magnitude spectrum instead of blurring")
     p.add_argument("--bench", type=int, default=0, metavar="N",
                    help="time N repetitions and print ms / MP/s")
+    p.add_argument("--sigmas", nargs="+", type=float, default=None,
+                   metavar="S",
+                   help="gaussian sigma sweep as ONE compiled dispatch "
+                   "(shared forward FFT; overrides nsmooth; writes "
+                   "<stem>_sS<ext> per sigma). The reference re-ran its "
+                   "whole pipeline per sigma (Source.cpp:628-634)")
     return p
 
 
@@ -120,6 +126,15 @@ def main(argv: list[str] | None = None) -> int:
 
     import os
 
+    if args.sigmas is not None and (
+        args.spectrum or args.bench or args.kernel != "gaussian"
+        or os.path.isdir(args.file)
+    ):
+        raise SystemExit(
+            "error: --sigmas is single-file gaussian mode (no "
+            "--spectrum/--bench/--kernel box/directory)"
+        )
+
     if os.path.isdir(args.file):
         if args.spectrum or args.bench:
             raise SystemExit("error: --spectrum/--bench not supported in directory mode")
@@ -133,6 +148,27 @@ def main(argv: list[str] | None = None) -> int:
     if img.ndim == 2:
         img = img[..., None]
     h, w = img.shape[:2]
+
+    if args.sigmas is not None:
+        from blur_algorithms_tpu.ops.multi_sigma import blur_multi_sigma_u8
+
+        t0 = time.perf_counter()
+        outs = np.asarray(blur_multi_sigma_u8(
+            img, args.sigmas, size_mode=args.size_mode
+        ))
+        print(f"multi_sigma x{len(args.sigmas)}: "
+              f"{(time.perf_counter() - t0) * 1e3:.3f} ms "
+              f"(one dispatch; first call includes compilation)")
+        base = args.output or args.file
+        dot = base.rfind(".")
+        stem, ext = (base[:dot], base[dot:]) if dot > 0 else (base, ".png")
+        for s, frame in zip(args.sigmas, outs):
+            tag = f"{s:g}".replace(".", "p")
+            sig_path = f"{stem}_s{tag}{ext}"
+            io.write_image(sig_path, frame[..., 0] if frame.shape[-1] == 1
+                           else frame)
+            print(f"wrote {sig_path}")
+        return 0
 
     if args.spectrum:
         if args.nsmooth <= 0:

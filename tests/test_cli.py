@@ -99,3 +99,24 @@ def test_directory_mode_empty_dir(tmp_path):
     src.mkdir()
     with pytest.raises(SystemExit):
         main(["auto", "4", str(src)])
+
+
+def test_sigmas_sweep_mode(ppm_image, tmp_path, rgb_image):
+    """--sigmas: one dispatch, one file per sigma, each == the single blur."""
+    out = tmp_path / "sweep.ppm"
+    assert main(["auto", "1", str(ppm_image), "-o", str(out),
+                 "--sigmas", "2", "5.5"]) == 0
+    from blur_algorithms_tpu import oracle
+
+    for s, tag in ((2.0, "2"), (5.5, "5p5")):
+        got = io.read_image(str(tmp_path / f"sweep_s{tag}.ppm"))
+        want = oracle.blur_u8(rgb_image, s)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_sigmas_rejects_incompatible_modes(ppm_image):
+    with pytest.raises(SystemExit):
+        main(["auto", "1", str(ppm_image), "--sigmas", "2", "--spectrum"])
+    with pytest.raises(SystemExit):
+        main(["auto", "1", str(ppm_image), "--sigmas", "2",
+              "--kernel", "box"])
