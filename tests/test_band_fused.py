@@ -731,3 +731,19 @@ class TestDmaForm:
         assert np.abs(chunked.astype(int) - dense.astype(int)).max() <= 1
         want = oracle.blur_u8(img[0][..., None], 2.5)[..., 0]
         assert np.abs(chunked[0].astype(int) - want.astype(int)).max() <= 1
+
+    def test_policy_driven_interpret_small_frame(self, rng):
+        """tile=None: _pick_tile_dma + _pick_chunks_dma drive the kernel
+        (the production call shape), small-frame clamps included."""
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _blur_fused_dma_impl,
+        )
+
+        img = (rng.random((2, 100, 200)) * 255).astype(np.uint8)
+        plan = make_plan((100, 200), 2.0)
+        out = np.asarray(_blur_fused_dma_impl(jnp.asarray(img), plan,
+                                              "int8", True))
+        for c in range(2):
+            want = oracle.blur_u8(img[c][..., None], 2.0)[..., 0]
+            d = np.abs(out[c].astype(int) - want.astype(int))
+            assert d.max() <= 1
