@@ -139,6 +139,11 @@ def main() -> int:
                     ),
                     x, iters=args.iters, reps=2, name=name, megapixels=mp,
                 )
+                if res.suspect:
+                    row[name] = f"SUSPECT {res.median_ms:.2f}"
+                    print(f"  {name}: SUSPECT (noise swamped the chained "
+                          f"delta)", flush=True)
+                    continue
                 row[name] = round(res.median_ms, 2)
                 print(f"  {name}: {res.median_ms:.2f} ms "
                       f"({res.mpix_per_s:.0f} MP/s)", flush=True)

@@ -53,6 +53,34 @@ class TestTiming:
                             iters=3, reps=2, name="c")
         assert r.median_ms > 0
 
+    def test_time_fn_chained_suspect_on_swamped_delta(self, monkeypatch):
+        """A chained delta that stays <= 0 is remeasured (accumulating
+        mins) and, if unrecoverable, reported suspect instead of as a
+        bogus near-zero time (the sweep's 0.00 ms / 33 TP/s artifact)."""
+        from blur_algorithms_tpu.utils import timing as tmod
+
+        # scripted clock: every timed span measures the SAME duration, so
+        # tn - t1 == 0 forever -> all retries fire, suspect is set
+        t = {"now": 0.0}
+
+        def fake_clock():
+            t["now"] += 0.5
+            return t["now"]
+
+        monkeypatch.setattr(tmod.time, "perf_counter", fake_clock)
+        r = tmod.time_fn_chained(
+            lambda: (lambda x: x * 2.0), jnp.ones((8, 8)),
+            iters=3, reps=2, name="s",
+        )
+        assert r.suspect
+        assert "SUSPECT" in str(r)
+        assert r.iters == 3 * 2 * 4  # base reps + 3 retry rounds
+
+    def test_time_fn_chained_not_suspect_normally(self):
+        r = time_fn_chained(lambda: (lambda x: x * 2.0), jnp.ones((8, 8)),
+                            iters=3, reps=2, name="c")
+        assert not r.suspect
+
 
 class TestEdgeEngines:
     def test_fft_stream_u8_api_small(self, rng):
