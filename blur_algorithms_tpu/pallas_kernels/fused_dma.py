@@ -62,11 +62,13 @@ __all__ = [
 
 # Largest support radius at which the int8 band matmuls run chunked
 # (``_pick_chunks_dma``) and the tile targets go tall (``_pick_tile_dma``).
-# Calibrated by ``benchmarks/dma_chunk_sweep.py``; the r<=64 regime was
-# measured on v5e (4K batch-4 r=32: dense 2.97 ms -> 1.76 ms chunked).
-# Raise only with device data: past ~r=64 the MAC saving shrinks toward
-# 1.4x while the small-M pipeline bubbles stay.
-_CHUNK_MAX_RADIUS = 64
+# Calibrated by ``benchmarks/dma_chunk_sweep.py`` on v5e (4K batch-4 u8,
+# two independent runs): r=32 dense 2.97 -> 1.76 ms; r=95 ~5.0 -> ~3.2;
+# r=165 ~5.8 -> ~4.3; r=332 ~8.9 -> ~6.7; r=515 ~13.0 -> ~10.3 — chunked
+# (tall tile, ch=24) wins at EVERY measured radius, 1.2-1.7x
+# (``benchmarks/dma_chunk_sweep_wide*.json``). 600 is the DMA form's own
+# applicability cap, so the chunked regime now covers its whole domain.
+_CHUNK_MAX_RADIUS = 600
 
 
 def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
@@ -308,9 +310,9 @@ def _pick_chunks_dma(
     sums (the nonzero terms land in different 128-deep MXU accumulation
     blocks), which can move rounding either way, and no device run has
     certified that yet (``benchmarks/dma_chunk_sweep.py`` is the tool).
-    Radii beyond the measured r<=64 regime also stay dense until the
-    wide-radius sweep runs (the MAC saving shrinks toward 1.4x there
-    while the small-M pipeline bubbles stay).
+    The wide-radius sweep (r=95..515, two runs, ``dma_chunk_sweep_wide*
+    .json``) confirmed chunked wins through the DMA form's whole radius
+    domain, so the int8 regime is ungated up to ``_CHUNK_MAX_RADIUS``.
     """
     if precision != "int8" or max(rh, rw) > _CHUNK_MAX_RADIUS:
         return tw, th
@@ -337,10 +339,12 @@ def _pick_tile_dma(
 
     Dense-dot sweeps at 4K batch 4 put the row tile at ~2.6*rh capped
     432 (r=33 best (216, 384) 11.7 GP/s). With the chunked band matmuls
-    (r <= 64, see ``_pick_chunks_dma``) the per-pixel compute no longer
+    (int8, see ``_pick_chunks_dma``) the per-pixel compute no longer
     grows with the tile, so the halo-traffic ratio dominates and TALLER
     tiles win: re-swept at r=32, (720, 384) 1.76 ms vs (216, 384) 2.07
-    and (1080, 384) 1.85 — the chunked regime targets 720. The row tile is
+    and (1080, 384) 1.85 — the chunked regime targets 720. The
+    wide-radius sweep (r=95..515) re-confirmed 720-tall as the winner
+    there too (e.g. r=515: 720-tall ~10.3 ms vs 432-tall ~12). The row tile is
     then refined by a local cost search (halo-traffic ratio x grid-padding
     waste) in a +-56 band around that target: an early exact-divisor-of-H
     preference picked pathologically short tiles at awkward heights

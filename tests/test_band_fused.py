@@ -576,14 +576,16 @@ class TestDmaForm:
         assert tw % cw == 0 and th % ch == 0
 
     def test_chunk_policy_dense_fallbacks(self):
-        """Wide radii and undividable tiles keep the dense single-dot
-        form (chunks == full tile)."""
+        """Radii past the form's domain and undividable tiles keep the
+        dense single-dot form (chunks == full tile)."""
         from blur_algorithms_tpu.pallas_kernels.fused_dma import (
             _pick_chunks_dma,
         )
 
-        # beyond the measured regime: dense
-        assert _pick_chunks_dma(432, 384, 165, 165) == (384, 432)
+        # wide radii now chunk (wide sweep: chunked wins r=95..515)
+        assert _pick_chunks_dma(432, 384, 165, 165) == (128, 24)
+        # past _CHUNK_MAX_RADIUS (= the DMA applicability cap): dense
+        assert _pick_chunks_dma(432, 384, 601, 601) == (384, 432)
         # th=56 has no divisor that is >=24 and 8-aligned: cols stay dense
         cw, ch = _pick_chunks_dma(56, 384, 20, 20)
         assert ch == 56 and cw == 128
