@@ -9,7 +9,8 @@ flag reference engine          TPU engine
 ==== ======================== ==========================================
 5    pocketfft_1D tiles        ``fft_tiles``
 4    FastBoxBlur               ``box`` (effective-taps, fused/band/fft)
-3    pffft 1-D tiles           ``fft_tiles``
+3    pffft 1-D tiles           ``fft_tiles`` (``pffft`` for exact emulation
+                               incl. the Nyquist shortcut, Source.cpp:414-427)
 2    pocketfft_2D              ``fft2``
 1    cv::GaussianBlur baseline ``conv`` (lax.conv direct path)
 ==== ======================== ==========================================
@@ -57,6 +58,10 @@ __all__ = [
 class Engine(str, enum.Enum):
     FFT2 = "fft2"
     FFT_TILES = "fft_tiles"
+    # the reference flag-3 engine's exact spectral math, incl. its
+    # ordered-layout Nyquist shortcut (Source.cpp:414-427); pair with
+    # size_mode="smooth235" for bit-level flag-3 emulation
+    PFFFT = "pffft"
     CONV = "conv"
     BAND = "band"
     FUSED = "fused"
@@ -148,6 +153,8 @@ def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
         return fft_conv.blur_fft2(x, plan)
     if engine is Engine.FFT_TILES:
         return fft_conv.blur_fft_tiles(x, plan)
+    if engine is Engine.PFFFT:
+        return fft_conv.blur_fft_tiles(x, plan, pffft_quirk=True)
     if engine is Engine.CONV:
         return direct_conv.blur_conv(x, plan)
     if engine is Engine.BAND:
@@ -564,11 +571,6 @@ def dft_spectrum(
 
 # ---------------------------------------------------------------------------
 # Arbitrary separable filters (beyond the reference's blur kernels)
-
-_FFT_ENGINES = frozenset(
-    {Engine.FFT2, Engine.FFT_TILES, Engine.FFT_MXU, Engine.FFT_STREAM}
-)
-
 
 @functools.lru_cache(maxsize=128)
 def _custom_setup(

@@ -54,6 +54,24 @@ def _axis_spectrum(axis_plan) -> np.ndarray:
     return axis_plan.spectrum if axis_plan.symmetric else axis_plan.spectrum_c
 
 
+def _pffft_quirked(spectrum: np.ndarray, fft_len: int) -> np.ndarray:
+    """Kernel spectrum with the pffft ordered-layout Nyquist quirk applied.
+
+    pffft's ordered real layout packs DC at ``[0]`` and Nyquist at ``[1]``,
+    so the reference's pairwise multiply (both halves of each (re, im) pair
+    scaled by ``kernel[2i]``, ``Source.cpp:414-427``) multiplies the data's
+    Nyquist bin by the KERNEL'S DC VALUE instead of its true Nyquist value —
+    a deliberate accuracy-vs-speed shortcut upstream. Emulated here by
+    editing one entry of the kernel-spectrum constant at trace time: the
+    rest of the multiply is already mathematically identical.
+    """
+    if fft_len % 2 != 0:  # odd lengths have no Nyquist bin (never planned)
+        return spectrum
+    quirked = spectrum.copy()
+    quirked[fft_len // 2] = quirked[0]
+    return quirked
+
+
 def rfft2_pipeline(planar: jnp.ndarray, plan: BlurPlan, on_spectrum):
     """Shared 2-D spectral scaffolding: pad, rFFT, transform, irFFT, crop.
 
@@ -117,7 +135,11 @@ def blur_fft2(
 
 
 def _tile_pass(
-    x: jnp.ndarray, axis_plan, axis: int, pallas_multiply: bool = False
+    x: jnp.ndarray,
+    axis_plan,
+    axis: int,
+    pallas_multiply: bool = False,
+    pffft_quirk: bool = False,
 ) -> jnp.ndarray:
     """One 1-D pass: reflect pad + trailing zeros, rFFT, xRe(ker), irFFT, crop.
 
@@ -143,6 +165,13 @@ def _tile_pass(
         )
 
         spec = spectral_multiply_rows(spec, axis_plan.spectrum)
+    elif pffft_quirk:
+        if not axis_plan.symmetric:
+            raise ValueError(
+                "pffft_quirk emulates the reference's real-spectrum multiply "
+                "(symmetric taps only)"
+            )
+        spec = spec * jnp.asarray(_pffft_quirked(axis_plan.spectrum, flen))
     else:
         spec = spec * jnp.asarray(_axis_spectrum(axis_plan))
     out = jnp.fft.irfft(spec, n=flen, axis=-1)
@@ -151,9 +180,18 @@ def _tile_pass(
 
 
 def blur_fft_tiles(
-    planar: jnp.ndarray, plan: BlurPlan, pallas_multiply: bool = False
+    planar: jnp.ndarray,
+    plan: BlurPlan,
+    pallas_multiply: bool = False,
+    pffft_quirk: bool = False,
 ) -> jnp.ndarray:
-    """Separable 1-D tile path: rows pass then columns pass."""
-    out = _tile_pass(planar, plan.row, -1, pallas_multiply)
-    out = _tile_pass(out, plan.col, -2, pallas_multiply)
+    """Separable 1-D tile path: rows pass then columns pass.
+
+    ``pffft_quirk=True`` reproduces the reference pffft engine's
+    ordered-layout Nyquist shortcut (``Source.cpp:414-427``) bit-for-bit in
+    spectral math — exact flag-3 emulation when combined with
+    ``size_mode="smooth235"`` (pffft's own transform-length rule).
+    """
+    out = _tile_pass(planar, plan.row, -1, pallas_multiply, pffft_quirk)
+    out = _tile_pass(out, plan.col, -2, pallas_multiply, pffft_quirk)
     return out

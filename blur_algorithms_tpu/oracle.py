@@ -25,7 +25,9 @@ from blur_algorithms_tpu.ops.plan import BlurPlan, make_plan
 __all__ = [
     "reflect_101_np",
     "blur_planar_fft2",
+    "blur_planar_pffft",
     "blur_u8",
+    "blur_u8_pffft",
     "blur_direct",
     "dft_spectrum_np",
     "crc32c",
@@ -111,6 +113,52 @@ def blur_u8(
     plan = make_plan((h, w), nsmooth, kernel=kernel, size_mode=size_mode)
     chw = np.moveaxis(img_hwc, -1, 0).astype(np.float32)
     blurred = blur_planar_fft2(chw, plan)
+    merged = np.moveaxis(blurred, 0, -1)
+    return np.clip(np.floor(merged + 0.5), 0, 255).astype(np.uint8)
+
+
+def blur_planar_pffft(planar: np.ndarray, plan: BlurPlan) -> np.ndarray:
+    """NumPy emulation of the reference flag-3 (pffft) tile engine.
+
+    Per axis (rows then columns, ``Source.cpp:510-562``): reflect-101 pad by
+    ``pad`` each side, trailing zeros to the transform length, r2c, multiply
+    by Re(kernel spectrum) — with pffft's ordered-layout Nyquist shortcut:
+    the data's Nyquist bin is scaled by the KERNEL'S DC value, because the
+    ordered real layout packs DC at ``[0]`` / Nyquist at ``[1]`` and the
+    pairwise multiply scales both by ``kernel[2i]`` (``Source.cpp:414-427``)
+    — then c2r with 1/N and crop the interior. Float32 throughout like the
+    reference.
+    """
+
+    def tile_pass(x: np.ndarray, axis_plan, axis: int) -> np.ndarray:
+        pad, n, flen = axis_plan.pad, axis_plan.dim, axis_plan.fft_len
+        x = np.moveaxis(x, axis, -1)
+        tile = reflect_101_np(x, [(pad, pad)])
+        spec = np.fft.rfft(tile, n=flen, axis=-1)
+        ker = axis_plan.spectrum.astype(np.float32).copy()
+        if flen % 2 == 0:
+            ker[flen // 2] = ker[0]  # the Nyquist-gets-DC quirk
+        out = np.fft.irfft(spec * ker, n=flen, axis=-1)
+        return np.moveaxis(out[..., pad : pad + n], -1, axis)
+
+    x = planar.astype(np.float32)
+    x = tile_pass(x, plan.row, -1)
+    x = tile_pass(x, plan.col, -2)
+    return x.astype(np.float32)
+
+
+def blur_u8_pffft(img_hwc: np.ndarray, nsmooth: float) -> np.ndarray:
+    """End-to-end uint8 HWC blur through the flag-3 emulation.
+
+    Plans with ``smooth235`` sizing (pffft's own transform-length rule,
+    ``Utils.hpp:141-157``) so the spectral problem matches the reference's.
+    """
+    if img_hwc.dtype != np.uint8:
+        raise ValueError("oracle expects uint8 HWC input")
+    h, w = img_hwc.shape[:2]
+    plan = make_plan((h, w), nsmooth, size_mode="smooth235")
+    chw = np.moveaxis(img_hwc, -1, 0).astype(np.float32)
+    blurred = blur_planar_pffft(chw, plan)
     merged = np.moveaxis(blurred, 0, -1)
     return np.clip(np.floor(merged + 0.5), 0, 255).astype(np.uint8)
 
