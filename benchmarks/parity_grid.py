@@ -107,8 +107,30 @@ def main() -> int:
         worst = max(worst, row["max"])
         print(json.dumps(row), flush=True)
 
-    # box paths vs naive sequential box convolution
+    # pffft flag-3 emulation vs ITS OWN NumPy twin (the Nyquist shortcut
+    # deviates from the pocketfft oracle on Nyquist-heavy content by design,
+    # so the twin — not blur_u8's oracle — is the right anchor)
     from blur_algorithms_tpu.ops.plan import make_plan
+
+    for sigma in [2.0, 10.0, 50.0]:
+        plan = make_plan((h, w), sigma)  # same auto sizing the engine plans
+        chw = np.moveaxis(img, -1, 0).astype(np.float32)
+        twin_f = oracle.blur_planar_pffft(chw, plan)
+        want = np.clip(
+            np.floor(np.moveaxis(twin_f, 0, -1) + 0.5), 0, 255
+        ).astype(np.uint8)
+        got = np.asarray(blur_u8(xj, sigma, engine=Engine.PFFFT))
+        d = np.abs(got.astype(int) - want.astype(int))
+        row = {
+            "case": f"pffft-twin s={sigma}",
+            "max": int(d.max()),
+            "exact": round(float((d == 0).mean()), 5),
+        }
+        rows.append(row)
+        worst = max(worst, row["max"])
+        print(json.dumps(row), flush=True)
+
+    # box paths vs naive sequential box convolution
 
     for n in [1.0, 2.0, 4.0, 10.0]:
         got = np.asarray(box_blur(xj, n))
