@@ -734,6 +734,58 @@ class TestDmaForm:
         want = oracle.blur_u8(img[0][..., None], 2.5)[..., 0]
         assert np.abs(chunked[0].astype(int) - want.astype(int)).max() <= 1
 
+    def test_assemble_padded_matches_reflect_pad(self, rng):
+        """``_assemble_padded`` (thin edge strips + 5 aligned HBM->HBM
+        DMAs) must reproduce the XLA route it replaced bit-exactly:
+        reflect-101 by the radius at offset (orh, orw), zeros elsewhere.
+        Covers ragged shapes (h % 8 != 0, w % 128 != 0), radius clamped
+        to dim-1, asymmetric radii, and u8 + f32 dtypes."""
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _align_geometry,
+            _assemble_padded,
+        )
+        from blur_algorithms_tpu.ops.pad import reflect_101
+
+        cases = [
+            # (h, w, rh, rw, th, tw)
+            (96, 256, 4, 4, 48, 128),      # aligned frame
+            (100, 200, 7, 3, 48, 128),     # ragged h and w
+            (9, 129, 8, 128, 8, 128),      # radius at the dim-1 clamp
+            (70, 250, 1, 140, 24, 128),    # rw > w/2, ragged both
+            (256, 384, 130, 5, 64, 256),   # rh > 128 (orh > 8)
+        ]
+        for h, w, rh, rw, th, tw in cases:
+            assert rh <= h - 1 and rw <= w - 1  # the plan invariant
+            orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(
+                th, tw, rh, rw
+            )
+            nbh, nbw = -(-h // th), -(-w // tw)
+            hp = (nbh - 1) * th + shp
+            wp = (nbw - 1) * tw + swp
+            for dt in (np.uint8, np.float32):
+                x = (rng.random((2, h, w)) * 255).astype(dt)
+                want = reflect_101(
+                    jnp.asarray(x), [(rh, rh), (rw, rw)], axes=[-2, -1]
+                )
+                want = np.asarray(
+                    jnp.pad(
+                        want,
+                        [
+                            (0, 0),
+                            (ro, hp - ro - want.shape[-2]),
+                            (co, wp - co - want.shape[-1]),
+                        ],
+                    )
+                )
+                got = np.asarray(
+                    _assemble_padded(jnp.asarray(x), rh, rw, orh, orw,
+                                     hp, wp)
+                )
+                np.testing.assert_array_equal(
+                    got, want,
+                    err_msg=f"case h={h} w={w} rh={rh} rw={rw} dt={dt}",
+                )
+
     def test_policy_driven_interpret_small_frame(self, rng):
         """tile=None: _pick_tile_dma + _pick_chunks_dma drive the kernel
         (the production call shape), small-frame clamps included."""
