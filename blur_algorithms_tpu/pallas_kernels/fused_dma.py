@@ -525,48 +525,24 @@ def _pick_tile_dma(
     return choice  # over budget at every target: applicability rejects
 
 
-@functools.partial(
-    jax.jit, static_argnames=("plan", "precision", "out_u8", "tile", "chunks")
-)
-def _blur_fused_dma_impl(
-    planar: jnp.ndarray,
+def _dma_kernel_call(
+    x: jnp.ndarray,
     plan: BlurPlan,
     precision: str,
     out_u8: bool,
-    tile: tuple[int, int] | None = None,
-    chunks: tuple[int, int] | None = None,
+    th: int,
+    tw: int,
+    cw: int,
+    ch: int,
 ) -> jnp.ndarray:
+    """The pallas_call stage on an already-assembled padded ``(bc, hp, wp)``
+    frame -> uncropped ``(bc, nbh*th, nbw*tw)``. Split out so the
+    decomposition benchmark can time the kernel without the pad stage."""
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
-    in_b = 1 if planar.dtype == jnp.uint8 else 4
-    th, tw = tile or _pick_tile_dma(plan, in_b, precision)
-    cw, ch = chunks or _pick_chunks_dma(th, tw, rh, rw, precision)
-    orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
-
-    lead = planar.shape[:-2]
-    x = planar.reshape((-1,) + planar.shape[-2:])
-    if x.dtype != jnp.uint8:
-        x = x.astype(jnp.float32)
+    _, _, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
     bc = x.shape[0]
     nbh, nbw = -(-h // th), -(-w // tw)
-
-    # pad so every (shp, swp) fetch starting at (i*th, j*tw) is in bounds
-    # and the original sits at the aligned offset (orh, orw)
-    hp = (nbh - 1) * th + shp
-    wp = (nbw - 1) * tw + swp
-    if h >= 8 and w >= 128:
-        x = _assemble_padded(x, rh, rw, orh, orw, hp, wp)
-    else:
-        # degenerate DMA extents: keep the XLA reflect-pad route
-        x = reflect_101(x, [(rh, rh), (rw, rw)], axes=[-2, -1])
-        x = jnp.pad(
-            x,
-            [
-                (0, 0),
-                (ro, hp - ro - x.shape[-2]),
-                (co, wp - co - x.shape[-1]),
-            ],
-        )
 
     bw_np = band_block_matrix(plan.row.taps, cw)  # (cw + 2rw, cw)
     bh_np = band_block_matrix(plan.col.taps, ch)  # (ch + 2rh, ch)
@@ -624,7 +600,52 @@ def _blur_fused_dma_impl(
         ],
         interpret=jax.default_backend() != "tpu",
     )(x, bw, bh)
+    return out
 
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "precision", "out_u8", "tile", "chunks")
+)
+def _blur_fused_dma_impl(
+    planar: jnp.ndarray,
+    plan: BlurPlan,
+    precision: str,
+    out_u8: bool,
+    tile: tuple[int, int] | None = None,
+    chunks: tuple[int, int] | None = None,
+) -> jnp.ndarray:
+    h, w = plan.shape
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    in_b = 1 if planar.dtype == jnp.uint8 else 4
+    th, tw = tile or _pick_tile_dma(plan, in_b, precision)
+    cw, ch = chunks or _pick_chunks_dma(th, tw, rh, rw, precision)
+    orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
+
+    lead = planar.shape[:-2]
+    x = planar.reshape((-1,) + planar.shape[-2:])
+    if x.dtype != jnp.uint8:
+        x = x.astype(jnp.float32)
+    nbh, nbw = -(-h // th), -(-w // tw)
+
+    # pad so every (shp, swp) fetch starting at (i*th, j*tw) is in bounds
+    # and the original sits at the aligned offset (orh, orw)
+    hp = (nbh - 1) * th + shp
+    wp = (nbw - 1) * tw + swp
+    if h >= 8 and w >= 128:
+        x = _assemble_padded(x, rh, rw, orh, orw, hp, wp)
+    else:
+        # degenerate DMA extents: keep the XLA reflect-pad route
+        x = reflect_101(x, [(rh, rh), (rw, rw)], axes=[-2, -1])
+        x = jnp.pad(
+            x,
+            [
+                (0, 0),
+                (ro, hp - ro - x.shape[-2]),
+                (co, wp - co - x.shape[-1]),
+            ],
+        )
+
+    out = _dma_kernel_call(x, plan, precision, out_u8, th, tw, cw, ch)
     return out[:, :h, :w].reshape(lead + (h, w))
 
 
