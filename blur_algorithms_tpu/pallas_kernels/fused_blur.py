@@ -274,7 +274,11 @@ def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
             r_acc = None
             for dj in range(nw):
                 x = x_refs[di * nw + dj][0, : rows_h[di], : cols_w[dj]]
-                xc = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+                # u8 -> int8 recentre as one narrow VPU op: (v ^ 0x80)
+                # bitcast to int8 IS v - 128 exactly
+                xc = jax.lax.bitcast_convert_type(
+                    x ^ jnp.uint8(128), jnp.int8
+                )
                 mat = bw_parts[dj]
                 part = dot(xc, mat[0], dims_r) * 128 + dot(xc, mat[1], dims_r)
                 r_acc = part if r_acc is None else r_acc + part

@@ -137,20 +137,26 @@ def _tile_int8(x, bw_ref, bh_ref, *, rows_shift: int, cols_scale: int,
     BIT-IDENTICAL (the skipped terms are exact zeros). ``cw == tw`` /
     ``ch == th`` degenerates to the single dense dot.
     """
-    xc = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+    # recentre u8 -> int8 as one narrow VPU op: (v ^ 0x80) reinterpreted
+    # as int8 IS v - 128 exactly (top-bit flip == offset-binary decode)
+    xc = jax.lax.bitcast_convert_type(x ^ jnp.uint8(128), jnp.int8)
 
     def dot(a, b, dims):
         return jax.lax.dot_general(
             a, b, (dims, ((), ())), preferred_element_type=jnp.int32
         )
 
-    # rows pass: chunked band matmuls (contraction cw + 2rw per chunk)
+    # rows pass: chunked band matmuls (contraction cw + 2rw per chunk);
+    # a tail chunk (tw % cw != 0) uses a static slice of the same band
+    # matrix — band matrices are translation-invariant, so
+    # bw[:cwk + 2rw, :cwk] IS the (cwk)-wide band matrix
     rs = []
-    for k in range(tw // cw):
-        xs = xc[:, k * cw : k * cw + cw + 2 * rw]
+    for k0 in range(0, tw, cw):
+        cwk = min(cw, tw - k0)
+        xs = xc[:, k0 : k0 + cwk + 2 * rw]
         rs.append(
-            dot(xs, bw_ref[0], ((1,), (0,))) * 128
-            + dot(xs, bw_ref[1], ((1,), (0,)))
+            dot(xs, bw_ref[0][: cwk + 2 * rw, :cwk], ((1,), (0,))) * 128
+            + dot(xs, bw_ref[1][: cwk + 2 * rw, :cwk], ((1,), (0,)))
         )
     r = jnp.concatenate(rs, axis=1) if len(rs) > 1 else rs[0]
     # width-independent 14-bit intermediate E = 127*(conv - 128)
@@ -160,16 +166,20 @@ def _tile_int8(x, bw_ref, bh_ref, *, rows_shift: int, cols_scale: int,
     e1 = e1.astype(jnp.int8)
 
     # cols pass: digit products against the (ch + 2rh, ch) column chunks
+    # (tail chunks slice the band operand, as in the rows pass)
     p1s, p23s, p4s = [], [], []
-    for m in range(th // ch):
-        s1 = e1[m * ch : m * ch + ch + 2 * rh, :]
-        s0 = e0[m * ch : m * ch + ch + 2 * rh, :]
-        p1s.append(dot(bh_ref[0], s1, ((0,), (0,))))
+    for m0 in range(0, th, ch):
+        chm = min(ch, th - m0)
+        s1 = e1[m0 : m0 + chm + 2 * rh, :]
+        s0 = e0[m0 : m0 + chm + 2 * rh, :]
+        b0 = bh_ref[0][: chm + 2 * rh, :chm]
+        b1 = bh_ref[1][: chm + 2 * rh, :chm]
+        p1s.append(dot(b0, s1, ((0,), (0,))))
         p23s.append(
-            dot(bh_ref[0], s0, ((0,), (0,)))
-            + dot(bh_ref[1], s1, ((0,), (0,)))
+            dot(b0, s0, ((0,), (0,)))
+            + dot(b1, s1, ((0,), (0,)))
         )
-        p4s.append(dot(bh_ref[1], s0, ((0,), (0,))))
+        p4s.append(dot(b1, s0, ((0,), (0,))))
     cat = lambda ps: jnp.concatenate(ps, axis=0) if len(ps) > 1 else ps[0]
     p1, p23, p4 = cat(p1s), cat(p23s), cat(p4s)
 
@@ -210,13 +220,14 @@ def _tile_bf16x3(x, bw_ref, bh_ref, *, in_u8: bool,
         None if in_u8 else (xf - x_hi.astype(f32)).astype(jnp.bfloat16)
     )
     ys = []
-    for k in range(tw // cw):
-        sl = slice(k * cw, k * cw + cw + 2 * rw)
-        yk = dot(x_hi[:, sl], bw_ref[0], dims_r) + dot(
-            x_hi[:, sl], bw_ref[1], dims_r
-        )
+    for k0 in range(0, tw, cw):
+        cwk = min(cw, tw - k0)
+        sl = slice(k0, k0 + cwk + 2 * rw)
+        w0 = bw_ref[0][: cwk + 2 * rw, :cwk]
+        w1 = bw_ref[1][: cwk + 2 * rw, :cwk]
+        yk = dot(x_hi[:, sl], w0, dims_r) + dot(x_hi[:, sl], w1, dims_r)
         if x_lo is not None:
-            yk = yk + dot(x_lo[:, sl], bw_ref[0], dims_r)
+            yk = yk + dot(x_lo[:, sl], w0, dims_r)
         ys.append(yk)
     y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
 
@@ -224,12 +235,15 @@ def _tile_bf16x3(x, bw_ref, bh_ref, *, in_u8: bool,
     y_hi = y.astype(jnp.bfloat16)
     y_lo = (y - y_hi.astype(f32)).astype(jnp.bfloat16)
     outs = []
-    for m in range(th // ch):
-        sl = slice(m * ch, m * ch + ch + 2 * rh)
+    for m0 in range(0, th, ch):
+        chm = min(ch, th - m0)
+        sl = slice(m0, m0 + chm + 2 * rh)
+        b0 = bh_ref[0][: chm + 2 * rh, :chm]
+        b1 = bh_ref[1][: chm + 2 * rh, :chm]
         outs.append(
-            dot(bh_ref[0], y_hi[sl], dims_c)
-            + dot(bh_ref[0], y_lo[sl], dims_c)
-            + dot(bh_ref[1], y_hi[sl], dims_c)
+            dot(b0, y_hi[sl], dims_c)
+            + dot(b0, y_lo[sl], dims_c)
+            + dot(b1, y_hi[sl], dims_c)
         )
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
@@ -387,10 +401,12 @@ def _dma_vmem_bytes(
     """VMEM bytes for one grid step of the DMA kernel at this geometry.
 
     Double-buffered aligned input windows + the (chunk-sized) band hi/lo
-    stacks + the rows-pass intermediate + the per-window f32 tile + the
-    out BlockSpec, which holds the WHOLE row strip (1, th, nbw*tw) — at
-    u8 width for the u8 route, f32 for float frames (where wide frames
-    can exceed the budget and must fall back to the blocked kernel).
+    stacks + the rows-pass intermediates (r/e int32 + the e1/e0 digit
+    planes, all (sh, tw)-shaped) + the cols-pass digit products and f32
+    tile ((th, tw) x 4 int32/f32 planes) + the out BlockSpec, which
+    holds the WHOLE row strip (1, th, nbw*tw) double-buffered — at u8
+    width for the u8 route, f32 for float frames. Both per-tile terms
+    scale with th, which is what bounds the whole-height tile choice.
     """
     _, _, _, _, sh, _, shp, swp = _align_geometry(th, tw, rh, rw)
     nbw = -(-w // tw)
@@ -398,9 +414,9 @@ def _dma_vmem_bytes(
         2 * shp * swp * in_b
         + (cw + 2 * rw) * cw * mat_b
         + (ch + 2 * rh) * ch * mat_b
-        + sh * tw * 4
-        + th * tw * 4
-        + th * nbw * tw * in_b
+        + sh * tw * 10  # r + e (int32) + e1/e0 (int8)
+        + th * tw * 16  # p1/p23/p4 (int32) + the f32 tile
+        + 2 * th * nbw * tw * in_b  # out strips are double-buffered too
     )
 
 
@@ -412,11 +428,13 @@ def _pick_chunks_dma(
     MACs per output pixel fall from the dense ``t + 2r`` to ``c + 2r``,
     so smaller chunks cut compute. Rows chunking is shape-safe at any
     radius (the dot keeps its tall M = sh; only N shrinks, and 128 is
-    exactly one MXU tile), so ``cw = 128`` whenever it divides. Cols
-    chunking shrinks the output M dim; measured at 4K r=32 the sweep gave
-    ch=24 as the sweet spot (2.97 -> 1.76-2.08 ms across tiles, vs 2.38
-    at ch=72 and 2.73 at ch=8). Chunks must divide the tile exactly;
-    with no qualifying divisor the dense single-dot form is kept.
+    exactly one MXU tile), so ``cw = 128``. Cols chunking shrinks the
+    output M dim; measured at 4K r=32 the sweep gave ch=24 as the sweet
+    spot (2.97 -> 1.76-2.08 ms across tiles, vs 2.38 at ch=72 and 2.73
+    at ch=8). Chunks need NOT divide the tile: the kernels handle a tail
+    chunk by statically slicing the band operand (band matrices are
+    translation-invariant), so any tile height — including whole-frame
+    strips at awkward heights — keeps small cols chunks.
 
     Only the int8 path chunks: its skipped terms are exact int32 zeros,
     so the result is BIT-IDENTICAL and the TPU sweep certified it. The
@@ -430,14 +448,7 @@ def _pick_chunks_dma(
     """
     if precision != "int8" or max(rh, rw) > _CHUNK_MAX_RADIUS:
         return tw, th
-
-    def pick(t: int, floor: int, align: int) -> int:
-        # floor % align == 0 at both call sites, so every candidate from
-        # range(floor, t, align) is already align-divisible
-        cands = [c for c in range(floor, t, align) if t % c == 0]
-        return min(cands) if cands else t
-
-    return pick(tw, 128, 128), pick(th, 24, 8)
+    return min(128, tw), min(24, th)
 
 
 def _pick_tile_dma(
@@ -455,10 +466,15 @@ def _pick_tile_dma(
     432 (r=33 best (216, 384) 11.7 GP/s). With the chunked band matmuls
     (int8, see ``_pick_chunks_dma``) the per-pixel compute no longer
     grows with the tile, so the halo-traffic ratio dominates and TALLER
-    tiles win: re-swept at r=32, (720, 384) 1.76 ms vs (216, 384) 2.07
-    and (1080, 384) 1.85 — the chunked regime targets 720. The
-    wide-radius sweep (r=95..515) re-confirmed 720-tall as the winner
-    there too (e.g. r=515: 720-tall ~10.3 ms vs 432-tall ~12). The row tile is
+    tiles win — all the way to the WHOLE FRAME HEIGHT when the VMEM
+    budget allows (zero vertical halo re-read, one row strip per
+    channel): interleaved min-of-5 at 4K r=32 measured th=2160 at
+    0.98 ms vs th=720 at 1.13 and th=1080 at 1.12. The chunked regime
+    therefore tries ``ceil8(h)`` first, then the swept 720 target (the
+    winner among PARTIAL strips, re-confirmed by the wide-radius sweep
+    r=95..515, e.g. r=515: 720-tall ~10.3 ms vs 432-tall ~12), then the
+    dense target — taking the first whose VMEM estimate (incl. the
+    double-buffered out strip) fits. The partial-strip row tile is
     then refined by a local cost search (halo-traffic ratio x grid-padding
     waste) in a +-56 band around that target: an early exact-divisor-of-H
     preference picked pathologically short tiles at awkward heights
@@ -479,8 +495,9 @@ def _pick_tile_dma(
     dense_target = min(max(216, int(2.6 * rh)), 432)
     if chunked:
         # chunked-dot regime: compute no longer grows with the tile, so
-        # the halo-traffic ratio dominates — go tall (capped by the frame)
-        targets = [min(720, -(-h // 8) * 8), dense_target]
+        # the halo-traffic ratio dominates — whole-height first (zero
+        # vertical halo re-read), then the swept partial-strip targets
+        targets = ["full", min(720, -(-h // 8) * 8), dense_target]
     else:
         # dense-dot regime (unchanged until the wide-radius chunk sweep)
         targets = [dense_target]
@@ -514,7 +531,7 @@ def _pick_tile_dma(
         tw = max(128, -(-w // 128) * 128)
     choice = None
     for target in targets:
-        th = rows_tile(target)
+        th = -(-h // 8) * 8 if target == "full" else rows_tile(target)
         choice = (th, tw)
         cw, ch = _pick_chunks_dma(th, tw, rh, rw, precision)
         fits = _dma_vmem_bytes(
