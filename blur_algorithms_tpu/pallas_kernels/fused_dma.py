@@ -74,7 +74,8 @@ _CHUNK_MAX_RADIUS = 600
 def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
             sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
             nbw: int, cw: int, ch: int, precision: str, rows_shift: int,
-            cols_scale: int, out_u8: bool, ro: int = 0, co: int = 0):
+            cols_scale: int, out_u8: bool, ro: int = 0, co: int = 0,
+            tl: int = 0):
     """One row-strip: loop column windows with double-buffered DMA."""
     c = pl.program_id(0)
     i = pl.program_id(1)
@@ -120,7 +121,19 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
             outf = outf.astype(jnp.int32).astype(jnp.uint8)
         else:
             outf = outf.astype(f32)
-        out_ref[0, :, pl.ds(j * tw, tw)] = outf
+        if tl in (0, tw):
+            out_ref[0, :, pl.ds(j * tw, tw)] = outf
+        else:
+            # the out strip is ceil128(w) wide, NOT nbw*tw: the last
+            # window writes only its tl valid lanes, so no full-frame
+            # crop copy is needed after the kernel
+            @pl.when(j < nbw - 1)
+            def _():
+                out_ref[0, :, pl.ds(j * tw, tw)] = outf
+
+            @pl.when(j == nbw - 1)
+            def _():
+                out_ref[0, :, pl.ds(j * tw, tl)] = outf[:, :tl]
 
     jax.lax.fori_loop(0, nbw, body, None, unroll=False)
 
@@ -416,7 +429,8 @@ def _dma_vmem_bytes(
         + (ch + 2 * rh) * ch * mat_b
         + sh * tw * 10  # r + e (int32) + e1/e0 (int8)
         + th * tw * 16  # p1/p23/p4 (int32) + the f32 tile
-        + 2 * th * nbw * tw * in_b  # out strips are double-buffered too
+        # out strips (ceil128(w) wide) are double-buffered too
+        + 2 * th * min(nbw * tw, -(-w // 128) * 128) * in_b
     )
 
 
@@ -560,6 +574,11 @@ def _dma_kernel_call(
     _, _, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
     bc = x.shape[0]
     nbh, nbw = -(-h // th), -(-w // tw)
+    # out strips span ceil128(w), not nbw*tw — the last window writes a
+    # partial tl-lane slice, making the caller's [:w] crop a no-op for
+    # 128-divisible widths instead of a full-frame copy
+    wout = min(nbw * tw, -(-w // 128) * 128)
+    tl = wout - (nbw - 1) * tw
 
     bw_np = band_block_matrix(plan.row.taps, cw)  # (cw + 2rw, cw)
     bh_np = band_block_matrix(plan.col.taps, ch)  # (ch + 2rh, ch)
@@ -593,7 +612,7 @@ def _dma_kernel_call(
             _kernel, sh=sh, shp=shp, sw=sw, swp=swp, th=th, tw=tw, nbw=nbw,
             cw=cw, ch=ch,
             precision=precision, rows_shift=rows_shift,
-            cols_scale=cols_scale, out_u8=out_u8, ro=ro, co=co,
+            cols_scale=cols_scale, out_u8=out_u8, ro=ro, co=co, tl=tl,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_hw().kernel_vmem_limit
@@ -605,11 +624,11 @@ def _dma_kernel_call(
             mat(bh.shape),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, nbw * tw), lambda c, i: (c, i, 0),
+            (1, th, wout), lambda c, i: (c, i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (bc, nbh * th, nbw * tw), jnp.uint8 if out_u8 else jnp.float32
+            (bc, nbh * th, wout), jnp.uint8 if out_u8 else jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM((2, shp, swp), x.dtype),
