@@ -173,6 +173,8 @@ def _tile_int8(x, bw_ref, bh_ref, *, rows_shift: int, cols_scale: int,
         )
     r = jnp.concatenate(rs, axis=1) if len(rs) > 1 else rs[0]
     # width-independent 14-bit intermediate E = 127*(conv - 128)
+    # (int16 digit-split was tried for narrower VPU ops: Mosaic rejects
+    # 16-bit arithmetic shifts)
     e = (r + (1 << (rows_shift - 1))) >> rows_shift
     e1 = (e + 64) >> 7
     e0 = (e - e1 * 128).astype(jnp.int8)
