@@ -57,6 +57,7 @@ from blur_algorithms_tpu.pallas_kernels.fused_blur import (
 __all__ = [
     "blur_fused_u8_dma",
     "blur_fused_dma",
+    "blur_fused_haloed_dma",
     "dma_form_applicable",
 ]
 
@@ -264,7 +265,7 @@ def _tile_bf16x3(x, bw_ref, bh_ref, *, in_u8: bool,
 
 
 def _align_geometry(
-    th: int, tw: int, rh: int, rw: int
+    th: int, tw: int, rh: int, rw: int, rows_prepadded: bool = False
 ) -> tuple[int, int, int, int, int, int, int, int]:
     """DMA-aligned window geometry for one (tile, radius) choice.
 
@@ -275,8 +276,13 @@ def _align_geometry(
     ceil128(rw))``; the true ``(sh, sw)`` halo window then sits at
     ``(ro, co) = (orh - rh, orw - rw)`` inside each aligned
     ``(shp, swp)`` fetch.
+
+    ``rows_prepadded``: the input already carries its ``rh`` halo rows on
+    each side (the multi-chip per-shard case — rows came over ICI), so
+    the data is placed at row 0 and strip ``i``'s window starts exactly
+    at row ``i*th``: ``orh = rh`` conceptually, ``ro = 0``.
     """
-    orh = -(-rh // 8) * 8
+    orh = rh if rows_prepadded else -(-rh // 8) * 8
     orw = -(-rw // 128) * 128
     ro, co = orh - rh, orw - rw
     sh, sw = th + 2 * rh, tw + 2 * rw
@@ -375,6 +381,84 @@ def _assemble_padded(
         scratch_shapes=[pltpu.SemaphoreType.DMA((5,))],
         interpret=jax.default_backend() != "tpu",
     )(x, top, bot, left, right)
+
+
+def _assemble_kernel4(x, bot, left, right, v, sem, *,
+                      h8: int, w128: int, orw: int,
+                      hb: int, wr: int, wp: int):
+    """Rows-prepadded variant: 4 aligned HBM->HBM DMAs per channel
+    (no top strip — the caller's halo rows sit at row 0)."""
+    c = pl.program_id(0)
+    copies = [
+        pltpu.make_async_copy(
+            bot.at[c], v.at[c, pl.ds(h8, hb), pl.ds(0, wp)], sem.at[0]
+        ),
+        pltpu.make_async_copy(
+            left.at[c], v.at[c, pl.ds(0, h8), pl.ds(0, orw)], sem.at[1]
+        ),
+        pltpu.make_async_copy(
+            right.at[c],
+            v.at[c, pl.ds(0, h8), pl.ds(orw + w128, wr)],
+            sem.at[2],
+        ),
+        pltpu.make_async_copy(
+            x.at[c, pl.ds(0, h8), pl.ds(0, w128)],
+            v.at[c, pl.ds(0, h8), pl.ds(orw, w128)],
+            sem.at[3],
+        ),
+    ]
+    for cp in copies:
+        cp.start()
+    for cp in copies:
+        cp.wait()
+
+
+def _assemble_padded_prepad(
+    x: jnp.ndarray, rw: int, orw: int, hp: int, wp: int
+) -> jnp.ndarray:
+    """Column-pad a rows-prepadded ``(bc, hs, w)`` shard (``hs`` already
+    carries the row halos) to ``(bc, hp, wp)`` with the data at
+    ``(0, orw)``: reflect-101 columns locally, zero trailing rows/cols.
+    Same HBM->HBM structure as :func:`_assemble_padded`, minus the top
+    strip."""
+    bc, hs, w = x.shape
+    h8, w128 = (hs // 8) * 8, (w // 128) * 128
+    rcb = min(rw, w - 1)
+
+    def colmap(blk):
+        blk = reflect_101(blk, [(rw, rw)], axes=[-1])
+        return jnp.pad(
+            blk, [(0, 0), (0, 0), (orw - rw, wp - (orw - rw) - blk.shape[-1])]
+        )
+
+    # hb == 0 is possible when everything aligns (h % th == 0, sh % 8
+    # == 0, hs % 8 == 0): grow v by one sublane tile so the bottom DMA
+    # keeps a legal extent — the kernel never fetches past the old hp
+    hp = hp if hp > h8 else hp + 8
+    hb = hp - h8
+    bot = colmap(x[:, h8:, :])
+    bot = jnp.pad(bot, [(0, 0), (0, hb - bot.shape[1]), (0, 0)])
+    left = jnp.flip(x[:, :h8, 1 : rcb + 1], axis=2)
+    left = jnp.pad(left, [(0, 0), (0, 0), (orw - rcb, 0)])
+    wr = wp - orw - w128
+    right = jnp.concatenate(
+        [x[:, :h8, w128:], jnp.flip(x[:, :h8, w - 1 - rcb : w - 1], axis=2)],
+        axis=2,
+    )
+    right = jnp.pad(right, [(0, 0), (0, 0), (0, wr - right.shape[2])])
+
+    return pl.pallas_call(
+        functools.partial(
+            _assemble_kernel4, h8=h8, w128=w128, orw=orw,
+            hb=hb, wr=wr, wp=wp,
+        ),
+        grid=(bc,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((bc, hp, wp), x.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((4,))],
+        interpret=jax.default_backend() != "tpu",
+    )(x, bot, left, right)
 
 
 def dma_form_applicable(dtype, plan: BlurPlan, precision: str = "int8") -> bool:
@@ -567,13 +651,16 @@ def _dma_kernel_call(
     tw: int,
     cw: int,
     ch: int,
+    rows_prepadded: bool = False,
 ) -> jnp.ndarray:
     """The pallas_call stage on an already-assembled padded ``(bc, hp, wp)``
     frame -> uncropped ``(bc, nbh*th, nbw*tw)``. Split out so the
     decomposition benchmark can time the kernel without the pad stage."""
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
-    _, _, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
+    _, _, ro, co, sh, sw, shp, swp = _align_geometry(
+        th, tw, rh, rw, rows_prepadded
+    )
     bc = x.shape[0]
     nbh, nbw = -(-h // th), -(-w // tw)
     # out strips span ceil128(w), not nbw*tw — the last window writes a
@@ -642,7 +729,10 @@ def _dma_kernel_call(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("plan", "precision", "out_u8", "tile", "chunks")
+    jax.jit,
+    static_argnames=(
+        "plan", "precision", "out_u8", "tile", "chunks", "rows_prepadded"
+    ),
 )
 def _blur_fused_dma_impl(
     planar: jnp.ndarray,
@@ -651,13 +741,16 @@ def _blur_fused_dma_impl(
     out_u8: bool,
     tile: tuple[int, int] | None = None,
     chunks: tuple[int, int] | None = None,
+    rows_prepadded: bool = False,
 ) -> jnp.ndarray:
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
     in_b = 1 if planar.dtype == jnp.uint8 else 4
     th, tw = tile or _pick_tile_dma(plan, in_b, precision)
     cw, ch = chunks or _pick_chunks_dma(th, tw, rh, rw, precision)
-    orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
+    orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(
+        th, tw, rh, rw, rows_prepadded
+    )
 
     lead = planar.shape[:-2]
     x = planar.reshape((-1,) + planar.shape[-2:])
@@ -666,10 +759,29 @@ def _blur_fused_dma_impl(
     nbh, nbw = -(-h // th), -(-w // tw)
 
     # pad so every (shp, swp) fetch starting at (i*th, j*tw) is in bounds
-    # and the original sits at the aligned offset (orh, orw)
+    # and the original sits at the aligned offset (orh, orw) — or at
+    # (0, orw) when the caller supplied the row halos (multi-chip shards)
     hp = (nbh - 1) * th + shp
     wp = (nbw - 1) * tw + swp
-    if h >= 8 and w >= 128:
+    if rows_prepadded:
+        if x.shape[-2] != h + 2 * rh:
+            raise ValueError(
+                f"rows_prepadded input must have {h + 2 * rh} rows, "
+                f"got {x.shape[-2]}"
+            )
+        if x.shape[-2] >= 8 and w >= 128:
+            x = _assemble_padded_prepad(x, rw, orw, hp, wp)
+        else:
+            x = reflect_101(x, [(rw, rw)], axes=[-1])
+            x = jnp.pad(
+                x,
+                [
+                    (0, 0),
+                    (0, hp - x.shape[-2]),
+                    (co, wp - co - x.shape[-1]),
+                ],
+            )
+    elif h >= 8 and w >= 128:
         x = _assemble_padded(x, rh, rw, orh, orw, hp, wp)
     else:
         # degenerate DMA extents: keep the XLA reflect-pad route
@@ -683,7 +795,9 @@ def _blur_fused_dma_impl(
             ],
         )
 
-    out = _dma_kernel_call(x, plan, precision, out_u8, th, tw, cw, ch)
+    out = _dma_kernel_call(
+        x, plan, precision, out_u8, th, tw, cw, ch, rows_prepadded
+    )
     return out[:, :h, :w].reshape(lead + (h, w))
 
 
@@ -701,6 +815,23 @@ def blur_fused_u8_dma(
     unit-sum taps).
     """
     return _blur_fused_dma_impl(planar_u8, plan, precision, True, tile)
+
+
+def blur_fused_haloed_dma(
+    planar: jnp.ndarray,
+    plan: BlurPlan,
+    precision: str = "int8",
+    out_u8: bool = False,
+    tile: tuple[int, int] | None = None,
+) -> jnp.ndarray:
+    """DMA fused blur on ``(..., H + 2rh, W)`` whose row halos were
+    supplied by the caller (another device's shard rows via ``ppermute``)
+    -> ``(..., H, W)``. Columns reflect locally. The DMA-form counterpart
+    of ``fused_blur.blur_fused_haloed`` — the multi-chip per-shard step
+    when :func:`dma_form_applicable` holds."""
+    return _blur_fused_dma_impl(
+        planar, plan, precision, out_u8, tile, rows_prepadded=True
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

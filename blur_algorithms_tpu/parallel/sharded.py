@@ -6,7 +6,9 @@ traffic than f32; conversion, int8 fixed-point matmuls, and rounding all
 happen in VMEM inside the per-shard kernel), float32 otherwise.
 
 Each shard-local step is the *same fused Pallas kernel* as the single-chip
-flagship (``blur_fused_haloed``): the only distributed work is a halo
+flagship — the exact-window DMA form (``blur_fused_haloed_dma``) whenever
+``dma_form_applicable`` holds on this backend/plan, the blocked
+``blur_fused_haloed`` otherwise: the only distributed work is a halo
 exchange of ``r`` raw input rows per shard boundary — ``jax.lax.ppermute``
 shifts over ICI — before the kernel runs. Kernels wider than one shard
 (``r > h_loc``) exchange whole blocks from ``ceil(r / h_loc)`` neighbors
@@ -96,6 +98,17 @@ def blur_sharded(
     )
 
     from blur_algorithms_tpu.pallas_kernels.fused_blur import blur_fused_haloed
+    from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+        blur_fused_haloed_dma,
+        dma_form_applicable,
+    )
+
+    # per-shard compute: the exact-window DMA form (the single-chip
+    # flagship) when it serves this (dtype, plan, precision); the blocked
+    # kernel otherwise — radius 0 rows need no halo context at all
+    use_dma = r > 0 and dma_form_applicable(
+        planar.dtype, local_plan, precision
+    )
 
     @functools.partial(
         jax.shard_map,
@@ -175,6 +188,10 @@ def blur_sharded(
             g = jnp.where(g > h - 1, 2 * (h - 1) - g, g)
             g = jnp.clip(g, 0, h - 1)
             haloed = jnp.take(ext, g - (idx - k) * h_loc, axis=-2)
+        if use_dma:
+            return blur_fused_haloed_dma(
+                haloed, local_plan, precision=precision, out_u8=out_u8
+            )
         return blur_fused_haloed(
             haloed, local_plan, precision=precision, out_u8=out_u8
         )

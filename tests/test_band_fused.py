@@ -795,6 +795,69 @@ class TestDmaForm:
                     err_msg=f"case h={h} w={w} rh={rh} rw={rw} dt={dt}",
                 )
 
+    def test_haloed_dma_matches_oracle_interpret(self, rng):
+        """rows_prepadded DMA form (the multi-chip per-shard step): halo
+        rows supplied by the caller, columns reflected locally — must
+        match the full blur on the surrounding frame. Covers int8 and
+        bf16x3, ragged widths, and the blocked haloed kernel as twin."""
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import (
+            blur_fused_haloed,
+        )
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            blur_fused_haloed_dma,
+        )
+
+        h, w, sigma = 64, 320, 3.0
+        plan = make_plan((h, w), sigma)
+        rh = plan.col.support_radius
+        # a shard cut from a taller frame: halo rows are REAL data, so
+        # every output row matches the full blur of the tall frame (no
+        # row-border interaction: output row o reads tall rows
+        # [o, o + 2rh], all inside the tall frame)
+        tall = (rng.random((2, h + 2 * rh, w)) * 255).astype(np.uint8)
+        want_full = np.stack([
+            oracle.blur_u8(tall[c][..., None], sigma)[..., 0]
+            for c in range(2)
+        ])
+        x = jnp.asarray(tall)
+        for precision in ("int8", "bf16x3"):
+            got = np.asarray(blur_fused_haloed_dma(
+                x, plan, precision=precision, out_u8=True))
+            assert got.shape == (2, h, w)
+            twin = np.asarray(blur_fused_haloed(
+                x, plan, precision=precision, out_u8=True))
+            d_twin = np.abs(got.astype(int) - twin.astype(int))
+            assert d_twin.max() <= 1, precision
+            d = np.abs(
+                got.astype(int) - want_full[:, rh : rh + h].astype(int)
+            )
+            assert d.max() <= 1, precision
+
+    def test_sharded_dma_route_interpret(self, rng, monkeypatch):
+        """Force the sharded per-shard step onto the DMA form on the CPU
+        mesh (dma_form_applicable is TPU-only): output must match the
+        oracle like the blocked route does."""
+        import blur_algorithms_tpu.parallel.sharded as sharded_mod
+        from blur_algorithms_tpu.parallel import make_mesh
+
+        monkeypatch.setattr(
+            "blur_algorithms_tpu.pallas_kernels.fused_dma."
+            "dma_form_applicable",
+            lambda *a, **k: True,
+        )
+        img = (rng.random((2, 1, 64, 256)) * 255).astype(np.uint8)
+        plan = make_plan((64, 256), 2.0)
+        mesh = make_mesh(dp=2, sp=2, devices=jax.devices()[:4])
+        out = np.asarray(
+            sharded_mod.blur_sharded(jnp.asarray(img), plan, mesh,
+                                     out_u8=True)
+        )
+        for b in range(2):
+            want = oracle.blur_u8(img[b, 0][..., None], 2.0)[..., 0]
+            d = np.abs(out[b, 0].astype(int) - want.astype(int))
+            assert d.max() <= 1
+            assert (d == 0).mean() > 0.99
+
     def test_policy_driven_interpret_small_frame(self, rng):
         """tile=None: _pick_tile_dma + _pick_chunks_dma drive the kernel
         (the production call shape), small-frame clamps included."""
