@@ -536,17 +536,19 @@ def _pick_chunks_dma(
     translation-invariant), so any tile height — including whole-frame
     strips at awkward heights — keeps small cols chunks.
 
-    Only the int8 path chunks: its skipped terms are exact int32 zeros,
-    so the result is BIT-IDENTICAL and the TPU sweep certified it. The
-    bf16x3 path keeps the dense dot — chunking regroups its f32 partial
-    sums (the nonzero terms land in different 128-deep MXU accumulation
-    blocks), which can move rounding either way, and no device run has
-    certified that yet (``benchmarks/dma_chunk_sweep.py`` is the tool).
-    The wide-radius sweep (r=95..515, two runs, ``dma_chunk_sweep_wide*
-    .json``) confirmed chunked wins through the DMA form's whole radius
-    domain, so the int8 regime is ungated up to ``_CHUNK_MAX_RADIUS``.
+    Both precisions chunk. int8's skipped terms are exact int32 zeros,
+    so the result is BIT-IDENTICAL (TPU sweeps: small-radius hand sweep
+    + wide-radius r=95..515, ``dma_chunk_sweep_wide*.json`` — chunked
+    wins at every measured radius, 1.2-1.7x). bf16x3 chunking regroups
+    f32 partial sums (the nonzero terms land in different 128-deep MXU
+    accumulation blocks), which can move rounding either way; the device
+    sweep (``dma_chunk_sweep_bf16x3.json``, r=32/95/332) certified every
+    chunked variant <= 1 uint8 count vs the dense form and measured
+    chunked 1.5-2.5x faster (e.g. r=32 dense 3.68 -> ~1.3-1.6 ms,
+    r=332 11.05 -> 7.5-9.6 ms), so bf16x3 is ungated with the same
+    (128, 24) policy.
     """
-    if precision != "int8" or max(rh, rw) > _CHUNK_MAX_RADIUS:
+    if max(rh, rw) > _CHUNK_MAX_RADIUS:
         return tw, th
     return min(128, tw), min(24, th)
 
@@ -590,8 +592,7 @@ def _pick_tile_dma(
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
     if chunked is None:
-        chunked = (precision == "int8"
-                   and max(rh, rw) <= _CHUNK_MAX_RADIUS)
+        chunked = max(rh, rw) <= _CHUNK_MAX_RADIUS
     dense_target = min(max(216, int(2.6 * rh)), 432)
     if chunked:
         # chunked-dot regime: compute no longer grows with the tile, so

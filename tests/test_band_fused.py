@@ -594,15 +594,17 @@ class TestDmaForm:
         assert _pick_chunks_dma(16, 128, 4, 4) == (128, 16)
         assert _pick_chunks_dma(720, 128, 20, 20) == (128, 24)
 
-    def test_bf16x3_stays_dense(self):
-        """Chunking is int8-only until a device run certifies the bf16x3
-        partial-sum regrouping (see _pick_chunks_dma docstring)."""
+    def test_bf16x3_chunks_like_int8(self):
+        """bf16x3 chunking was device-certified (<=1 count vs dense,
+        1.5-2.5x faster: dma_chunk_sweep_bf16x3.json) and shares the
+        int8 policy."""
         from blur_algorithms_tpu.pallas_kernels.fused_dma import (
             _pick_chunks_dma,
         )
 
-        assert _pick_chunks_dma(720, 384, 32, 32, "bf16x3") == (384, 720)
+        assert _pick_chunks_dma(720, 384, 32, 32, "bf16x3") == (128, 24)
         assert _pick_chunks_dma(720, 384, 32, 32, "int8") == (128, 24)
+        assert _pick_chunks_dma(720, 384, 601, 601, "bf16x3") == (384, 720)
 
     def test_tile_vmem_fallback_wide_float_frame(self):
         """On a float frame wide enough that the 720-tall chunked target
