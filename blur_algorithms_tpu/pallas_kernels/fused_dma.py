@@ -480,9 +480,11 @@ def dma_form_applicable(dtype, plan: BlurPlan, precision: str = "int8") -> bool:
         # +11% at r=33, +15% at r=165, +9% at r=332, +7% at r=515 — the
         # single dense band matmul per pass beats the blocked form's
         # chunked neighbor dots even where the exact window READS more
-        # (compute-side win). Beyond the measured range the blocked wide
-        # machinery (tall-tile cost model, the int16-E split) keeps the
-        # regime it was calibrated for.
+        # (compute-side win). Beyond, the blocked wide machinery (the
+        # int16-E split) keeps its regime: probed at 348 MP r=1863, the
+        # chunked DMA form runs 453 ms (tile (720, 256), its best
+        # VMEM-feasible geometry) vs the split form's 264 ms — band-MAC
+        # growth ~6r/px loses to the split's two dense passes there.
         return False
     in_b = 1 if is_u8 else 4
     mat_b = 2 if precision == "int8" else 4
