@@ -72,6 +72,41 @@ __all__ = [
 _CHUNK_MAX_RADIUS = 600
 
 
+def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
+                   th: int, tw: int, sh: int, sw: int, cw: int, ch: int,
+                   precision: str, rows_shift: int, cols_scale: int,
+                   out_u8: bool, nbw: int, tl: int, in_u8: bool):
+    """Band-matmul one true ``(sh, sw)`` window ``j`` and store its tile."""
+    geom = dict(
+        tw=tw, th=th, rw=(sw - tw) // 2, rh=(sh - th) // 2, cw=cw, ch=ch
+    )
+    if precision == "int8":
+        outf = _tile_int8(
+            x, bw_ref, bh_ref, rows_shift=rows_shift,
+            cols_scale=cols_scale, **geom,
+        )
+    else:
+        outf = _tile_bf16x3(x, bw_ref, bh_ref, in_u8=in_u8, **geom)
+    if out_u8:
+        outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
+        outf = outf.astype(jnp.int32).astype(jnp.uint8)
+    else:
+        outf = outf.astype(jnp.float32)
+    if tl in (0, tw):
+        out_ref[0, :, pl.ds(j * tw, tw)] = outf
+    else:
+        # the out strip is ceil128(w) wide, NOT nbw*tw: the last
+        # window writes only its tl valid lanes, so no full-frame
+        # crop copy is needed after the kernel
+        @pl.when(j < nbw - 1)
+        def _():
+            out_ref[0, :, pl.ds(j * tw, tw)] = outf
+
+        @pl.when(j == nbw - 1)
+        def _():
+            out_ref[0, :, pl.ds(j * tw, tl)] = outf[:, :tl]
+
+
 def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
             sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
             nbw: int, cw: int, ch: int, precision: str, rows_shift: int,
@@ -93,7 +128,6 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
 
     get_dma(0, 0).start()
 
-    f32 = jnp.float32
     in_u8 = win.dtype == jnp.uint8
 
     def body(j, _):
@@ -106,35 +140,105 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
         get_dma(slot, j).wait()
 
         x = win[slot][ro:ro + sh, co:co + sw]  # true window of the fetch
-
-        geom = dict(
-            tw=tw, th=th, rw=(sw - tw) // 2, rh=(sh - th) // 2, cw=cw, ch=ch
+        _compute_store(
+            x, j, bw_ref, bh_ref, out_ref, th=th, tw=tw, sh=sh, sw=sw,
+            cw=cw, ch=ch, precision=precision, rows_shift=rows_shift,
+            cols_scale=cols_scale, out_u8=out_u8, nbw=nbw, tl=tl,
+            in_u8=in_u8,
         )
-        if precision == "int8":
-            outf = _tile_int8(
-                x, bw_ref, bh_ref, rows_shift=rows_shift,
-                cols_scale=cols_scale, **geom,
-            )
-        else:
-            outf = _tile_bf16x3(x, bw_ref, bh_ref, in_u8=in_u8, **geom)
-        if out_u8:
-            outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
-            outf = outf.astype(jnp.int32).astype(jnp.uint8)
-        else:
-            outf = outf.astype(f32)
-        if tl in (0, tw):
-            out_ref[0, :, pl.ds(j * tw, tw)] = outf
-        else:
-            # the out strip is ceil128(w) wide, NOT nbw*tw: the last
-            # window writes only its tl valid lanes, so no full-frame
-            # crop copy is needed after the kernel
-            @pl.when(j < nbw - 1)
-            def _():
-                out_ref[0, :, pl.ds(j * tw, tw)] = outf
 
-            @pl.when(j == nbw - 1)
-            def _():
-                out_ref[0, :, pl.ds(j * tw, tl)] = outf[:, :tl]
+    jax.lax.fori_loop(0, nbw, body, None, unroll=False)
+
+
+def _kernel_direct(x_hbm, top, bot, lw, rgt, bw_ref, bh_ref, out_ref,
+                   win, sem, *,
+                   sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
+                   nbw: int, cw: int, ch: int, precision: str,
+                   rows_shift: int, cols_scale: int, out_u8: bool,
+                   ro: int, co: int, tl: int,
+                   orh: int, orw: int, h8: int, w128: int, hb: int):
+    """Whole-height no-assemble form: the window is spliced in VMEM.
+
+    Instead of fetching from a pre-assembled padded frame (a full-frame
+    HBM read+write), each ``(shp, swp)`` window is built from THREE DMAs
+    with identical contents: a thin ``top`` strip (rows ``[0, orh)`` of
+    the virtual padded frame), the middle ``h8`` rows — sourced straight
+    from the ORIGINAL frame for interior windows, or from the prebuilt
+    ``swp``-wide ``lw``/``rgt`` edge strips for the first/last window —
+    and a thin ``bot`` strip (original tail rows + reflection + slack).
+    Interior windows therefore read every input byte exactly the window
+    overlap ratio (~1.4x) with NO whole-frame assemble copy in front.
+    Restricted to ``nbh == 1`` (whole-height strips, the headline
+    regime) with ``orw <= tw`` — see ``_direct_applicable``.
+    """
+    c = pl.program_id(0)
+
+    def copies(slot, j):
+        # (cond, make-descriptor) pairs — construction is deferred into
+        # the pl.when branch so only the branch that fires builds (and
+        # uses) its descriptor
+        mid_dst = win.at[slot, pl.ds(orh, h8), pl.ds(0, swp)]
+        mid_sem = sem.at[slot, 2]
+        cps = [
+            (j >= 0, lambda: pltpu.make_async_copy(
+                top.at[c, pl.ds(0, orh), pl.ds(j * tw, swp)],
+                win.at[slot, pl.ds(0, orh), pl.ds(0, swp)],
+                sem.at[slot, 0],
+            )),
+            (j >= 0, lambda: pltpu.make_async_copy(
+                bot.at[c, pl.ds(0, hb), pl.ds(j * tw, swp)],
+                win.at[slot, pl.ds(orh + h8, hb), pl.ds(0, swp)],
+                sem.at[slot, 1],
+            )),
+            (j == 0, lambda: pltpu.make_async_copy(
+                lw.at[c], mid_dst, mid_sem,
+            )),
+            (j == nbw - 1, lambda: pltpu.make_async_copy(
+                rgt.at[c], mid_dst, mid_sem,
+            )),
+        ]
+        if nbw > 2:
+            # interior windows read the original frame; the start is
+            # clamped so the descriptor stays legal (never started) at
+            # j = 0 / nbw-1 — clamped in 128-lane units so Mosaic can
+            # prove the slice start divisible by the tiling
+            jsafe = jnp.clip(
+                j * (tw // 128) - orw // 128, 0, max((w128 - swp) // 128, 0)
+            ) * 128
+            cps.append(((j > 0) & (j < nbw - 1), lambda: pltpu.make_async_copy(
+                x_hbm.at[c, pl.ds(0, h8), pl.ds(jsafe, swp)],
+                mid_dst, mid_sem,
+            )))
+        return cps
+
+    def start(slot, j):
+        for cond, mk in copies(slot, j):
+            pl.when(cond)(lambda mk=mk: mk().start())
+
+    def wait(slot, j):
+        for cond, mk in copies(slot, j):
+            pl.when(cond)(lambda mk=mk: mk().wait())
+
+    start(0, 0)
+
+    in_u8 = win.dtype == jnp.uint8
+
+    def body(j, _):
+        slot = j % 2
+
+        @pl.when(j + 1 < nbw)
+        def _():
+            start((j + 1) % 2, j + 1)
+
+        wait(slot, j)
+
+        x = win[slot][ro:ro + sh, co:co + sw]
+        _compute_store(
+            x, j, bw_ref, bh_ref, out_ref, th=th, tw=tw, sh=sh, sw=sw,
+            cw=cw, ch=ch, precision=precision, rows_shift=rows_shift,
+            cols_scale=cols_scale, out_u8=out_u8, nbw=nbw, tl=tl,
+            in_u8=in_u8,
+        )
 
     jax.lax.fori_loop(0, nbw, body, None, unroll=False)
 
@@ -291,6 +395,93 @@ def _align_geometry(
     return orh, orw, ro, co, sh, sw, shp, swp
 
 
+def _topbot_strips(
+    x: jnp.ndarray, rh: int, rw: int, orh: int, orw: int, hp: int, wp: int
+) -> tuple[jnp.ndarray, jnp.ndarray, int]:
+    """The thin horizontal strips of the virtual padded frame.
+
+    ``top`` is padded rows ``[0, orh)`` (alignment slack zeros + the
+    clamped reflect-101 rows), ``bot`` is rows ``[orh + h8, hp)`` (the
+    original tail rows past ``h8``, the reflected bottom rows, then the
+    trailing zero slack) — both full ``wp`` wide with reflect-101 columns
+    at offset ``orw - rw``. Shared by the assemble form (which DMAs them
+    into a padded frame) and the direct kernel (which splices them into
+    each window)."""
+    bc, h, w = x.shape
+    h8 = (h // 8) * 8
+    rb = min(rh, h - 1)
+
+    def colmap(blk):
+        # (bc, n, w) -> (bc, n, wp): clamped reflect-101 cols at offset co
+        blk = reflect_101(blk, [(rw, rw)], axes=[-1])
+        return jnp.pad(
+            blk, [(0, 0), (0, 0), (orw - rw, wp - (orw - rw) - blk.shape[-1])]
+        )
+
+    top = colmap(jnp.flip(x[:, 1 : rb + 1, :], axis=1))
+    top = jnp.pad(top, [(0, 0), (orh - rb, 0), (0, 0)])
+    hb = hp - orh - h8
+    bot = colmap(
+        jnp.concatenate(
+            [x[:, h8:, :], jnp.flip(x[:, h - 1 - rb : h - 1, :], axis=1)],
+            axis=1,
+        )
+    )
+    bot = jnp.pad(bot, [(0, 0), (0, hb - bot.shape[1]), (0, 0)])
+    return top, bot, hb
+
+
+def _edge_windows(
+    x: jnp.ndarray, rw: int, orw: int, swp: int, nbw: int, tw: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The first/last windows' middle pieces for the direct kernel.
+
+    ``lw`` is padded cols ``[0, swp)``, ``rgt`` is padded cols
+    ``[(nbw-1)*tw, wp)`` (width exactly ``swp`` since
+    ``wp = (nbw-1)*tw + swp``), both over rows ``[0, h8)`` of the
+    original frame: clamped reflect-101 columns + alignment/grid zero
+    slack, identical to the same region of the assembled padded frame."""
+    bc, h, w = x.shape
+    h8 = (h // 8) * 8
+    rcb = min(rw, w - 1)
+    body = x[:, :h8, :]
+    lw = jnp.concatenate(
+        [jnp.flip(body[:, :, 1 : rcb + 1], axis=2), body[:, :, : swp - orw]],
+        axis=2,
+    )
+    lw = jnp.pad(lw, [(0, 0), (0, 0), (orw - rcb, 0)])
+    s0 = (nbw - 1) * tw - orw
+    rgt = jnp.concatenate(
+        [body[:, :, s0:], jnp.flip(body[:, :, w - 1 - rcb : w - 1], axis=2)],
+        axis=2,
+    )
+    rgt = jnp.pad(rgt, [(0, 0), (0, 0), (0, swp - rgt.shape[2])])
+    return lw, rgt
+
+
+def _direct_applicable(
+    h: int, w: int, th: int, tw: int, rh: int, rw: int,
+    rows_prepadded: bool,
+) -> bool:
+    """True when the no-assemble direct kernel serves this geometry:
+    whole-height strips, at least two column windows, window halos no
+    wider than one tile (so only the first/last windows straddle the
+    frame's column range), and the second-to-last window's frame read in
+    bounds. Everything else keeps the assemble form."""
+    if rows_prepadded or h < 8 or w < 128:
+        return False
+    nbh, nbw = -(-h // th), -(-w // tw)
+    if nbh != 1 or nbw < 2:
+        return False
+    orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
+    w128 = (w // 128) * 128
+    if orw > tw or swp - orw > w:
+        return False
+    if nbw > 2 and (nbw - 2) * tw - orw + swp > w128:
+        return False
+    return True
+
+
 def _assemble_kernel(x, top, bot, left, right, v, sem, *,
                      h8: int, w128: int, orh: int, orw: int,
                      hb: int, wr: int, wp: int):
@@ -341,25 +532,8 @@ def _assemble_padded(
     """
     bc, h, w = x.shape
     h8, w128 = (h // 8) * 8, (w // 128) * 128
-    rb, rcb = min(rh, h - 1), min(rw, w - 1)
-
-    def colmap(blk):
-        # (bc, n, w) -> (bc, n, wp): clamped reflect-101 cols at offset co
-        blk = reflect_101(blk, [(rw, rw)], axes=[-1])
-        return jnp.pad(
-            blk, [(0, 0), (0, 0), (orw - rw, wp - (orw - rw) - blk.shape[-1])]
-        )
-
-    top = colmap(jnp.flip(x[:, 1 : rb + 1, :], axis=1))
-    top = jnp.pad(top, [(0, 0), (orh - rb, 0), (0, 0)])
-    hb = hp - orh - h8
-    bot = colmap(
-        jnp.concatenate(
-            [x[:, h8:, :], jnp.flip(x[:, h - 1 - rb : h - 1, :], axis=1)],
-            axis=1,
-        )
-    )
-    bot = jnp.pad(bot, [(0, 0), (0, hb - bot.shape[1]), (0, 0)])
+    rcb = min(rw, w - 1)
+    top, bot, hb = _topbot_strips(x, rh, rw, orh, orw, hp, wp)
     left = jnp.flip(x[:, :h8, 1 : rcb + 1], axis=2)
     left = jnp.pad(left, [(0, 0), (0, 0), (orw - rcb, 0)])
     wr = wp - orw - w128
@@ -645,6 +819,37 @@ def _pick_tile_dma(
     return choice  # over budget at every target: applicability rejects
 
 
+def _band_operands(
+    plan: BlurPlan, precision: str, cw: int, ch: int
+) -> tuple[jnp.ndarray, jnp.ndarray, int, int]:
+    """Quantized/pre-split band-matrix operands -> (bw, bh, rows_shift,
+    cols_scale)."""
+    bw_np = band_block_matrix(plan.row.taps, cw)  # (cw + 2rw, cw)
+    bh_np = band_block_matrix(plan.col.taps, ch)  # (ch + 2rh, ch)
+    rows_shift = 7
+    cols_scale = 1
+    if precision == "int8":
+        rows_scale = pick_int8_scale(plan.row.taps, pow2=True)
+        cols_scale = pick_int8_scale(plan.col.taps)
+        rows_shift = 7 + (rows_scale // (127 * 128)).bit_length() - 1
+
+        def as_i8(q: np.ndarray) -> jnp.ndarray:
+            return jnp.asarray(np.stack([q >> 7, q & 127]).astype(np.int8))
+
+        bw = as_i8(_quantize_band_int8(bw_np, rows_scale))
+        bh = as_i8(_quantize_band_int8(bh_np, cols_scale))
+    else:  # bf16x3: pre-split hi/lo stacks, computed once at trace time
+        def as_bf16(m: np.ndarray) -> jnp.ndarray:
+            mj = jnp.asarray(m)
+            hi = mj.astype(jnp.bfloat16)
+            lo = (mj - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return jnp.stack([hi, lo])
+
+        bw = as_bf16(bw_np)
+        bh = as_bf16(bh_np)
+    return bw, bh, rows_shift, cols_scale
+
+
 def _dma_kernel_call(
     x: jnp.ndarray,
     plan: BlurPlan,
@@ -672,29 +877,7 @@ def _dma_kernel_call(
     wout = min(nbw * tw, -(-w // 128) * 128)
     tl = wout - (nbw - 1) * tw
 
-    bw_np = band_block_matrix(plan.row.taps, cw)  # (cw + 2rw, cw)
-    bh_np = band_block_matrix(plan.col.taps, ch)  # (ch + 2rh, ch)
-    rows_shift = 7
-    cols_scale = 1
-    if precision == "int8":
-        rows_scale = pick_int8_scale(plan.row.taps, pow2=True)
-        cols_scale = pick_int8_scale(plan.col.taps)
-        rows_shift = 7 + (rows_scale // (127 * 128)).bit_length() - 1
-
-        def as_i8(q: np.ndarray) -> jnp.ndarray:
-            return jnp.asarray(np.stack([q >> 7, q & 127]).astype(np.int8))
-
-        bw = as_i8(_quantize_band_int8(bw_np, rows_scale))
-        bh = as_i8(_quantize_band_int8(bh_np, cols_scale))
-    else:  # bf16x3: pre-split hi/lo stacks, computed once at trace time
-        def as_bf16(m: np.ndarray) -> jnp.ndarray:
-            mj = jnp.asarray(m)
-            hi = mj.astype(jnp.bfloat16)
-            lo = (mj - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return jnp.stack([hi, lo])
-
-        bw = as_bf16(bw_np)
-        bh = as_bf16(bh_np)
+    bw, bh, rows_shift, cols_scale = _band_operands(plan, precision, cw, ch)
 
     mat = lambda shape: pl.BlockSpec(
         shape, (lambda c, i: (0,) * len(shape)), memory_space=pltpu.VMEM
@@ -731,10 +914,73 @@ def _dma_kernel_call(
     return out
 
 
+def _dma_kernel_call_direct(
+    x: jnp.ndarray,
+    plan: BlurPlan,
+    precision: str,
+    out_u8: bool,
+    th: int,
+    tw: int,
+    cw: int,
+    ch: int,
+) -> jnp.ndarray:
+    """No-assemble pallas_call on the ORIGINAL ``(bc, h, w)`` frame ->
+    uncropped ``(bc, th, wout)``. The whole-height window splice
+    (``_kernel_direct``) replaces the padded-frame assemble stage — the
+    only XLA-built inputs are the four thin edge strips."""
+    h, w = plan.shape
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
+    bc = x.shape[0]
+    nbw = -(-w // tw)
+    h8, w128 = (h // 8) * 8, (w // 128) * 128
+    wout = min(nbw * tw, -(-w // 128) * 128)
+    tl = wout - (nbw - 1) * tw
+    hp = shp  # nbh == 1
+    wp = (nbw - 1) * tw + swp
+
+    top, bot, hb = _topbot_strips(x, rh, rw, orh, orw, hp, wp)
+    lw, rgt = _edge_windows(x, rw, orw, swp, nbw, tw)
+    bw, bh, rows_shift, cols_scale = _band_operands(plan, precision, cw, ch)
+
+    mat = lambda shape: pl.BlockSpec(
+        shape, (lambda c: (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_direct, sh=sh, shp=shp, sw=sw, swp=swp, th=th, tw=tw,
+            nbw=nbw, cw=cw, ch=ch, precision=precision,
+            rows_shift=rows_shift, cols_scale=cols_scale, out_u8=out_u8,
+            ro=ro, co=co, tl=tl, orh=orh, orw=orw, h8=h8, w128=w128, hb=hb,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_hw().kernel_vmem_limit
+        ),
+        grid=(bc,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5 + [
+            mat(bw.shape),
+            mat(bh.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, wout), lambda c: (c, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (bc, th, wout), jnp.uint8 if out_u8 else jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, shp, swp), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(x, top, bot, lw, rgt, bw, bh)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "plan", "precision", "out_u8", "tile", "chunks", "rows_prepadded"
+        "plan", "precision", "out_u8", "tile", "chunks", "rows_prepadded",
+        "direct",
     ),
 )
 def _blur_fused_dma_impl(
@@ -745,6 +991,7 @@ def _blur_fused_dma_impl(
     tile: tuple[int, int] | None = None,
     chunks: tuple[int, int] | None = None,
     rows_prepadded: bool = False,
+    direct: bool | None = None,
 ) -> jnp.ndarray:
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
@@ -760,6 +1007,14 @@ def _blur_fused_dma_impl(
     if x.dtype != jnp.uint8:
         x = x.astype(jnp.float32)
     nbh, nbw = -(-h // th), -(-w // tw)
+
+    if direct is None:
+        direct = _direct_applicable(h, w, th, tw, rh, rw, rows_prepadded)
+    if direct:
+        out = _dma_kernel_call_direct(
+            x, plan, precision, out_u8, th, tw, cw, ch
+        )
+        return out[:, :h, :w].reshape(lead + (h, w))
 
     # pad so every (shp, swp) fetch starting at (i*th, j*tw) is in bounds
     # and the original sits at the aligned offset (orh, orw) — or at

@@ -745,6 +745,57 @@ class TestDmaForm:
         want = oracle.blur_u8(img[0][..., None], 2.5)[..., 0]
         assert np.abs(chunked[0].astype(int) - want.astype(int)).max() <= 1
 
+    def test_direct_form_bitidentical_to_assemble(self, rng):
+        """The no-assemble direct kernel (window spliced from the frame
+        + thin edge strips, ``_kernel_direct``) must be BIT-identical to
+        the assemble form — its windows hold the same bytes by
+        construction. Covers: first/last window straddles, interior
+        frame-sourced windows (nbw > 2), ragged h/w, int8 and bf16x3,
+        u8 and f32 frames, and radius clamped near dim-1."""
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _blur_fused_dma_impl,
+            _direct_applicable,
+        )
+
+        cases = [
+            ((48, 640), 3.0, (48, 256), "int8", True),    # nbw=3 interior
+            ((41, 899), 5.0, (48, 384), "int8", True),    # ragged h, w
+            ((40, 384), 25.0, (40, 256), "int8", True),   # rw clamped wide
+            ((40, 512), 12.0, (40, 256), "bf16x3", False),  # float route
+        ]
+        for (h, w), sigma, tile, prec, u8 in cases:
+            plan = make_plan((h, w), sigma)
+            rh, rw = plan.col.support_radius, plan.row.support_radius
+            assert _direct_applicable(h, w, tile[0], tile[1], rh, rw, False)
+            img = (rng.random((2, h, w)) * 255).astype(np.uint8)
+            x = jnp.asarray(img) if u8 else jnp.asarray(img, jnp.float32)
+            a = np.asarray(
+                _blur_fused_dma_impl(x, plan, prec, u8, tile=tile,
+                                     direct=False)
+            )
+            b = np.asarray(
+                _blur_fused_dma_impl(x, plan, prec, u8, tile=tile,
+                                     direct=True)
+            )
+            np.testing.assert_array_equal(a, b, err_msg=f"{(h, w, prec)}")
+
+    def test_direct_applicable_gates(self):
+        """Geometry gates of the direct form: whole-height strips only,
+        nbw >= 2, orw <= tw, edge strips within the frame."""
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _direct_applicable,
+        )
+
+        assert _direct_applicable(2160, 3840, 2160, 384, 32, 32, False)
+        # partial-height strips -> assemble form
+        assert not _direct_applicable(2160, 3840, 720, 384, 32, 32, False)
+        # rows-prepadded (multi-chip shard) -> assemble form
+        assert not _direct_applicable(2160, 3840, 2160, 384, 32, 32, True)
+        # single column window -> assemble form
+        assert not _direct_applicable(2160, 256, 2160, 384, 32, 32, False)
+        # halo wider than a tile (orw > tw) -> assemble form
+        assert not _direct_applicable(2160, 3840, 2160, 256, 400, 400, False)
+
     def test_assemble_padded_matches_reflect_pad(self, rng):
         """``_assemble_padded`` (thin edge strips + 5 aligned HBM->HBM
         DMAs) must reproduce the XLA route it replaced bit-exactly:
