@@ -150,21 +150,22 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
     jax.lax.fori_loop(0, nbw, body, None, unroll=False)
 
 
-def _kernel_direct(x_hbm, top, bot, lw, rgt, bw_ref, bh_ref, out_ref,
+def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
                    win, sem, *,
                    sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
                    nbw: int, cw: int, ch: int, precision: str,
                    rows_shift: int, cols_scale: int, out_u8: bool,
                    ro: int, co: int, tl: int,
-                   orh: int, orw: int, h8: int, w128: int, hb: int):
+                   orh: int, orw: int, h8: int, w128: int, hb: int,
+                   wr: int):
     """Whole-height no-assemble form: the window is spliced in VMEM.
 
     Instead of fetching from a pre-assembled padded frame (a full-frame
-    HBM read+write), each ``(shp, swp)`` window is built from THREE DMAs
+    HBM read+write), each ``(shp, swp)`` window is built from 3-4 DMAs
     with identical contents: a thin ``top`` strip (rows ``[0, orh)`` of
     the virtual padded frame), the middle ``h8`` rows — sourced straight
-    from the ORIGINAL frame for interior windows, or from the prebuilt
-    ``swp``-wide ``lw``/``rgt`` edge strips for the first/last window —
+    from the ORIGINAL frame for interior windows; the first/last window
+    splices the thin ``lb``/``rb`` border strip with its frame piece —
     and a thin ``bot`` strip (original tail rows + reflection + slack).
     Interior windows therefore read every input byte exactly the window
     overlap ratio (~1.4x) with NO whole-frame assemble copy in front.
@@ -172,13 +173,18 @@ def _kernel_direct(x_hbm, top, bot, lw, rgt, bw_ref, bh_ref, out_ref,
     regime) with ``orw <= tw`` — see ``_direct_applicable``.
     """
     c = pl.program_id(0)
+    s0 = (nbw - 1) * tw - orw       # last window's frame col start
+    wlast = w128 - s0               # ... and its frame piece width
+    fl = swp - orw                  # first window's frame piece width
 
     def copies(slot, j):
         # (cond, make-descriptor) pairs — construction is deferred into
         # the pl.when branch so only the branch that fires builds (and
-        # uses) its descriptor
-        mid_dst = win.at[slot, pl.ds(orh, h8), pl.ds(0, swp)]
-        mid_sem = sem.at[slot, 2]
+        # uses) its descriptor. Middle pieces use sems 2 (and 3 for the
+        # two-piece edge windows).
+        def mid_dst(col0, width):
+            return win.at[slot, pl.ds(orh, h8), pl.ds(col0, width)]
+
         cps = [
             (j >= 0, lambda: pltpu.make_async_copy(
                 top.at[c, pl.ds(0, orh), pl.ds(j * tw, swp)],
@@ -190,24 +196,34 @@ def _kernel_direct(x_hbm, top, bot, lw, rgt, bw_ref, bh_ref, out_ref,
                 win.at[slot, pl.ds(orh + h8, hb), pl.ds(0, swp)],
                 sem.at[slot, 1],
             )),
+            # first window: left border + frame cols [0, fl)
             (j == 0, lambda: pltpu.make_async_copy(
-                lw.at[c], mid_dst, mid_sem,
+                lb.at[c], mid_dst(0, orw), sem.at[slot, 2],
+            )),
+            (j == 0, lambda: pltpu.make_async_copy(
+                x_hbm.at[c, pl.ds(0, h8), pl.ds(0, fl)],
+                mid_dst(orw, fl), sem.at[slot, 3],
+            )),
+            # last window: frame cols [s0, w128) + right border
+            (j == nbw - 1, lambda: pltpu.make_async_copy(
+                x_hbm.at[c, pl.ds(0, h8), pl.ds(s0, wlast)],
+                mid_dst(0, wlast), sem.at[slot, 2],
             )),
             (j == nbw - 1, lambda: pltpu.make_async_copy(
-                rgt.at[c], mid_dst, mid_sem,
+                rb.at[c], mid_dst(wlast, wr), sem.at[slot, 3],
             )),
         ]
         if nbw > 2:
-            # interior windows read the original frame; the start is
-            # clamped so the descriptor stays legal (never started) at
-            # j = 0 / nbw-1 — clamped in 128-lane units so Mosaic can
-            # prove the slice start divisible by the tiling
+            # interior windows read the original frame in one piece; the
+            # start is clamped so the descriptor stays legal (never
+            # started) at j = 0 / nbw-1 — clamped in 128-lane units so
+            # Mosaic can prove the slice start divisible by the tiling
             jsafe = jnp.clip(
                 j * (tw // 128) - orw // 128, 0, max((w128 - swp) // 128, 0)
             ) * 128
             cps.append(((j > 0) & (j < nbw - 1), lambda: pltpu.make_async_copy(
                 x_hbm.at[c, pl.ds(0, h8), pl.ds(jsafe, swp)],
-                mid_dst, mid_sem,
+                mid_dst(0, swp), sem.at[slot, 2],
             )))
         return cps
 
@@ -431,32 +447,26 @@ def _topbot_strips(
     return top, bot, hb
 
 
-def _edge_windows(
-    x: jnp.ndarray, rw: int, orw: int, swp: int, nbw: int, tw: int
+def _lr_borders(
+    x: jnp.ndarray, rw: int, orw: int, wr: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """The first/last windows' middle pieces for the direct kernel.
-
-    ``lw`` is padded cols ``[0, swp)``, ``rgt`` is padded cols
-    ``[(nbw-1)*tw, wp)`` (width exactly ``swp`` since
-    ``wp = (nbw-1)*tw + swp``), both over rows ``[0, h8)`` of the
-    original frame: clamped reflect-101 columns + alignment/grid zero
-    slack, identical to the same region of the assembled padded frame."""
+    """The thin vertical border strips of the virtual padded frame over
+    rows ``[0, h8)``: ``left`` is padded cols ``[0, orw)`` (zero slack +
+    clamped reflect-101), ``right`` is padded cols ``[orw + w128, wp)``
+    (the original tail cols past ``w128``, the reflected right cols,
+    then trailing zero slack). Shared by the assemble form and the
+    direct kernel's edge windows."""
     bc, h, w = x.shape
-    h8 = (h // 8) * 8
+    h8, w128 = (h // 8) * 8, (w // 128) * 128
     rcb = min(rw, w - 1)
-    body = x[:, :h8, :]
-    lw = jnp.concatenate(
-        [jnp.flip(body[:, :, 1 : rcb + 1], axis=2), body[:, :, : swp - orw]],
+    left = jnp.flip(x[:, :h8, 1 : rcb + 1], axis=2)
+    left = jnp.pad(left, [(0, 0), (0, 0), (orw - rcb, 0)])
+    right = jnp.concatenate(
+        [x[:, :h8, w128:], jnp.flip(x[:, :h8, w - 1 - rcb : w - 1], axis=2)],
         axis=2,
     )
-    lw = jnp.pad(lw, [(0, 0), (0, 0), (orw - rcb, 0)])
-    s0 = (nbw - 1) * tw - orw
-    rgt = jnp.concatenate(
-        [body[:, :, s0:], jnp.flip(body[:, :, w - 1 - rcb : w - 1], axis=2)],
-        axis=2,
-    )
-    rgt = jnp.pad(rgt, [(0, 0), (0, 0), (0, swp - rgt.shape[2])])
-    return lw, rgt
+    right = jnp.pad(right, [(0, 0), (0, 0), (0, wr - right.shape[2])])
+    return left, right
 
 
 def _direct_applicable(
@@ -532,16 +542,9 @@ def _assemble_padded(
     """
     bc, h, w = x.shape
     h8, w128 = (h // 8) * 8, (w // 128) * 128
-    rcb = min(rw, w - 1)
     top, bot, hb = _topbot_strips(x, rh, rw, orh, orw, hp, wp)
-    left = jnp.flip(x[:, :h8, 1 : rcb + 1], axis=2)
-    left = jnp.pad(left, [(0, 0), (0, 0), (orw - rcb, 0)])
     wr = wp - orw - w128
-    right = jnp.concatenate(
-        [x[:, :h8, w128:], jnp.flip(x[:, :h8, w - 1 - rcb : w - 1], axis=2)],
-        axis=2,
-    )
-    right = jnp.pad(right, [(0, 0), (0, 0), (0, wr - right.shape[2])])
+    left, right = _lr_borders(x, rw, orw, wr)
 
     return pl.pallas_call(
         functools.partial(
@@ -938,9 +941,10 @@ def _dma_kernel_call_direct(
     tl = wout - (nbw - 1) * tw
     hp = shp  # nbh == 1
     wp = (nbw - 1) * tw + swp
+    wr = wp - orw - w128
 
     top, bot, hb = _topbot_strips(x, rh, rw, orh, orw, hp, wp)
-    lw, rgt = _edge_windows(x, rw, orw, swp, nbw, tw)
+    lb, rb = _lr_borders(x, rw, orw, wr)
     bw, bh, rows_shift, cols_scale = _band_operands(plan, precision, cw, ch)
 
     mat = lambda shape: pl.BlockSpec(
@@ -952,6 +956,7 @@ def _dma_kernel_call_direct(
             nbw=nbw, cw=cw, ch=ch, precision=precision,
             rows_shift=rows_shift, cols_scale=cols_scale, out_u8=out_u8,
             ro=ro, co=co, tl=tl, orh=orh, orw=orw, h8=h8, w128=w128, hb=hb,
+            wr=wr,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_hw().kernel_vmem_limit
@@ -969,10 +974,10 @@ def _dma_kernel_call_direct(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, shp, swp), x.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(x, top, bot, lw, rgt, bw, bh)
+    )(x, top, bot, lb, rb, bw, bh)
     return out
 
 
