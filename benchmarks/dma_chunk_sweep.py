@@ -45,6 +45,10 @@ def main() -> int:
     p.add_argument("--out", default="benchmarks/dma_chunk_sweep.json")
     p.add_argument("--tiles", nargs="*", type=int, default=None,
                    help="explicit th candidates (default: radius-dependent)")
+    p.add_argument("--chunks", nargs="*", type=int, default=None,
+                   help="explicit ch candidates (default: 24 72); the "
+                        "kernel supports tail chunks, so ch need not "
+                        "divide th")
     p.add_argument("--precision", choices=("int8", "bf16x3"), default="int8")
     p.add_argument("--plan-only", action="store_true",
                    help="print the variant grid without touching the device")
@@ -93,9 +97,12 @@ def main() -> int:
         # (ch=8 lost everywhere in the r=32 hand sweep, so it is excluded;
         # 216-tall only matters as the dense policy's own tile)
         ths = args.tiles or sorted({dense_tile[0], 432, 720})
+        chs = tuple(args.chunks) if args.chunks else (24, 72)
         variants = [("dense", dense_tile, (dense_tile[1], dense_tile[0]))]
-        for th, tw, ch in itertools.product(ths, (256, 384), (24, 72)):
-            if th % ch or tw % 128:
+        for th, tw, ch in itertools.product(ths, (256, 384), chs):
+            # tail chunks are supported (the kernel statically slices the
+            # band operand), so ch need not divide th; tw stays 128-mult
+            if tw % 128 or ch > th:
                 continue
             cw = 128
             if _dma_vmem_bytes(h, w, th, tw, rh, rw, 1, mat_b, cw, ch) > budget:
