@@ -127,9 +127,20 @@ def main() -> int:
         "kernel+embed", lambda: (lambda _v: kernel_embed(_v)), xp
     )
 
-    # production end-to-end
+    # assemble-pipeline end-to-end (what the stages above decompose)
     results["full_ms"] = t(
-        "full",
+        "full(assemble)",
+        lambda: (
+            lambda v: _blur_fused_dma_impl(v, plan, "int8", True,
+                                           direct=False)
+        ),
+        x,
+    )
+    # production end-to-end (auto-routes to the direct no-assemble form
+    # in the whole-height regime — compare against full_ms to see the
+    # assemble stage's true cost in situ)
+    results["production_ms"] = t(
+        "production",
         lambda: (lambda v: _blur_fused_dma_impl(v, plan, "int8", True)),
         x,
     )

@@ -152,7 +152,7 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
 
 def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
                    win, sem, *,
-                   sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
+                   sh: int, sw: int, swp: int, th: int, tw: int,
                    nbw: int, cw: int, ch: int, precision: str,
                    rows_shift: int, cols_scale: int, out_u8: bool,
                    ro: int, co: int, tl: int,
@@ -480,6 +480,11 @@ def _direct_applicable(
     bounds. Everything else keeps the assemble form."""
     if rows_prepadded or h < 8 or w < 128:
         return False
+    if tw % 128 or th % 8:
+        # the interior-window start arithmetic (jsafe, in 128-lane units)
+        # and the vertical splice offsets assume tile-aligned tiles; the
+        # policy tiles always are, but tile= is a public kwarg
+        return False
     nbh, nbw = -(-h // th), -(-w // tw)
     if nbh != 1 or nbw < 2:
         return False
@@ -600,7 +605,6 @@ def _assemble_padded_prepad(
     strip."""
     bc, hs, w = x.shape
     h8, w128 = (hs // 8) * 8, (w // 128) * 128
-    rcb = min(rw, w - 1)
 
     def colmap(blk):
         blk = reflect_101(blk, [(rw, rw)], axes=[-1])
@@ -615,14 +619,8 @@ def _assemble_padded_prepad(
     hb = hp - h8
     bot = colmap(x[:, h8:, :])
     bot = jnp.pad(bot, [(0, 0), (0, hb - bot.shape[1]), (0, 0)])
-    left = jnp.flip(x[:, :h8, 1 : rcb + 1], axis=2)
-    left = jnp.pad(left, [(0, 0), (0, 0), (orw - rcb, 0)])
     wr = wp - orw - w128
-    right = jnp.concatenate(
-        [x[:, :h8, w128:], jnp.flip(x[:, :h8, w - 1 - rcb : w - 1], axis=2)],
-        axis=2,
-    )
-    right = jnp.pad(right, [(0, 0), (0, 0), (0, wr - right.shape[2])])
+    left, right = _lr_borders(x, rw, orw, wr)
 
     return pl.pallas_call(
         functools.partial(
@@ -725,11 +723,21 @@ def _pick_chunks_dma(
     chunked variant <= 1 uint8 count vs the dense form and measured
     chunked 1.5-2.5x faster (e.g. r=32 dense 3.68 -> ~1.3-1.6 ms,
     r=332 11.05 -> 7.5-9.6 ms), so bf16x3 is ungated with the same
-    (128, 24) policy.
+    cw=128 policy.
+
+    The cols chunk GROWS with the vertical radius: the interleaved
+    whole-height confirm runs (2026-08-19, batch-4 4K, min-of-many,
+    3 rounds each) measured best ch = 24/48/96/120 at rh =
+    95/165/332/515 (e.g. r=515: ch=120 6.89 ms vs ch=24 7.90; r=332:
+    ch=96 4.46 vs ch=80 4.79 vs ch=24 5.11; r=165: ch=48 2.62 vs ch=40
+    2.83 vs ch=24 2.61->2.72 band) — ``ch = 24 * ceil(rh / 96)``
+    clamped to [24, 120] reproduces every anchor, and r=32 keeps the
+    swept ch=24.
     """
     if max(rh, rw) > _CHUNK_MAX_RADIUS:
         return tw, th
-    return min(128, tw), min(24, th)
+    ch = min(120, 24 * -(-rh // 96)) if rh > 0 else 24
+    return min(128, tw), min(ch, th)
 
 
 def _pick_tile_dma(
@@ -806,7 +814,11 @@ def _pick_tile_dma(
         )
 
     mat_b = 2 if precision == "int8" else 4
-    tw = 384 if rw < 300 else 256
+    # chunked regime: tw=384 wins at EVERY confirmed radius incl. wide
+    # (r=515: (384, ch=120) 6.89 ms vs best-of-256 7.86 — the old
+    # rw >= 300 -> 256 rule came from the dense-regime sweeps and only
+    # applies there)
+    tw = 384 if (chunked or rw < 300) else 256
     if w < tw:
         tw = max(128, -(-w // 128) * 128)
     choice = None
@@ -952,7 +964,7 @@ def _dma_kernel_call_direct(
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel_direct, sh=sh, shp=shp, sw=sw, swp=swp, th=th, tw=tw,
+            _kernel_direct, sh=sh, sw=sw, swp=swp, th=th, tw=tw,
             nbw=nbw, cw=cw, ch=ch, precision=precision,
             rows_shift=rows_shift, cols_scale=cols_scale, out_u8=out_u8,
             ro=ro, co=co, tl=tl, orh=orh, orw=orw, h8=h8, w128=w128, hb=hb,

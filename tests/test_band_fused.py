@@ -584,8 +584,12 @@ class TestDmaForm:
             _pick_chunks_dma,
         )
 
-        # wide radii now chunk (wide sweep: chunked wins r=95..515)
-        assert _pick_chunks_dma(432, 384, 165, 165) == (128, 24)
+        # wide radii chunk, with the cols chunk growing with the radius
+        # (confirm runs 2026-08-19: ch = 24 * ceil(rh/96) in [24, 120])
+        assert _pick_chunks_dma(432, 384, 165, 165) == (128, 48)
+        assert _pick_chunks_dma(2160, 384, 332, 332) == (128, 96)
+        assert _pick_chunks_dma(2160, 256, 515, 515) == (128, 120)
+        assert _pick_chunks_dma(2160, 384, 95, 95) == (128, 24)
         # past _CHUNK_MAX_RADIUS (= the DMA applicability cap): dense
         assert _pick_chunks_dma(432, 384, 601, 601) == (384, 432)
         # th=56 does not divide by 24: tail chunks make ch=24 legal
@@ -795,6 +799,11 @@ class TestDmaForm:
         assert not _direct_applicable(2160, 256, 2160, 384, 32, 32, False)
         # halo wider than a tile (orw > tw) -> assemble form
         assert not _direct_applicable(2160, 3840, 2160, 256, 400, 400, False)
+        # non-tile-aligned tile= kwarg: the interior-window jsafe
+        # arithmetic assumes tw % 128 == 0 (regression: a (40, 320) tile
+        # on a 1024-wide frame read the wrong frame columns)
+        assert not _direct_applicable(40, 1024, 40, 320, 4, 4, False)
+        assert not _direct_applicable(44, 1024, 44, 256, 4, 4, False)
 
     def test_assemble_padded_matches_reflect_pad(self, rng):
         """``_assemble_padded`` (thin edge strips + 5 aligned HBM->HBM
