@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from blur_algorithms_tpu.api import Engine, _blur_planar, _resolve_engine
+from blur_algorithms_tpu.ops.layout import round_to_u8
 from blur_algorithms_tpu.ops.plan import make_plan
 
 __all__ = ["channel_smooth"]
@@ -51,7 +52,9 @@ def _compiled_recipe(
             if pe is not None:
                 plane = _blur_planar(plane, pe[0], pe[1])
             planes.append(plane)
-        return jnp.stack(planes)
+        # round in-program (ops.layout semantics) so only uint8 crosses
+        # the device boundary — 4x fewer bytes than shipping f32 planes
+        return round_to_u8(jnp.stack(planes))
 
     return jax.jit(fn)
 
@@ -87,11 +90,9 @@ def channel_smooth(
 
     h, w = work.shape[:2]
     fn = _compiled_recipe(h, w, sigmas, Engine(engine), size_mode)
-    out = np.moveaxis(
+    out_u8 = np.moveaxis(
         np.asarray(fn(jnp.asarray(np.moveaxis(work, -1, 0)))), 0, -1
     )
-
-    out_u8 = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
     if colorspace == "rgb":
         return out_u8
     import cv2

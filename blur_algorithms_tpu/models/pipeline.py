@@ -198,8 +198,18 @@ class SpectrumAnalyzer:
         return dft_spectrum(jnp.asarray(img), self.nsmooth, size_mode=self.size_mode)
 
     def to_image(self, spec) -> np.ndarray:
-        """Normalize a spectrum map to a uint8 visualization (CLI parity)."""
+        """Normalize a spectrum map to a uint8 visualization (CLI parity).
+
+        Accepts one frame's ``(C, fh, fw)`` spectrum. Batched ``(B, C,
+        fh, fw)`` maps must be split per frame first — axis 0 here is
+        moved to the channel position, which would garble a batch axis.
+        """
         spec = np.asarray(spec)
+        if spec.ndim != 3:
+            raise ValueError(
+                f"to_image expects one frame's (C, fh, fw) spectrum, got "
+                f"shape {spec.shape}; split batched spectra per frame"
+            )
         lo, hi = float(spec.min()), float(spec.max())
         vis = (spec - lo) / max(hi - lo, 1e-9) * 255.0
         return np.moveaxis(vis.astype(np.uint8), 0, -1)

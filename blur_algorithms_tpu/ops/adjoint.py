@@ -68,10 +68,12 @@ def _adjoint_axis(ct: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
         return ct
     ct = jnp.moveaxis(ct, axis, -1)
 
-    # ValidConv^T: zero-pad by 2r, valid conv with FLIPPED taps
+    # ValidConv^T: zero-pad by 2r, valid conv with FLIPPED taps; symmetry
+    # comes from the plan (one definition — the same property the FFT
+    # engines use to pick real vs complex spectra)
     taps = np.asarray(axis_plan.taps)
     flipped = np.ascontiguousarray(taps[::-1])
-    symmetric = bool(np.allclose(taps, flipped))
+    symmetric = axis_plan.symmetric
     cfg = [(0, 0)] * (ct.ndim - 1) + [(2 * r, 2 * r)]
     if r > _ADJOINT_FFT_MIN_RADIUS and symmetric:
         # spectrum path: valid only for symmetric taps (real spectrum)

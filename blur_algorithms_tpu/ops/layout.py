@@ -37,4 +37,10 @@ def from_planar(planar: jnp.ndarray, dtype=jnp.uint8) -> jnp.ndarray:
     interleaved = jnp.moveaxis(planar, -3, -1)
     if dtype == jnp.uint8:
         return round_to_u8(interleaved)
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
+        # same +0.5 truncation and range clip for every integral target
+        info = jnp.iinfo(jnp.dtype(dtype))
+        return jnp.clip(
+            jnp.floor(interleaved + 0.5), float(info.min), float(info.max)
+        ).astype(dtype)
     return interleaved.astype(dtype)

@@ -73,3 +73,17 @@ class TestLayout:
         planar = to_planar(batch)
         assert planar.shape == (4, 3) + rgb_image.shape[:2]
         np.testing.assert_array_equal(np.asarray(from_planar(planar))[2], rgb_image)
+
+    def test_integral_targets_round_half_up(self):
+        """Every integral target gets the reference's +0.5 round-half-up
+        and range clip, not just uint8 (Utils.hpp:189 semantics)."""
+        planar = jnp.asarray(
+            [[[200.7]], [[-5.2]], [[40000.5]]], dtype=jnp.float32
+        )
+        out16 = np.asarray(from_planar(planar, jnp.int16))
+        np.testing.assert_array_equal(out16.ravel(), [201, -5, 32767])
+        out32 = np.asarray(from_planar(planar, jnp.int32))
+        np.testing.assert_array_equal(out32.ravel(), [201, -5, 40001])
+        # float targets stay untouched (no rounding)
+        outf = np.asarray(from_planar(planar, jnp.float32))
+        np.testing.assert_allclose(outf.ravel(), [200.7, -5.2, 40000.5])

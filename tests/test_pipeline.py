@@ -1,6 +1,7 @@
 """Streaming pipeline: bucketing, cache stats, model wrappers."""
 
 import numpy as np
+import pytest
 
 from blur_algorithms_tpu import oracle
 from blur_algorithms_tpu.models import FastBoxBlur, GaussianBlur, SpectrumAnalyzer
@@ -55,6 +56,10 @@ def test_spectrum_analyzer(rng):
     assert spec.shape[0] == 3
     vis = sa.to_image(np.asarray(spec))
     assert vis.dtype == np.uint8 and vis.shape[-1] == 3
+    # batched (B, C, fh, fw) maps must be split per frame — axis 0 goes
+    # to the channel position, which would garble a batch axis
+    with pytest.raises(ValueError, match="one frame"):
+        sa.to_image(np.stack([np.asarray(spec)] * 2))
 
 
 def test_stream_matches_per_frame_calls(rng):
