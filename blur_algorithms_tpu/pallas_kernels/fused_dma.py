@@ -758,12 +758,21 @@ def _pick_tile_dma(
     tiles win — all the way to the WHOLE FRAME HEIGHT when the VMEM
     budget allows (zero vertical halo re-read, one row strip per
     channel): interleaved min-of-5 at 4K r=32 measured th=2160 at
-    0.98 ms vs th=720 at 1.13 and th=1080 at 1.12. The chunked regime
-    therefore tries ``ceil8(h)`` first, then the swept 720 target (the
-    winner among PARTIAL strips, re-confirmed by the wide-radius sweep
-    r=95..515, e.g. r=515: 720-tall ~10.3 ms vs 432-tall ~12), then the
-    dense target — taking the first whose VMEM estimate (incl. the
-    double-buffered out strip) fits. The partial-strip row tile is
+    0.98 ms vs th=720 at 1.13 and th=1080 at 1.12. Where whole height
+    does NOT fit (giant frames: the double-buffered out strip spans the
+    frame width, so its VMEM term is ``2 * th * ceil128(w)``), the
+    TALLEST feasible strip still beats the swept 720 partial-strip
+    target — the rows pass computes ``th + 2rh`` intermediate rows per
+    strip, so the redundancy ratio falls from 2.38 to ~1.43 at
+    24000x14500 r=514: measured 77.0 -> 60.0 ms (744- vs 2232-tall,
+    bit-identical). The chunked regime therefore tries ``ceil8(h)``
+    first, then the largest VMEM-feasible strip (waste-aware: ties
+    within 5% of the traffic x waste cost prefer heights dividing H
+    exactly, then the cheapest, then the tallest — 24000 picks 2400,
+    an exact 10-strip split; 24-divisibility is NOT a criterion since
+    tail chunks keep ch=24 at any height), then the swept 720 target,
+    then the dense target — taking the
+    first whose VMEM estimate fits. The partial-strip row tile is
     then refined by a local cost search (halo-traffic ratio x grid-padding
     waste) in a +-56 band around that target: an early exact-divisor-of-H
     preference picked pathologically short tiles at awkward heights
@@ -784,8 +793,9 @@ def _pick_tile_dma(
     if chunked:
         # chunked-dot regime: compute no longer grows with the tile, so
         # the halo-traffic ratio dominates — whole-height first (zero
-        # vertical halo re-read), then the swept partial-strip targets
-        targets = ["full", min(720, -(-h // 8) * 8), dense_target]
+        # vertical halo re-read), then the tallest VMEM-feasible strip
+        # (giant frames), then the swept partial-strip targets
+        targets = ["full", "vmax", min(720, -(-h // 8) * 8), dense_target]
     else:
         # dense-dot regime (unchanged until the wide-radius chunk sweep)
         targets = [dense_target]
@@ -814,6 +824,55 @@ def _pick_tile_dma(
         )
 
     mat_b = 2 if precision == "int8" else 4
+
+    def vmem_fits(t: int, lanes: int) -> bool:
+        cwc, chc = _pick_chunks_dma(t, lanes, rh, rw, precision)
+        return _dma_vmem_bytes(
+            h, w, t, lanes, rh, rw, in_b, mat_b, cwc, chc
+        ) <= _hw().wide_vmem_budget
+
+    def vmax_tile(lanes: int) -> int | None:
+        """Tallest-strip-count VMEM-feasible tile, waste-optimal.
+
+        The VMEM estimate is monotone in th, so binary-search the
+        feasible ceiling ``thmax``. The traffic x waste cost
+        ``(t + 2rh)/t * ceil(h/t)*t/h`` simplifies to
+        ``n*(t + 2rh)/h`` within a fixed strip count ``n = ceil(h/t)``
+        — increasing in t — so each class's optimum is its SHORTEST
+        covering tile ``ceil8(h/n)``, and those are the only candidates
+        worth considering (the raw thmax is dominated by its own
+        class's optimum). Cost across classes grows with n (more halo
+        re-reads), so the minimal feasible strip count essentially
+        wins; ties within 5% prefer heights dividing H exactly, then
+        cheaper, then taller (NOT 24-divisibility — tail chunks keep
+        ch=24 at any height)."""
+        hi = -(-h // 8) * 8
+        if not vmem_fits(160, lanes):
+            return None
+        lo = 160
+        while lo < hi:  # largest multiple of 8 in [160, hi] that fits
+            mid = -(-((lo + hi + 8) // 2) // 8) * 8
+            if vmem_fits(mid, lanes):
+                lo = mid
+            else:
+                hi = mid - 8
+        if lo <= 224:
+            return lo
+
+        def cost(t: int) -> float:
+            return (t + 2 * rh) / t * ((-(-h // t) * t) / h)
+
+        n0 = -(-h // lo)  # minimal feasible strip count
+        cands = []
+        for n in range(n0, n0 + 4):
+            t_exact = -(-h // n)  # ceil(h / n)
+            t = max(160, -(-t_exact // 8) * 8)  # ceil8
+            if t <= lo and t not in cands:
+                cands.append(t)
+        cmin = min(cost(t) for t in cands)
+        near = [t for t in cands if cost(t) <= cmin * 1.05]
+        return min(near, key=lambda t: (h % t != 0, cost(t), -t))
+
     # chunked regime: tw=384 wins at EVERY confirmed radius incl. wide
     # (r=515: (384, ch=120) 6.89 ms vs best-of-256 7.86 — the old
     # rw >= 300 -> 256 rule came from the dense-regime sweeps and only
@@ -823,7 +882,14 @@ def _pick_tile_dma(
         tw = max(128, -(-w // 128) * 128)
     choice = None
     for target in targets:
-        th = -(-h // 8) * 8 if target == "full" else rows_tile(target)
+        if target == "full":
+            th = -(-h // 8) * 8
+        elif target == "vmax":
+            th = vmax_tile(tw)
+            if th is None:
+                continue
+        else:
+            th = rows_tile(target)
         choice = (th, tw)
         cw, ch = _pick_chunks_dma(th, tw, rh, rw, precision)
         fits = _dma_vmem_bytes(

@@ -611,10 +611,12 @@ class TestDmaForm:
         assert _pick_chunks_dma(720, 384, 601, 601, "bf16x3") == (384, 720)
 
     def test_tile_vmem_fallback_wide_float_frame(self):
-        """On a float frame wide enough that the 720-tall chunked target
-        blows the VMEM budget (the out BlockSpec holds a whole f32 row
-        strip), the picker falls back to the dense-regime target so the
-        DMA form keeps its pre-chunk envelope."""
+        """On a frame wide enough that whole-height strips blow the VMEM
+        budget (the out BlockSpec holds a whole row strip), the picker
+        takes the tallest feasible strip for u8 (here 1080, an exact
+        2-strip split of 2160) and falls all the way back to a short
+        dense-regime-envelope tile for f32, whose 4-byte out strips are
+        4x larger."""
         from blur_algorithms_tpu.pallas_kernels.fused_dma import (
             _dma_vmem_bytes,
             _hw,
@@ -625,9 +627,9 @@ class TestDmaForm:
         plan = make_plan((2160, 40000), 10.0)
         rh, rw = plan.col.support_radius, plan.row.support_radius
         th_u8, _ = _pick_tile_dma(plan, in_b=1)
-        assert th_u8 == 720  # u8 strips fit: tall chunked target holds
+        assert th_u8 == 1080  # tallest VMEM-feasible u8 strip, divides H
         th_f32, tw = _pick_tile_dma(plan, in_b=4)
-        assert th_f32 < 720  # f32 strips do not: dense-regime fallback
+        assert th_f32 < 720  # f32 strips do not fit: short fallback
         cw, ch = _pick_chunks_dma(th_f32, tw, rh, rw)
         vmem = _dma_vmem_bytes(
             2160, 40000, th_f32, tw, rh, rw, 4, 2, cw, ch
