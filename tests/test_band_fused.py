@@ -636,6 +636,41 @@ class TestDmaForm:
         )
         assert vmem <= _hw().wide_vmem_budget
 
+    def test_tile_vmax_giant_frames(self):
+        """Giant frames (whole-height strips blow VMEM): the picker takes
+        the tallest feasible strip CLASS — per strip count n the cost
+        optimum is the shortest covering tile ceil8(h/n), so the minimal
+        feasible strip count wins with near-zero grid-padding waste
+        (ties prefer exact H divisors). Anchors: 24000 r=515 -> 2400 (10
+        exact strips; device-measured regime 77 -> 60 ms vs the old
+        744-tall pick); 8000 r=398 -> 2672 (3 strips, 0.2% waste — the
+        old +-56-band refinement picked 3528 at 32% waste)."""
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _dma_vmem_bytes,
+            _hw,
+            _pick_chunks_dma,
+            _pick_tile_dma,
+        )
+
+        cases = [
+            ((24000, 14500), 155.0, 2400),
+            ((8000, 8000), 120.0, 2672),
+            ((8000, 8000), 30.0, 4000),
+            ((12000, 9000), 50.0, 3000),
+            ((22000, 14500), 155.0, 2200),
+        ]
+        for shape, sigma, want_th in cases:
+            plan = make_plan(shape, sigma)
+            rh, rw = plan.col.support_radius, plan.row.support_radius
+            th, tw = _pick_tile_dma(plan, in_b=1)
+            assert th == want_th, (shape, sigma, th)
+            h, w = shape
+            # minimal-waste invariant: grid padding <= 0.5%
+            assert -(-h // th) * th / h <= 1.005
+            cw, ch = _pick_chunks_dma(th, tw, rh, rw)
+            vmem = _dma_vmem_bytes(h, w, th, tw, rh, rw, 1, 2, cw, ch)
+            assert vmem <= _hw().wide_vmem_budget
+
     def test_chunk_geometry_any_plan(self):
         """Chunk invariants over a sigma/shape grid: exact division and
         alignment whenever chunking engages."""
