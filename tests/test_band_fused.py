@@ -671,6 +671,36 @@ class TestDmaForm:
             vmem = _dma_vmem_bytes(h, w, th, tw, rh, rw, 1, 2, cw, ch)
             assert vmem <= _hw().wide_vmem_budget
 
+    def test_vmax_route_end_to_end_interpret(self, rng, monkeypatch):
+        """The vmax route's CHOICE runs the kernel end to end: shrink the
+        device budget so whole-height strips don't fit at 400 rows — the
+        picker must take the tallest-strip-class route (2 exact strips
+        of 200) and the kernel at that geometry must match the oracle."""
+        import dataclasses
+
+        from blur_algorithms_tpu.pallas_kernels import fused_dma
+
+        small = dataclasses.replace(fused_dma._hw(), vmem_bytes=3 << 20)
+        monkeypatch.setattr(fused_dma, "_hw", lambda: small)
+
+        plan = make_plan((400, 256), 3.0)
+        th, tw = fused_dma._pick_tile_dma(plan, in_b=1)
+        assert (th, tw) == (200, 256)
+
+        img = (rng.random((1, 400, 256)) * 255).astype(np.uint8)
+        rh, rw = plan.col.support_radius, plan.row.support_radius
+        out = np.asarray(
+            fused_dma._blur_fused_dma_impl(
+                jnp.asarray(img), plan, "int8", True,
+                tile=(th, tw),
+                chunks=fused_dma._pick_chunks_dma(th, tw, rh, rw),
+            )
+        )
+        want = oracle.blur_u8(img[0][..., None], 3.0)[..., 0]
+        d = np.abs(out[0].astype(int) - want.astype(int))
+        assert d.max() <= 1
+        assert (d == 0).mean() > 0.99
+
     def test_chunk_geometry_any_plan(self):
         """Chunk invariants over a sigma/shape grid: exact division and
         alignment whenever chunking engages."""
