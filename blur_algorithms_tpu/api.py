@@ -210,9 +210,9 @@ def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
 
         return blur_fft_tiles_streamed(x, plan)
     if engine is Engine.DERICHE:
-        if plan.kernel != "gaussian":
+        if plan.kernel != "gaussian" or plan.sigma_x is not None:
             raise ValueError(
-                "deriche engine approximates gaussian kernels only"
+                "deriche engine approximates isotropic gaussian kernels only"
             )
         from blur_algorithms_tpu.ops.deriche import blur_deriche
 
@@ -260,9 +260,24 @@ def _fused_u8_interleaved(plan: BlurPlan):
     return fn
 
 
+def _norm_nsmooth(nsmooth) -> float | tuple[float, float]:
+    """Hashable nsmooth: float, or (sigma_y, sigma_x) for anisotropic
+    gaussian requests (collapsed to a float when the two agree)."""
+    if isinstance(nsmooth, (tuple, list)):
+        if len(nsmooth) != 2:
+            raise ValueError(
+                f"anisotropic sigma needs (sigma_y, sigma_x), got {nsmooth}"
+            )
+        sy, sx = float(nsmooth[0]), float(nsmooth[1])
+        return sy if sy == sx else (sy, sx)
+    return float(nsmooth)
+
+
 def _make_box_plan(h: int, w: int, nsmooth: float, size_mode: str) -> BlurPlan:
     # FastBoxBlur call-site semantics: radius = nsmooth^2, 2 passes
     # (Source.cpp:587), folded into effective taps (see box_passes_kernel).
+    if isinstance(nsmooth, tuple):
+        raise ValueError("box engines take a single scalar nsmooth")
     radius = int(float(nsmooth) * float(nsmooth))
     return make_plan((h, w), radius, kernel="box_fast", size_mode=size_mode)
 
@@ -306,6 +321,8 @@ def _compiled_planar(
     size_mode: str,
 ) -> Any:
     if Engine(engine) is Engine.CASCADE:
+        if isinstance(nsmooth, tuple):
+            raise ValueError("cascade engine takes a single scalar sigma")
         from blur_algorithms_tpu.ops.cascade import blur_cascade
 
         return jax.jit(
@@ -330,6 +347,8 @@ def _compiled_u8(
     size_mode: str,
 ) -> Any:
     if Engine(engine) is Engine.CASCADE:
+        if isinstance(nsmooth, tuple):
+            raise ValueError("cascade engine takes a single scalar sigma")
         from blur_algorithms_tpu.ops.cascade import blur_cascade_u8
 
         def fn(img):
@@ -400,8 +419,10 @@ def _compiled_u8(
         return jax.jit(fn)
 
     if eng is Engine.DERICHE:
-        if plan.kernel != "gaussian":
-            raise ValueError("deriche engine approximates gaussian kernels only")
+        if plan.kernel != "gaussian" or plan.sigma_x is not None:
+            raise ValueError(
+                "deriche engine approximates isotropic gaussian kernels only"
+            )
         # uint8 straight into the band kernel (converted in VMEM); the tails
         # and the final round are the only f32 stages
         from blur_algorithms_tpu.ops.deriche import blur_deriche_u8
@@ -443,14 +464,15 @@ def blur(
 ) -> jnp.ndarray:
     """Blur float planar data ``(..., H, W)``; returns float32.
 
-    ``nsmooth`` is sigma for ``kernel="gaussian"``; for ``engine="box"`` it
-    follows the reference call site (radius = nsmooth^2, 2 passes,
-    ``Source.cpp:587``).
+    ``nsmooth`` is sigma for ``kernel="gaussian"`` — a float, or a
+    ``(sigma_y, sigma_x)`` pair for an anisotropic Gaussian; for
+    ``engine="box"`` it follows the reference call site (radius =
+    nsmooth^2, 2 passes, ``Source.cpp:587``).
     """
     fn = _compiled_planar(
         tuple(planar.shape),
         jnp.asarray(planar).dtype,
-        float(nsmooth),
+        _norm_nsmooth(nsmooth),
         Engine(engine),
         kernel,
         size_mode,
@@ -476,7 +498,8 @@ def blur_u8(
     if img.ndim < 3:
         raise ValueError("blur_u8 expects (..., H, W, C)")
     fn = _compiled_u8(
-        tuple(img.shape), float(nsmooth), Engine(engine), kernel, size_mode
+        tuple(img.shape), _norm_nsmooth(nsmooth), Engine(engine), kernel,
+        size_mode,
     )
     return fn(img)
 

@@ -38,13 +38,30 @@ def _parse_engine(token: str) -> Engine:
         )
 
 
+def _nsmooth_arg(s: str):
+    """CLI nsmooth: a float, or ``SYxSX`` for an anisotropic gaussian."""
+    if "x" in s.lower():
+        parts = s.lower().split("x")
+        try:
+            if len(parts) != 2:
+                raise ValueError(s)
+            return (float(parts[0]), float(parts[1]))
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"bad nsmooth {s!r}: want a number or SYxSX (e.g. 5x11)"
+            )
+    return float(s)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="blur_algorithms_tpu",
         description="TPU-native Gaussian/box blur via Fourier or direct convolution",
     )
     p.add_argument("engine", help="engine flag 1-5 (reference legend) or name")
-    p.add_argument("nsmooth", type=float, help="sigma (gaussian) / n (box: r=n^2)")
+    p.add_argument("nsmooth", type=_nsmooth_arg,
+                   help="sigma (gaussian; SYxSX, e.g. 5x11, for an "
+                   "anisotropic blur) / n (box: r=n^2)")
     p.add_argument("file", help="input image (.png/.jpg/.ppm/.npy) or a directory "
                    "of images (streamed with prefetch)")
     p.add_argument("-o", "--output", default=None,
@@ -171,6 +188,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.spectrum:
+        if isinstance(args.nsmooth, tuple):
+            raise SystemExit("error: --spectrum takes a single sigma")
         if args.nsmooth <= 0:
             raise SystemExit("error: --spectrum needs nsmooth > 0 (pad geometry)")
         from blur_algorithms_tpu.models.pipeline import SpectrumAnalyzer

@@ -39,7 +39,9 @@ class BlurPipeline:
         bucket: int = 256,
         exact: bool = False,
     ):
-        self.nsmooth = float(nsmooth)
+        from blur_algorithms_tpu.api import _norm_nsmooth
+
+        self.nsmooth = _norm_nsmooth(nsmooth)
         self.engine = Engine(engine)
         self.kernel = kernel
         self.size_mode = size_mode

@@ -80,6 +80,11 @@ class BlurPlan:
     row: AxisPlan  # axis -1 (width / rows pass)
     col: AxisPlan  # axis -2 (height / columns pass)
     box_passes: int = 1  # for kernel="box_fast": the folded pass count
+    # anisotropic gaussian: sigma is the COLUMN (vertical) sigma and
+    # sigma_x the ROW (horizontal) one; None = isotropic. Engines that
+    # consume a single scalar sigma (deriche, cascade, box) reject plans
+    # with sigma_x set — everything taps/spectra-based is per-axis anyway.
+    sigma_x: float | None = None
 
     @property
     def fft_shape(self) -> tuple[int, int]:
@@ -132,7 +137,7 @@ def _axis_plan(
 
 def make_plan(
     shape: tuple[int, int],
-    nsmooth: float,
+    nsmooth: float | tuple[float, float],
     kernel: KernelKind = "gaussian",
     size_mode: str = "auto",
     box_passes: int = 2,
@@ -141,6 +146,11 @@ def make_plan(
 
     ``kernel="gaussian"``: true Gaussian, sigma = ``nsmooth``, one pass;
     width from ``gaussian_window(sigma, max(H, W))`` (``Source.cpp:149``).
+    ``nsmooth`` may also be a ``(sigma_y, sigma_x)`` pair for an
+    ANISOTROPIC Gaussian (beyond the reference): each axis plans its own
+    width/taps/spectrum from its own sigma — the separable machinery is
+    per-axis already, so every taps/spectra-driven engine serves the
+    plan unchanged.
 
     ``kernel="box"``: the reference's FFT tent mode (``#define boxblur``,
     ``Source.cpp:152-156``): box length ``k = min(int(n)^2, min(H,W) - 1)``,
@@ -151,15 +161,36 @@ def make_plan(
     h, w = int(shape[0]), int(shape[1])
     if h < 1 or w < 1:
         raise ValueError(f"image shape must be positive, got {shape}")
+    if kernel != "gaussian" and isinstance(nsmooth, (tuple, list)):
+        raise ValueError(
+            "per-axis nsmooth is only supported for kernel='gaussian'"
+        )
 
+    sigma_x: float | None = None
     if kernel == "gaussian":
-        sigma = float(nsmooth)
-        if sigma <= 0:
-            raise ValueError(f"sigma must be > 0, got {sigma}")
+        if isinstance(nsmooth, (tuple, list)):
+            if len(nsmooth) != 2:
+                raise ValueError(
+                    f"anisotropic sigma needs (sigma_y, sigma_x), got {nsmooth}"
+                )
+            sigma, sigma_x = float(nsmooth[0]), float(nsmooth[1])
+            if sigma_x == sigma:
+                sigma_x = None  # plain isotropic plan
+        else:
+            sigma = float(nsmooth)
+        if sigma <= 0 or (sigma_x is not None and sigma_x <= 0):
+            raise ValueError(f"sigma must be > 0, got {nsmooth}")
         global_width = kernels.gaussian_window(sigma, max(h, w))
 
         def taps_fn(width: int) -> np.ndarray:
             return kernels.gaussian_kernel(sigma, width)
+
+        if sigma_x is not None:
+            sx = sigma_x
+            global_width_row = kernels.gaussian_window(sx, max(h, w))
+
+            def taps_fn_row(width: int) -> np.ndarray:
+                return kernels.gaussian_kernel(sx, width)
 
         passes = 1
     elif kernel == "box":
@@ -193,17 +224,21 @@ def make_plan(
     else:
         raise ValueError(f"unknown kernel kind {kernel!r}")
 
-    row = _axis_plan(w, global_width, taps_fn, passes, size_mode)
+    if sigma_x is not None:
+        row = _axis_plan(w, global_width_row, taps_fn_row, passes, size_mode)
+    else:
+        row = _axis_plan(w, global_width, taps_fn, passes, size_mode)
     col = _axis_plan(h, global_width, taps_fn, passes, size_mode)
     return BlurPlan(
         shape=(h, w),
         kernel=kernel,
-        sigma=float(nsmooth),
+        sigma=sigma if kernel == "gaussian" else float(nsmooth),
         passes=passes,
         size_mode=size_mode,
         row=row,
         col=col,
         box_passes=max(int(box_passes), 1) if kernel == "box_fast" else 1,
+        sigma_x=sigma_x,
     )
 
 
