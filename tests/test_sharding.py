@@ -54,6 +54,16 @@ def test_sharded_u8_pipeline(rgb_image):
     np.testing.assert_array_equal(got[0], got[3])
 
 
+def test_sharded_anisotropic(frames):
+    """Per-axis sigmas ride the sharded path unchanged: the halo width
+    comes from the plan's COLUMN radius, the taps from each axis."""
+    plan = make_plan((64, 48), (2.0, 6.0))
+    mesh = make_mesh(dp=2, sp=4)
+    got = np.asarray(blur_sharded(jnp.asarray(frames), plan, mesh))
+    want = oracle.blur_direct(frames, plan)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
 def test_radius_exceeding_shard_height(frames):
     """Kernel support spanning many shards: multi-hop halo gather."""
     plan = make_plan((64, 48), 30.0)  # col radius clamped to 63 = H - 1
