@@ -130,6 +130,23 @@ def main() -> int:
         worst = max(worst, row["max"])
         print(json.dumps(row), flush=True)
 
+    # anisotropic gaussian: per-axis sigmas through AUTO and the parity
+    # engines vs the same-pair oracle (the oracle's make_plan builds the
+    # identical per-axis taps/spectra)
+    for sy, sx in [(2.0, 8.0), (15.0, 1.0), (40.0, 90.0)]:
+        want = oracle.blur_u8(img, (sy, sx))
+        for eng in [Engine.AUTO, Engine.FFT2, Engine.FUSED]:
+            got = np.asarray(blur_u8(xj, (sy, sx), engine=eng))
+            d = np.abs(got.astype(int) - want.astype(int))
+            row = {
+                "case": f"aniso sy={sy} sx={sx} {eng.value}",
+                "max": int(d.max()),
+                "exact": round(float((d == 0).mean()), 5),
+            }
+            rows.append(row)
+            worst = max(worst, row["max"])
+            print(json.dumps(row), flush=True)
+
     # box paths vs naive sequential box convolution
 
     for n in [1.0, 2.0, 4.0, 10.0]:

@@ -152,79 +152,126 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
 
 def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
                    win, sem, *,
-                   sh: int, sw: int, swp: int, th: int, tw: int,
-                   nbw: int, cw: int, ch: int, precision: str,
+                   sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
+                   nbh: int, nbw: int, cw: int, ch: int, precision: str,
                    rows_shift: int, cols_scale: int, out_u8: bool,
                    ro: int, co: int, tl: int,
                    orh: int, orw: int, h8: int, w128: int, hb: int,
                    wr: int):
-    """Whole-height no-assemble form: the window is spliced in VMEM.
+    """No-assemble form: every window is spliced in VMEM.
 
     Instead of fetching from a pre-assembled padded frame (a full-frame
     HBM read+write), each ``(shp, swp)`` window is built from 3-4 DMAs
     with identical contents: a thin ``top`` strip (rows ``[0, orh)`` of
-    the virtual padded frame), the middle ``h8`` rows — sourced straight
-    from the ORIGINAL frame for interior windows; the first/last window
-    splices the thin ``lb``/``rb`` border strip with its frame piece —
-    and a thin ``bot`` strip (original tail rows + reflection + slack).
-    Interior windows therefore read every input byte exactly the window
-    overlap ratio (~1.4x) with NO whole-frame assemble copy in front.
-    Restricted to ``nbh == 1`` (whole-height strips, the headline
-    regime) with ``orw <= tw`` — see ``_direct_applicable``.
+    the virtual padded frame, first row strip only), a frame piece —
+    sourced straight from the ORIGINAL frame for interior windows; the
+    first/last column window splices the thin ``lb``/``rb`` border strip
+    with its frame piece — and a thin ``bot`` strip (original tail rows
+    + reflection + slack, last row strip only). Interior windows
+    therefore read every input byte exactly the window overlap ratio
+    with NO whole-frame assemble copy in front.
+
+    Multi-strip grids (``nbh > 1``, giant frames) are gated so each row
+    strip touches at most one thin strip: strip 0 splices ``top`` + a
+    frame piece, interior strips read one full-height frame piece, the
+    last strip a frame piece + ``bot`` (``_direct_applicable`` requires
+    ``th >= orh`` and the second-to-last strip's fetch to end inside the
+    frame region). Frame-piece row starts ``i*th - orh`` are multiples
+    of 8 by construction. ``nbh == 1`` keeps the original whole-height
+    splice (top + frame + bot in one window).
     """
     c = pl.program_id(0)
+    i = pl.program_id(1)
     s0 = (nbw - 1) * tw - orw       # last window's frame col start
     wlast = w128 - s0               # ... and its frame piece width
     fl = swp - orw                  # first window's frame piece width
+    # frame-piece geometry per row-strip class: (dst row, height). The
+    # last strip's piece ends at the frame region's end; its bot piece
+    # lands right below. nbh == 1: the original top+frame+bot splice.
+    fh_first = h8 if nbh == 1 else shp - orh
+    fh_last = orh + h8 - (nbh - 1) * th  # == fh_first when nbh == 1
+    bot_dst = fh_last if nbh > 1 else orh + h8
 
     def copies(slot, j):
         # (cond, make-descriptor) pairs — construction is deferred into
         # the pl.when branch so only the branch that fires builds (and
-        # uses) its descriptor. Middle pieces use sems 2 (and 3 for the
-        # two-piece edge windows).
-        def mid_dst(col0, width):
-            return win.at[slot, pl.ds(orh, h8), pl.ds(col0, width)]
+        # uses) its descriptor. Frame pieces use sems 2 (and 3 for the
+        # two-piece edge windows); top/bot ride sems 0/1.
+        def pieces(fr0, dr0, fh):
+            """The 3-way column splice of one (fh)-tall frame piece read
+            from frame rows [fr0, fr0 + fh) into window rows
+            [dr0, dr0 + fh)."""
+
+            def dst(col0, width):
+                return win.at[slot, pl.ds(dr0, fh), pl.ds(col0, width)]
+
+            ps = [
+                (j == 0, lambda: pltpu.make_async_copy(
+                    lb.at[c, pl.ds(fr0, fh)], dst(0, orw), sem.at[slot, 2],
+                )),
+                (j == 0, lambda: pltpu.make_async_copy(
+                    x_hbm.at[c, pl.ds(fr0, fh), pl.ds(0, fl)],
+                    dst(orw, fl), sem.at[slot, 3],
+                )),
+                (j == nbw - 1, lambda: pltpu.make_async_copy(
+                    x_hbm.at[c, pl.ds(fr0, fh), pl.ds(s0, wlast)],
+                    dst(0, wlast), sem.at[slot, 2],
+                )),
+                (j == nbw - 1, lambda: pltpu.make_async_copy(
+                    rb.at[c, pl.ds(fr0, fh)], dst(wlast, wr),
+                    sem.at[slot, 3],
+                )),
+            ]
+            if nbw > 2:
+                # interior windows read the original frame in one piece;
+                # the start is clamped so the descriptor stays legal
+                # (never started) at j = 0 / nbw-1 — clamped in 128-lane
+                # units so Mosaic can prove the start divisible by the
+                # tiling
+                jsafe = jnp.clip(
+                    j * (tw // 128) - orw // 128,
+                    0, max((w128 - swp) // 128, 0),
+                ) * 128
+                ps.append(
+                    ((j > 0) & (j < nbw - 1), lambda: pltpu.make_async_copy(
+                        x_hbm.at[c, pl.ds(fr0, fh), pl.ds(jsafe, swp)],
+                        dst(0, swp), sem.at[slot, 2],
+                    ))
+                )
+            return ps
 
         cps = [
-            (j >= 0, lambda: pltpu.make_async_copy(
+            (i == 0, lambda: pltpu.make_async_copy(
                 top.at[c, pl.ds(0, orh), pl.ds(j * tw, swp)],
                 win.at[slot, pl.ds(0, orh), pl.ds(0, swp)],
                 sem.at[slot, 0],
             )),
-            (j >= 0, lambda: pltpu.make_async_copy(
+            (i == nbh - 1, lambda: pltpu.make_async_copy(
                 bot.at[c, pl.ds(0, hb), pl.ds(j * tw, swp)],
-                win.at[slot, pl.ds(orh + h8, hb), pl.ds(0, swp)],
+                win.at[slot, pl.ds(bot_dst, hb), pl.ds(0, swp)],
                 sem.at[slot, 1],
             )),
-            # first window: left border + frame cols [0, fl)
-            (j == 0, lambda: pltpu.make_async_copy(
-                lb.at[c], mid_dst(0, orw), sem.at[slot, 2],
-            )),
-            (j == 0, lambda: pltpu.make_async_copy(
-                x_hbm.at[c, pl.ds(0, h8), pl.ds(0, fl)],
-                mid_dst(orw, fl), sem.at[slot, 3],
-            )),
-            # last window: frame cols [s0, w128) + right border
-            (j == nbw - 1, lambda: pltpu.make_async_copy(
-                x_hbm.at[c, pl.ds(0, h8), pl.ds(s0, wlast)],
-                mid_dst(0, wlast), sem.at[slot, 2],
-            )),
-            (j == nbw - 1, lambda: pltpu.make_async_copy(
-                rb.at[c], mid_dst(wlast, wr), sem.at[slot, 3],
-            )),
         ]
-        if nbw > 2:
-            # interior windows read the original frame in one piece; the
-            # start is clamped so the descriptor stays legal (never
-            # started) at j = 0 / nbw-1 — clamped in 128-lane units so
-            # Mosaic can prove the slice start divisible by the tiling
-            jsafe = jnp.clip(
-                j * (tw // 128) - orw // 128, 0, max((w128 - swp) // 128, 0)
-            ) * 128
-            cps.append(((j > 0) & (j < nbw - 1), lambda: pltpu.make_async_copy(
-                x_hbm.at[c, pl.ds(0, h8), pl.ds(jsafe, swp)],
-                mid_dst(0, swp), sem.at[slot, 2],
-            )))
+        if nbh == 1:
+            for cond, mk in pieces(0, orh, h8):
+                cps.append((cond, mk))
+        else:
+            # strip classes share sems 2/3: exactly one class fires per i
+            for cond, mk in pieces(0, orh, fh_first):
+                cps.append(((i == 0) & cond, mk))
+            for cond, mk in pieces((nbh - 1) * th - orh, 0, fh_last):
+                cps.append(((i == nbh - 1) & cond, mk))
+            if nbh > 2:
+                # clamped in 8-sublane units so Mosaic can prove the
+                # start divisible by the tiling; interior strips satisfy
+                # rs + shp <= h8 by the _direct_applicable gate
+                rsafe = jnp.clip(
+                    i * (th // 8) - orh // 8, 0, max((h8 - shp) // 8, 0)
+                ) * 8
+                for cond, mk in pieces(rsafe, 0, shp):
+                    cps.append(
+                        ((i > 0) & (i < nbh - 1) & cond, mk)
+                    )
         return cps
 
     def start(slot, j):
@@ -474,10 +521,13 @@ def _direct_applicable(
     rows_prepadded: bool,
 ) -> bool:
     """True when the no-assemble direct kernel serves this geometry:
-    whole-height strips, at least two column windows, window halos no
-    wider than one tile (so only the first/last windows straddle the
-    frame's column range), and the second-to-last window's frame read in
-    bounds. Everything else keeps the assemble form."""
+    at least two column windows, window halos no wider than one tile (so
+    only the first/last windows straddle the frame's column range), the
+    second-to-last window's frame read in bounds — and, for multi-strip
+    grids (giant frames), the analogous row conditions: ``th >= orh``
+    (only strip 0 touches the ``top`` strip) and the second-to-last
+    strip's fetch ending inside the frame region (only the last strip
+    touches ``bot``). Everything else keeps the assemble form."""
     if rows_prepadded or h < 8 or w < 128:
         return False
     if tw % 128 or th % 8:
@@ -486,7 +536,7 @@ def _direct_applicable(
         # policy tiles always are, but tile= is a public kwarg
         return False
     nbh, nbw = -(-h // th), -(-w // tw)
-    if nbh != 1 or nbw < 2:
+    if nbw < 2:
         return False
     orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
     w128 = (w // 128) * 128
@@ -494,6 +544,12 @@ def _direct_applicable(
         return False
     if nbw > 2 and (nbw - 2) * tw - orw + swp > w128:
         return False
+    if nbh > 1:
+        h8 = (h // 8) * 8
+        # each row strip may touch at most one thin strip: strip 0 only
+        # top (th >= orh), strips <= nbh-2 end inside the frame region
+        if orh > th or (nbh - 2) * th + shp > orh + h8:
+            return False
     return True
 
 
@@ -1006,18 +1062,18 @@ def _dma_kernel_call_direct(
     ch: int,
 ) -> jnp.ndarray:
     """No-assemble pallas_call on the ORIGINAL ``(bc, h, w)`` frame ->
-    uncropped ``(bc, th, wout)``. The whole-height window splice
+    uncropped ``(bc, nbh*th, wout)``. The in-VMEM window splice
     (``_kernel_direct``) replaces the padded-frame assemble stage — the
     only XLA-built inputs are the four thin edge strips."""
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
     orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
     bc = x.shape[0]
-    nbw = -(-w // tw)
+    nbh, nbw = -(-h // th), -(-w // tw)
     h8, w128 = (h // 8) * 8, (w // 128) * 128
     wout = min(nbw * tw, -(-w // 128) * 128)
     tl = wout - (nbw - 1) * tw
-    hp = shp  # nbh == 1
+    hp = (nbh - 1) * th + shp
     wp = (nbw - 1) * tw + swp
     wr = wp - orw - w128
 
@@ -1026,12 +1082,12 @@ def _dma_kernel_call_direct(
     bw, bh, rows_shift, cols_scale = _band_operands(plan, precision, cw, ch)
 
     mat = lambda shape: pl.BlockSpec(
-        shape, (lambda c: (0,) * len(shape)), memory_space=pltpu.VMEM
+        shape, (lambda c, i: (0,) * len(shape)), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel_direct, sh=sh, sw=sw, swp=swp, th=th, tw=tw,
-            nbw=nbw, cw=cw, ch=ch, precision=precision,
+            _kernel_direct, sh=sh, shp=shp, sw=sw, swp=swp, th=th, tw=tw,
+            nbh=nbh, nbw=nbw, cw=cw, ch=ch, precision=precision,
             rows_shift=rows_shift, cols_scale=cols_scale, out_u8=out_u8,
             ro=ro, co=co, tl=tl, orh=orh, orw=orw, h8=h8, w128=w128, hb=hb,
             wr=wr,
@@ -1039,16 +1095,16 @@ def _dma_kernel_call_direct(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_hw().kernel_vmem_limit
         ),
-        grid=(bc,),
+        grid=(bc, nbh),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5 + [
             mat(bw.shape),
             mat(bh.shape),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, wout), lambda c: (c, 0, 0), memory_space=pltpu.VMEM
+            (1, th, wout), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (bc, th, wout), jnp.uint8 if out_u8 else jnp.float32
+            (bc, nbh * th, wout), jnp.uint8 if out_u8 else jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM((2, shp, swp), x.dtype),

@@ -851,15 +851,23 @@ class TestDmaForm:
             np.testing.assert_array_equal(a, b, err_msg=f"{(h, w, prec)}")
 
     def test_direct_applicable_gates(self):
-        """Geometry gates of the direct form: whole-height strips only,
-        nbw >= 2, orw <= tw, edge strips within the frame."""
+        """Geometry gates of the direct form: nbw >= 2, orw <= tw, edge
+        strips within the frame; multi-strip grids additionally need
+        th >= orh and the second-to-last strip's fetch inside the frame
+        region (each strip touches at most one thin strip)."""
         from blur_algorithms_tpu.pallas_kernels.fused_dma import (
             _direct_applicable,
         )
 
         assert _direct_applicable(2160, 3840, 2160, 384, 32, 32, False)
-        # partial-height strips -> assemble form
-        assert not _direct_applicable(2160, 3840, 720, 384, 32, 32, False)
+        # multi-strip grids splice directly too (round 2: giant frames)
+        assert _direct_applicable(2160, 3840, 720, 384, 32, 32, False)
+        assert _direct_applicable(24000, 14500, 2400, 384, 99, 99, False)
+        # wide radii (orw > tw) keep the assemble form even multi-strip
+        assert not _direct_applicable(24000, 14500, 2400, 384, 515, 515,
+                                      False)
+        # strip shorter than the top strip (th < orh) -> assemble form
+        assert not _direct_applicable(2160, 3840, 160, 384, 400, 32, False)
         # rows-prepadded (multi-chip shard) -> assemble form
         assert not _direct_applicable(2160, 3840, 2160, 384, 32, 32, True)
         # single column window -> assemble form
@@ -871,6 +879,58 @@ class TestDmaForm:
         # on a 1024-wide frame read the wrong frame columns)
         assert not _direct_applicable(40, 1024, 40, 320, 4, 4, False)
         assert not _direct_applicable(44, 1024, 44, 256, 4, 4, False)
+
+    def test_direct_multistrip_interpret(self, rng):
+        """Multi-strip direct splice (nbh > 1): strip 0 = top + frame,
+        interior strips one frame piece, last strip frame + bot — must be
+        BIT-identical to the assemble form (same virtual padded frame by
+        construction) and match the oracle. Covers nbh = 2 and 3 (with an
+        interior strip AND an interior column window), ragged heights
+        (grid-padding rows on the last strip), and both precisions."""
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _blur_fused_dma_impl,
+            _direct_applicable,
+        )
+
+        cases = [
+            # (h, w, sigma, (th, tw)) — nbh = 2 / 3, nbw = 2 / 3
+            (96, 256, 3.0, (48, 128)),
+            (120, 384, 2.0, (40, 128)),
+            (100, 256, 2.0, (40, 128)),  # ragged: 3 strips cover 120
+        ]
+        for h, w, sigma, tile in cases:
+            plan = make_plan((h, w), sigma)
+            rh, rw = plan.col.support_radius, plan.row.support_radius
+            assert _direct_applicable(h, w, *tile, rh, rw, False), (h, w)
+            img = (rng.random((1, h, w)) * 255).astype(np.uint8)
+            x = jnp.asarray(img)
+            direct = np.asarray(
+                _blur_fused_dma_impl(
+                    x, plan, "int8", True, tile=tile, direct=True
+                )
+            )
+            assembled = np.asarray(
+                _blur_fused_dma_impl(
+                    x, plan, "int8", True, tile=tile, direct=False
+                )
+            )
+            np.testing.assert_array_equal(direct, assembled)
+            want = oracle.blur_u8(img[0][..., None], sigma)[..., 0]
+            d = np.abs(direct[0].astype(int) - want.astype(int))
+            assert d.max() <= 1, (h, w)
+
+        # float route through the same splice
+        h, w, sigma, tile = 120, 384, 2.0, (40, 128)
+        plan = make_plan((h, w), sigma)
+        xf = rng.random((1, h, w)).astype(np.float32) * 255
+        got = np.asarray(
+            _blur_fused_dma_impl(
+                jnp.asarray(xf), plan, "bf16x3", False, tile=tile,
+                direct=True,
+            )
+        )
+        np.testing.assert_allclose(got, oracle.blur_direct(xf, plan),
+                                   atol=5e-2)
 
     def test_assemble_padded_matches_reflect_pad(self, rng):
         """``_assemble_padded`` (thin edge strips + 5 aligned HBM->HBM
