@@ -185,6 +185,10 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
     s0 = (nbw - 1) * tw - orw       # last window's frame col start
     wlast = w128 - s0               # ... and its frame piece width
     fl = swp - orw                  # first window's frame piece width
+    # second-to-last window's overhang past the frame region (== wr - tw;
+    # at most orw <= tw, so windows j <= nbw-3 never overhang). When
+    # positive, that window gets its own frame + rb 2-piece splice.
+    ov = (nbw - 2) * tw - orw + swp - w128 if nbw > 2 else 0
     # frame-piece geometry per row-strip class: (dst row, height). The
     # last strip's piece ends at the frame region's end; its bot piece
     # lands right below. nbh == 1: the original top+frame+bot splice.
@@ -222,18 +226,35 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
                     sem.at[slot, 3],
                 )),
             ]
-            if nbw > 2:
+            if ov > 0:
+                # second-to-last window: frame cols [s1, w128) + the
+                # first ov cols of the right border strip (static
+                # geometry, like the last window)
+                s1 = (nbw - 2) * tw - orw
+                wmid = w128 - s1
+                ps += [
+                    (j == nbw - 2, lambda: pltpu.make_async_copy(
+                        x_hbm.at[c, pl.ds(fr0, fh), pl.ds(s1, wmid)],
+                        dst(0, wmid), sem.at[slot, 2],
+                    )),
+                    (j == nbw - 2, lambda: pltpu.make_async_copy(
+                        rb.at[c, pl.ds(fr0, fh), pl.ds(0, ov)],
+                        dst(wmid, ov), sem.at[slot, 3],
+                    )),
+                ]
+            if nbw > 2 + (ov > 0):
                 # interior windows read the original frame in one piece;
                 # the start is clamped so the descriptor stays legal
-                # (never started) at j = 0 / nbw-1 — clamped in 128-lane
-                # units so Mosaic can prove the start divisible by the
-                # tiling
+                # (never started) at the edge/overhang windows — clamped
+                # in 128-lane units so Mosaic can prove the start
+                # divisible by the tiling
+                jhi = nbw - 1 - (ov > 0)
                 jsafe = jnp.clip(
                     j * (tw // 128) - orw // 128,
                     0, max((w128 - swp) // 128, 0),
                 ) * 128
                 ps.append(
-                    ((j > 0) & (j < nbw - 1), lambda: pltpu.make_async_copy(
+                    ((j > 0) & (j < jhi), lambda: pltpu.make_async_copy(
                         x_hbm.at[c, pl.ds(fr0, fh), pl.ds(jsafe, swp)],
                         dst(0, swp), sem.at[slot, 2],
                     ))
@@ -522,8 +543,8 @@ def _direct_applicable(
 ) -> bool:
     """True when the no-assemble direct kernel serves this geometry:
     at least two column windows, window halos no wider than one tile (so
-    only the first/last windows straddle the frame's column range), the
-    second-to-last window's frame read in bounds — and, for multi-strip
+    at most the first/last/second-to-last windows straddle the frame's
+    column range — each has a static splice) — and, for multi-strip
     grids (giant frames), the analogous row conditions: ``th >= orh``
     (only strip 0 touches the ``top`` strip) and the second-to-last
     strip's fetch ending inside the frame region (only the last strip
@@ -542,8 +563,10 @@ def _direct_applicable(
     w128 = (w // 128) * 128
     if orw > tw or swp - orw > w:
         return False
-    if nbw > 2 and (nbw - 2) * tw - orw + swp > w128:
-        return False
+    # a second-to-last window whose fetch overhangs the frame region
+    # ((nbw-2)*tw - orw + swp > w128) gets its own frame + rb splice in
+    # the kernel; the overhang is wr - tw <= orw <= tw, so windows
+    # j <= nbw-3 always stay in bounds — no column gate needed
     if nbh > 1:
         h8 = (h // 8) * 8
         # each row strip may touch at most one thin strip: strip 0 only

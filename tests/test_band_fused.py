@@ -863,6 +863,9 @@ class TestDmaForm:
         # multi-strip grids splice directly too (round 2: giant frames)
         assert _direct_applicable(2160, 3840, 720, 384, 32, 32, False)
         assert _direct_applicable(24000, 14500, 2400, 384, 99, 99, False)
+        # second-to-last window overhanging the frame region gets its
+        # own frame + rb splice (12000x9000 r=165 geometry)
+        assert _direct_applicable(12000, 9000, 3000, 384, 165, 165, False)
         # wide radii (orw > tw) keep the assemble form even multi-strip
         assert not _direct_applicable(24000, 14500, 2400, 384, 515, 515,
                                       False)
@@ -897,6 +900,11 @@ class TestDmaForm:
             (96, 256, 3.0, (48, 128)),
             (120, 384, 2.0, (40, 128)),
             (100, 256, 2.0, (40, 128)),  # ragged: 3 strips cover 120
+            # second-to-last window overhangs the frame region
+            # (ov = 128): its own frame + rb splice; nbw = 3 (no plain
+            # interior) and nbw = 5 (plain interiors j = 1, 2 as well)
+            (96, 300, 3.0, (48, 128)),
+            (96, 556, 3.0, (48, 128)),
         ]
         for h, w, sigma, tile in cases:
             plan = make_plan((h, w), sigma)
