@@ -150,149 +150,163 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
     jax.lax.fori_loop(0, nbw, body, None, unroll=False)
 
 
+def _col_splices(nbw, tw, orw, swp, w128):
+    """Static column splice table for the direct kernel.
+
+    Window ``j`` fetches frame columns ``[j*tw - orw, j*tw - orw + swp)``
+    (the frame region is ``[0, w128)``; ``lb`` holds padded cols left of
+    it, ``rb`` right of it). Returns ``(special, jlo, jhi)``: ``special``
+    maps straddling window index -> segments
+    ``(kind, src_col0, dst_col0, width)`` with kind in {lb, frame, rb}
+    and src_col0 in that strip's own coordinates; ``[jlo, jhi)`` are the
+    plain interior windows (a single in-bounds frame read). All starts
+    and widths are multiples of 128 by construction."""
+    special = {}
+    for j0 in range(nbw):
+        s = j0 * tw - orw
+        e = s + swp
+        if 0 <= s and e <= w128:
+            continue
+        segs = []
+        if s < 0:
+            segs.append(("lb", j0 * tw, 0, -s))
+        f0, f1 = max(s, 0), min(e, w128)
+        segs.append(("frame", f0, f0 - s, f1 - f0))
+        if e > w128:
+            segs.append(("rb", 0, f1 - s, e - w128))
+        special[j0] = segs
+    jlo = max((j0 + 1 for j0 in special if j0 * tw < orw), default=0)
+    jhi = min((j0 for j0 in special if j0 * tw - orw + swp > w128),
+              default=nbw)
+    return special, jlo, jhi
+
+
+def _row_splices(nbh, th, orh, shp, h8):
+    """Static row splice table (the vertical analog of ``_col_splices``).
+
+    Strip ``i`` fetches frame rows ``[i*th - orh, i*th - orh + shp)``;
+    the frame region is ``[0, h8)``, ``top``/``bot`` hold the padded rows
+    above/below it. Returns ``(special, ilo, ihi)``: ``special`` maps
+    straddling strip index -> ``(top_seg, frame_seg, bot_seg)`` where
+    top/bot segs are ``(src_row0, height)`` / ``(dst_row0, height)`` or
+    None and frame_seg is ``(fr0, dr0, fh)``. Unlike columns, a strip
+    may touch BOTH top and bot (``nbh == 1`` always does) — they ride
+    separate semaphores. All starts/heights are multiples of 8."""
+    special = {}
+    for i0 in range(nbh):
+        rs = i0 * th - orh
+        re = rs + shp
+        if 0 <= rs and re <= h8:
+            continue
+        topseg = (i0 * th, -rs) if rs < 0 else None
+        f0, f1 = max(rs, 0), min(re, h8)
+        frame = (f0, f0 - rs, f1 - f0)
+        botseg = (f1 - rs, re - h8) if re > h8 else None
+        special[i0] = (topseg, frame, botseg)
+    ilo = max((i0 + 1 for i0 in special if i0 * th < orh), default=0)
+    ihi = min((i0 for i0 in special if i0 * th - orh + shp > h8),
+              default=nbh)
+    return special, ilo, ihi
+
+
 def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
                    win, sem, *,
                    sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
                    nbh: int, nbw: int, cw: int, ch: int, precision: str,
                    rows_shift: int, cols_scale: int, out_u8: bool,
                    ro: int, co: int, tl: int,
-                   orh: int, orw: int, h8: int, w128: int, hb: int,
-                   wr: int):
+                   orh: int, orw: int, h8: int, w128: int):
     """No-assemble form: every window is spliced in VMEM.
 
     Instead of fetching from a pre-assembled padded frame (a full-frame
-    HBM read+write), each ``(shp, swp)`` window is built from 3-4 DMAs
-    with identical contents: a thin ``top`` strip (rows ``[0, orh)`` of
-    the virtual padded frame, first row strip only), a frame piece —
-    sourced straight from the ORIGINAL frame for interior windows; the
-    first/last column window splices the thin ``lb``/``rb`` border strip
-    with its frame piece — and a thin ``bot`` strip (original tail rows
-    + reflection + slack, last row strip only). Interior windows
-    therefore read every input byte exactly the window overlap ratio
-    with NO whole-frame assemble copy in front.
+    HBM read+write), each ``(shp, swp)`` window is built from a few DMAs
+    with identical contents: plain interior windows read the ORIGINAL
+    frame in one piece, and every window/strip whose fetch straddles the
+    frame region's boundary gets a STATIC splice from the thin ``top`` /
+    ``bot`` / ``lb`` / ``rb`` edge strips (``_col_splices`` /
+    ``_row_splices`` enumerate them at trace time; wide radii can make
+    several windows per side straddle). Interior windows therefore read
+    every input byte exactly the window overlap ratio with NO
+    whole-frame assemble copy in front.
 
-    Multi-strip grids (``nbh > 1``, giant frames) are gated so each row
-    strip touches at most one thin strip: strip 0 splices ``top`` + a
-    frame piece, interior strips read one full-height frame piece, the
-    last strip a frame piece + ``bot`` (``_direct_applicable`` requires
-    ``th >= orh`` and the second-to-last strip's fetch to end inside the
-    frame region). Frame-piece row starts ``i*th - orh`` are multiples
-    of 8 by construction. ``nbh == 1`` keeps the original whole-height
-    splice (top + frame + bot in one window).
+    Semaphores: top rides sem 0, bot sem 1, the (<= 2) column segments
+    of each frame piece sems 2/3 — a window needing lb AND rb at once is
+    gated to the assemble form (``_direct_applicable``). All splice
+    starts/extents are multiples of the (8, 128) tiling by construction.
     """
     c = pl.program_id(0)
     i = pl.program_id(1)
-    s0 = (nbw - 1) * tw - orw       # last window's frame col start
-    wlast = w128 - s0               # ... and its frame piece width
-    fl = swp - orw                  # first window's frame piece width
-    # second-to-last window's overhang past the frame region (== wr - tw;
-    # at most orw <= tw, so windows j <= nbw-3 never overhang). When
-    # positive, that window gets its own frame + rb 2-piece splice.
-    ov = (nbw - 2) * tw - orw + swp - w128 if nbw > 2 else 0
-    # frame-piece geometry per row-strip class: (dst row, height). The
-    # last strip's piece ends at the frame region's end; its bot piece
-    # lands right below. nbh == 1: the original top+frame+bot splice.
-    fh_first = h8 if nbh == 1 else shp - orh
-    fh_last = orh + h8 - (nbh - 1) * th  # == fh_first when nbh == 1
-    bot_dst = fh_last if nbh > 1 else orh + h8
+    col_tab, jlo, jhi = _col_splices(nbw, tw, orw, swp, w128)
+    row_tab, ilo, ihi = _row_splices(nbh, th, orh, shp, h8)
 
     def copies(slot, j):
         # (cond, make-descriptor) pairs — construction is deferred into
         # the pl.when branch so only the branch that fires builds (and
-        # uses) its descriptor. Frame pieces use sems 2 (and 3 for the
-        # two-piece edge windows); top/bot ride sems 0/1.
+        # uses) its descriptor. Straddling windows/strips compare j/i
+        # against Python constants; plain interiors share one clamped
+        # dynamic read.
         def pieces(fr0, dr0, fh):
-            """The 3-way column splice of one (fh)-tall frame piece read
-            from frame rows [fr0, fr0 + fh) into window rows
-            [dr0, dr0 + fh)."""
+            """Column splice of one (fh)-tall frame piece read from
+            frame rows [fr0, fr0 + fh) into window rows [dr0, ...)."""
 
-            def dst(col0, width):
-                return win.at[slot, pl.ds(dr0, fh), pl.ds(col0, width)]
+            def seg_copy(kind, sc, dc, wd, semk):
+                src = {"lb": lb, "rb": rb, "frame": x_hbm}[kind]
+                return lambda: pltpu.make_async_copy(
+                    src.at[c, pl.ds(fr0, fh), pl.ds(sc, wd)],
+                    win.at[slot, pl.ds(dr0, fh), pl.ds(dc, wd)],
+                    sem.at[slot, semk],
+                )
 
-            ps = [
-                (j == 0, lambda: pltpu.make_async_copy(
-                    lb.at[c, pl.ds(fr0, fh)], dst(0, orw), sem.at[slot, 2],
-                )),
-                (j == 0, lambda: pltpu.make_async_copy(
-                    x_hbm.at[c, pl.ds(fr0, fh), pl.ds(0, fl)],
-                    dst(orw, fl), sem.at[slot, 3],
-                )),
-                (j == nbw - 1, lambda: pltpu.make_async_copy(
-                    x_hbm.at[c, pl.ds(fr0, fh), pl.ds(s0, wlast)],
-                    dst(0, wlast), sem.at[slot, 2],
-                )),
-                (j == nbw - 1, lambda: pltpu.make_async_copy(
-                    rb.at[c, pl.ds(fr0, fh)], dst(wlast, wr),
-                    sem.at[slot, 3],
-                )),
-            ]
-            if ov > 0:
-                # second-to-last window: frame cols [s1, w128) + the
-                # first ov cols of the right border strip (static
-                # geometry, like the last window)
-                s1 = (nbw - 2) * tw - orw
-                wmid = w128 - s1
-                ps += [
-                    (j == nbw - 2, lambda: pltpu.make_async_copy(
-                        x_hbm.at[c, pl.ds(fr0, fh), pl.ds(s1, wmid)],
-                        dst(0, wmid), sem.at[slot, 2],
-                    )),
-                    (j == nbw - 2, lambda: pltpu.make_async_copy(
-                        rb.at[c, pl.ds(fr0, fh), pl.ds(0, ov)],
-                        dst(wmid, ov), sem.at[slot, 3],
-                    )),
-                ]
-            if nbw > 2 + (ov > 0):
-                # interior windows read the original frame in one piece;
-                # the start is clamped so the descriptor stays legal
-                # (never started) at the edge/overhang windows — clamped
-                # in 128-lane units so Mosaic can prove the start
-                # divisible by the tiling
-                jhi = nbw - 1 - (ov > 0)
+            ps = []
+            for j0, segs in col_tab.items():
+                for k, (kind, sc, dc, wd) in enumerate(segs):
+                    ps.append((j == j0, seg_copy(kind, sc, dc, wd, 2 + k)))
+            if jhi > jlo:
+                # plain interior windows read the frame in one piece;
+                # the start is clamped (in 128-lane units, so Mosaic can
+                # prove it divisible by the tiling) so the descriptor
+                # stays legal when the branch is off
                 jsafe = jnp.clip(
                     j * (tw // 128) - orw // 128,
                     0, max((w128 - swp) // 128, 0),
                 ) * 128
                 ps.append(
-                    ((j > 0) & (j < jhi), lambda: pltpu.make_async_copy(
+                    ((j >= jlo) & (j < jhi), lambda: pltpu.make_async_copy(
                         x_hbm.at[c, pl.ds(fr0, fh), pl.ds(jsafe, swp)],
-                        dst(0, swp), sem.at[slot, 2],
+                        win.at[slot, pl.ds(dr0, fh), pl.ds(0, swp)],
+                        sem.at[slot, 2],
                     ))
                 )
             return ps
 
-        cps = [
-            (i == 0, lambda: pltpu.make_async_copy(
-                top.at[c, pl.ds(0, orh), pl.ds(j * tw, swp)],
-                win.at[slot, pl.ds(0, orh), pl.ds(0, swp)],
-                sem.at[slot, 0],
-            )),
-            (i == nbh - 1, lambda: pltpu.make_async_copy(
-                bot.at[c, pl.ds(0, hb), pl.ds(j * tw, swp)],
-                win.at[slot, pl.ds(bot_dst, hb), pl.ds(0, swp)],
-                sem.at[slot, 1],
-            )),
-        ]
-        if nbh == 1:
-            for cond, mk in pieces(0, orh, h8):
-                cps.append((cond, mk))
-        else:
-            # strip classes share sems 2/3: exactly one class fires per i
-            for cond, mk in pieces(0, orh, fh_first):
-                cps.append(((i == 0) & cond, mk))
-            for cond, mk in pieces((nbh - 1) * th - orh, 0, fh_last):
-                cps.append(((i == nbh - 1) & cond, mk))
-            if nbh > 2:
-                # clamped in 8-sublane units so Mosaic can prove the
-                # start divisible by the tiling; interior strips satisfy
-                # rs + shp <= h8 by the _direct_applicable gate
-                rsafe = jnp.clip(
-                    i * (th // 8) - orh // 8, 0, max((h8 - shp) // 8, 0)
-                ) * 8
-                for cond, mk in pieces(rsafe, 0, shp):
-                    cps.append(
-                        ((i > 0) & (i < nbh - 1) & cond, mk)
-                    )
+        cps = []
+        for i0, (topseg, frame_seg, botseg) in row_tab.items():
+            if topseg is not None:
+                sr, hg = topseg
+                cps.append((i == i0, lambda sr=sr, hg=hg:
+                            pltpu.make_async_copy(
+                                top.at[c, pl.ds(sr, hg), pl.ds(j * tw, swp)],
+                                win.at[slot, pl.ds(0, hg), pl.ds(0, swp)],
+                                sem.at[slot, 0],
+                            )))
+            for cond, mk in pieces(*frame_seg):
+                cps.append(((i == i0) & cond, mk))
+            if botseg is not None:
+                dr, hg = botseg
+                cps.append((i == i0, lambda dr=dr, hg=hg:
+                            pltpu.make_async_copy(
+                                bot.at[c, pl.ds(0, hg), pl.ds(j * tw, swp)],
+                                win.at[slot, pl.ds(dr, hg), pl.ds(0, swp)],
+                                sem.at[slot, 1],
+                            )))
+        if ihi > ilo:
+            # plain interior strips: one full-window frame read, start
+            # clamped in 8-sublane units (same legality trick as jsafe)
+            rsafe = jnp.clip(
+                i * (th // 8) - orh // 8, 0, max((h8 - shp) // 8, 0)
+            ) * 8
+            for cond, mk in pieces(rsafe, 0, shp):
+                cps.append(((i >= ilo) & (i < ihi) & cond, mk))
         return cps
 
     def start(slot, j):
@@ -541,38 +555,39 @@ def _direct_applicable(
     h: int, w: int, th: int, tw: int, rh: int, rw: int,
     rows_prepadded: bool,
 ) -> bool:
-    """True when the no-assemble direct kernel serves this geometry:
-    at least two column windows, window halos no wider than one tile (so
-    at most the first/last/second-to-last windows straddle the frame's
-    column range — each has a static splice) — and, for multi-strip
-    grids (giant frames), the analogous row conditions: ``th >= orh``
-    (only strip 0 touches the ``top`` strip) and the second-to-last
-    strip's fetch ending inside the frame region (only the last strip
-    touches ``bot``). Everything else keeps the assemble form."""
+    """True when the no-assemble direct kernel serves this geometry.
+
+    Straddling windows/strips get static splices (``_col_splices`` /
+    ``_row_splices``), so the only hard gates left are: at least two
+    column windows, no window needing the left AND right border strips
+    at once (it would need a third column semaphore), and every window /
+    strip keeping a non-empty frame piece. Everything else — wide radii,
+    ragged multi-strip grids, several straddlers per side — runs direct;
+    the assemble form remains for what's gated here."""
     if rows_prepadded or h < 8 or w < 128:
         return False
     if tw % 128 or th % 8:
-        # the interior-window start arithmetic (jsafe, in 128-lane units)
-        # and the vertical splice offsets assume tile-aligned tiles; the
-        # policy tiles always are, but tile= is a public kwarg
+        # the splice arithmetic (jsafe/rsafe clamps, segment offsets)
+        # assumes tile-aligned tiles; the policy tiles always are, but
+        # tile= is a public kwarg
         return False
     nbh, nbw = -(-h // th), -(-w // tw)
     if nbw < 2:
         return False
     orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
-    w128 = (w // 128) * 128
-    if orw > tw or swp - orw > w:
-        return False
-    # a second-to-last window whose fetch overhangs the frame region
-    # ((nbw-2)*tw - orw + swp > w128) gets its own frame + rb splice in
-    # the kernel; the overhang is wr - tw <= orw <= tw, so windows
-    # j <= nbw-3 always stay in bounds — no column gate needed
-    if nbh > 1:
-        h8 = (h // 8) * 8
-        # each row strip may touch at most one thin strip: strip 0 only
-        # top (th >= orh), strips <= nbh-2 end inside the frame region
-        if orh > th or (nbh - 2) * th + shp > orh + h8:
-            return False
+    h8, w128 = (h // 8) * 8, (w // 128) * 128
+    for j0 in range(nbw):
+        s = j0 * tw - orw
+        e = s + swp
+        if s < 0 and e > w128:
+            return False  # lb + frame + rb would need a 3rd column sem
+        if min(e, w128) <= max(s, 0):
+            return False  # degenerate: no frame columns in this window
+    for i0 in range(nbh):
+        rs = i0 * th - orh
+        re = rs + shp
+        if min(re, h8) <= max(rs, 0):
+            return False  # degenerate: no frame rows in this strip
     return True
 
 
@@ -1112,8 +1127,7 @@ def _dma_kernel_call_direct(
             _kernel_direct, sh=sh, shp=shp, sw=sw, swp=swp, th=th, tw=tw,
             nbh=nbh, nbw=nbw, cw=cw, ch=ch, precision=precision,
             rows_shift=rows_shift, cols_scale=cols_scale, out_u8=out_u8,
-            ro=ro, co=co, tl=tl, orh=orh, orw=orw, h8=h8, w128=w128, hb=hb,
-            wr=wr,
+            ro=ro, co=co, tl=tl, orh=orh, orw=orw, h8=h8, w128=w128,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_hw().kernel_vmem_limit

@@ -866,17 +866,23 @@ class TestDmaForm:
         # second-to-last window overhanging the frame region gets its
         # own frame + rb splice (12000x9000 r=165 geometry)
         assert _direct_applicable(12000, 9000, 3000, 384, 165, 165, False)
-        # wide radii (orw > tw) keep the assemble form even multi-strip
-        assert not _direct_applicable(24000, 14500, 2400, 384, 515, 515,
+        # wide radii (orw > tw): several windows straddle each border —
+        # static splices cover them (round 2: the giant sweep points)
+        assert _direct_applicable(24000, 14500, 2400, 384, 515, 515,
+                                  False)
+        # strips shorter than the top strip (th < orh): multiple strips
+        # splice from `top`
+        assert _direct_applicable(2160, 3840, 160, 384, 400, 32, False)
+        # a window needing lb AND rb at once (3-piece) -> assemble form
+        assert not _direct_applicable(2160, 256, 2160, 128, 32, 200,
                                       False)
-        # strip shorter than the top strip (th < orh) -> assemble form
-        assert not _direct_applicable(2160, 3840, 160, 384, 400, 32, False)
         # rows-prepadded (multi-chip shard) -> assemble form
         assert not _direct_applicable(2160, 3840, 2160, 384, 32, 32, True)
         # single column window -> assemble form
         assert not _direct_applicable(2160, 256, 2160, 384, 32, 32, False)
-        # halo wider than a tile (orw > tw) -> assemble form
-        assert not _direct_applicable(2160, 3840, 2160, 256, 400, 400, False)
+        # halo wider than a tile (orw > tw) now splices several windows
+        # per side statically
+        assert _direct_applicable(2160, 3840, 2160, 256, 400, 400, False)
         # non-tile-aligned tile= kwarg: the interior-window jsafe
         # arithmetic assumes tw % 128 == 0 (regression: a (40, 320) tile
         # on a 1024-wide frame read the wrong frame columns)
@@ -905,6 +911,12 @@ class TestDmaForm:
             # interior) and nbw = 5 (plain interiors j = 1, 2 as well)
             (96, 300, 3.0, (48, 128)),
             (96, 556, 3.0, (48, 128)),
+            # wide radius (orw = 2*tw): two windows straddle lb, three
+            # straddle rb, NO plain window at all
+            (96, 600, (2.0, 50.0), (48, 128)),
+            # orh > th: two strips splice from `top`, two from `bot`,
+            # one plain interior strip
+            (80, 256, (6.3, 2.0), (16, 128)),
         ]
         for h, w, sigma, tile in cases:
             plan = make_plan((h, w), sigma)
