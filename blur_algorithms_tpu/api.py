@@ -664,8 +664,9 @@ def convolve_separable(
     ``ops.plan.make_custom_plan`` for the exact semantics). uint8
     interleaved ``(..., H, W, C)`` rounds/clips back to uint8 (the
     fixed-point int8 MXU path engages automatically for non-negative
-    unit-sum taps); float planar ``(..., H, W)`` returns float32. FFT
-    engines require symmetric taps; AUTO handles the fallback.
+    unit-sum taps); float planar ``(..., H, W)`` returns float32. Every
+    engine takes asymmetric taps — FFT engines carry the full complex
+    correlation spectrum (``kernels.complex_spectrum``) when Im != 0.
     """
     import numpy as np
 

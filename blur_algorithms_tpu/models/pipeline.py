@@ -100,6 +100,22 @@ class BlurPipeline:
             n += 1
         self._calls -= n
 
+    def ensure_compiled(
+        self, h: int, w: int, channels: int = 3, batch: tuple = ()
+    ) -> bool:
+        """Compile this shape's bucket program if it is new; True if it was.
+
+        Serving frontends call this BEFORE taking their device lock so a
+        cold bucket's XLA compile (seconds to minutes) never blocks other
+        requests or health checks; a warm bucket returns immediately.
+        """
+        bh, bw = (h, w) if self.exact else self._bucketed(h, w)
+        key = (tuple(batch), bh, bw, channels)
+        if key in self._seen:
+            return False
+        self.warmup([(h, w)], channels=channels, batch=batch)
+        return True
+
     @property
     def stats(self) -> dict:
         return {"calls": self._calls, "distinct_buckets": self._compiles}

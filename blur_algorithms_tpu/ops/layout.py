@@ -15,6 +15,7 @@ rounding noise, where the clip matches a saturating cast).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["to_planar", "from_planar", "round_to_u8"]
 
@@ -38,9 +39,20 @@ def from_planar(planar: jnp.ndarray, dtype=jnp.uint8) -> jnp.ndarray:
     if dtype == jnp.uint8:
         return round_to_u8(interleaved)
     if jnp.issubdtype(jnp.dtype(dtype), jnp.integer):
-        # same +0.5 truncation and range clip for every integral target
+        # same +0.5 truncation and range clip for every integral target.
+        # Clip bounds must be float32-representable values INSIDE the
+        # target range: float32(2^31 - 1) rounds up to 2^31, which would
+        # let a clipped value overflow the cast (int32/int64 targets).
         info = jnp.iinfo(jnp.dtype(dtype))
+        # compare in float64: float32(2^31 - 1) == 2^31 and NumPy's weak
+        # promotion would round info.max the same way before comparing
+        hi = np.float32(info.max)
+        if float(hi) > info.max:
+            hi = np.nextafter(hi, np.float32(0))
+        lo = np.float32(info.min)
+        if float(lo) < info.min:
+            lo = np.nextafter(lo, np.float32(0))
         return jnp.clip(
-            jnp.floor(interleaved + 0.5), float(info.min), float(info.max)
+            jnp.floor(interleaved + 0.5), float(lo), float(hi)
         ).astype(dtype)
     return interleaved.astype(dtype)

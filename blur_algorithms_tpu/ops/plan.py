@@ -258,9 +258,10 @@ def make_custom_plan(
 
     Taps wider than an axis allows (``pad <= dim - 1``) are centrally
     truncated WITHOUT renormalization (custom taps have caller-defined
-    scale). NOTE: ``AxisPlan.spectrum`` is only meaningful for symmetric
-    taps (real spectrum); the api layer restricts FFT engines accordingly —
-    the banded/fused/conv engines handle arbitrary taps.
+    scale). NOTE: ``AxisPlan.spectrum`` (the real spectrum) is the whole
+    story only for symmetric taps; asymmetric taps additionally carry the
+    full complex correlation spectrum in ``AxisPlan.spectrum_c``, which
+    the FFT engines use — every engine handles arbitrary taps.
     """
     h, w = int(shape[0]), int(shape[1])
     if h < 1 or w < 1:

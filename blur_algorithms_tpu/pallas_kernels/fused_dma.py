@@ -730,8 +730,18 @@ def _assemble_padded_prepad(
     )(x, bot, left, right)
 
 
-def dma_form_applicable(dtype, plan: BlurPlan, precision: str = "int8") -> bool:
-    """True when the DMA form serves this (dtype, plan, precision) on TPU."""
+def dma_form_applicable(
+    dtype, plan: BlurPlan, precision: str = "int8",
+    out_u8: bool | None = None,
+) -> bool:
+    """True when the DMA form serves this (dtype, plan, precision) on TPU.
+
+    ``out_u8`` sizes the VMEM model's double-buffered output strips;
+    ``None`` means the output dtype matches the input (u8->u8, f32->f32).
+    Callers producing float output from uint8 frames (the sharded path's
+    ``out_u8=False`` default) must pass ``out_u8=False`` or the model
+    under-counts the out strips 4x and approves geometries that blow VMEM.
+    """
     if jax.default_backend() != "tpu":
         return False
     is_u8 = jnp.dtype(dtype) == jnp.uint8
@@ -756,17 +766,18 @@ def dma_form_applicable(dtype, plan: BlurPlan, precision: str = "int8") -> bool:
         # growth ~6r/px loses to the split's two dense passes there.
         return False
     in_b = 1 if is_u8 else 4
+    out_b = in_b if out_u8 is None else (1 if out_u8 else 4)
     mat_b = 2 if precision == "int8" else 4
     h, w = plan.shape
-    th, tw = _pick_tile_dma(plan, in_b, precision)
+    th, tw = _pick_tile_dma(plan, in_b, precision, out_b=out_b)
     cw, ch = _pick_chunks_dma(th, tw, rh, rw, precision)
-    vmem = _dma_vmem_bytes(h, w, th, tw, rh, rw, in_b, mat_b, cw, ch)
+    vmem = _dma_vmem_bytes(h, w, th, tw, rh, rw, in_b, mat_b, cw, ch, out_b)
     return vmem <= _hw().wide_vmem_budget
 
 
 def _dma_vmem_bytes(
     h: int, w: int, th: int, tw: int, rh: int, rw: int,
-    in_b: int, mat_b: int, cw: int, ch: int,
+    in_b: int, mat_b: int, cw: int, ch: int, out_b: int | None = None,
 ) -> int:
     """VMEM bytes for one grid step of the DMA kernel at this geometry.
 
@@ -774,12 +785,16 @@ def _dma_vmem_bytes(
     stacks + the rows-pass intermediates (r/e int32 + the e1/e0 digit
     planes, all (sh, tw)-shaped) + the cols-pass digit products and f32
     tile ((th, tw) x 4 int32/f32 planes) + the out BlockSpec, which
-    holds the WHOLE row strip (1, th, nbw*tw) double-buffered — at u8
-    width for the u8 route, f32 for float frames. Both per-tile terms
-    scale with th, which is what bounds the whole-height tile choice.
+    holds the WHOLE row strip (1, th, nbw*tw) double-buffered — at the
+    OUTPUT element width ``out_b`` (1 for u8 out, 4 for f32 out; defaults
+    to ``in_b``, which matches u8->u8 and f32->f32 but NOT the sharded
+    path's u8-in/f32-out combination). Both per-tile terms scale with th,
+    which is what bounds the whole-height tile choice.
     """
     _, _, _, _, sh, _, shp, swp = _align_geometry(th, tw, rh, rw)
     nbw = -(-w // tw)
+    if out_b is None:
+        out_b = in_b
     return (
         2 * shp * swp * in_b
         + (cw + 2 * rw) * cw * mat_b
@@ -787,7 +802,7 @@ def _dma_vmem_bytes(
         + sh * tw * 10  # r + e (int32) + e1/e0 (int8)
         + th * tw * 16  # p1/p23/p4 (int32) + the f32 tile
         # out strips (ceil128(w) wide) are double-buffered too
-        + 2 * th * min(nbw * tw, -(-w // 128) * 128) * in_b
+        + 2 * th * min(nbw * tw, -(-w // 128) * 128) * out_b
     )
 
 
@@ -836,7 +851,7 @@ def _pick_chunks_dma(
 
 def _pick_tile_dma(
     plan: BlurPlan, in_b: int = 1, precision: str = "int8",
-    chunked: bool | None = None,
+    chunked: bool | None = None, out_b: int | None = None,
 ) -> tuple[int, int]:
     """Tile for the DMA form (no halo-block constraint on th).
 
@@ -918,11 +933,13 @@ def _pick_tile_dma(
         )
 
     mat_b = 2 if precision == "int8" else 4
+    if out_b is None:
+        out_b = in_b
 
     def vmem_fits(t: int, lanes: int) -> bool:
         cwc, chc = _pick_chunks_dma(t, lanes, rh, rw, precision)
         return _dma_vmem_bytes(
-            h, w, t, lanes, rh, rw, in_b, mat_b, cwc, chc
+            h, w, t, lanes, rh, rw, in_b, mat_b, cwc, chc, out_b
         ) <= _hw().wide_vmem_budget
 
     def vmax_tile(lanes: int) -> int | None:
@@ -987,7 +1004,7 @@ def _pick_tile_dma(
         choice = (th, tw)
         cw, ch = _pick_chunks_dma(th, tw, rh, rw, precision)
         fits = _dma_vmem_bytes(
-            h, w, th, tw, rh, rw, in_b, mat_b, cw, ch
+            h, w, th, tw, rh, rw, in_b, mat_b, cw, ch, out_b
         ) <= _hw().wide_vmem_budget
         if fits:
             return choice
@@ -1172,7 +1189,8 @@ def _blur_fused_dma_impl(
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
     in_b = 1 if planar.dtype == jnp.uint8 else 4
-    th, tw = tile or _pick_tile_dma(plan, in_b, precision)
+    out_b = 1 if out_u8 else 4
+    th, tw = tile or _pick_tile_dma(plan, in_b, precision, out_b=out_b)
     cw, ch = chunks or _pick_chunks_dma(th, tw, rh, rw, precision)
     orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(
         th, tw, rh, rw, rows_prepadded

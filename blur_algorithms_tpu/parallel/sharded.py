@@ -107,7 +107,7 @@ def blur_sharded(
     # flagship) when it serves this (dtype, plan, precision); the blocked
     # kernel otherwise — radius 0 rows need no halo context at all
     use_dma = r > 0 and dma_form_applicable(
-        planar.dtype, local_plan, precision
+        planar.dtype, local_plan, precision, out_u8=out_u8
     )
 
     @functools.partial(

@@ -17,10 +17,12 @@ API:
     GET  /healthz -> {"status": "ok", "backend": ..., "pipelines": {...}}
 
 One ``BlurPipeline`` is cached per (sigma, engine, kernel); concurrent
-requests serialize around the device via a lock (JAX dispatch is async —
-the lock covers enqueue, not completion, so the chip stays busy across
-requests). Each pipeline's bucketing keeps distinct XLA programs bounded
-regardless of client frame sizes.
+requests serialize their DISPATCH around the device via a lock (JAX
+dispatch is async — the lock covers enqueue, not completion, so the chip
+stays busy across requests), while a cold bucket's synchronous XLA compile
+runs before that lock so it never blocks other requests or ``/healthz``
+(which takes only the short cache lock). Each pipeline's bucketing keeps
+distinct XLA programs bounded regardless of client frame sizes.
 """
 
 from __future__ import annotations
@@ -46,17 +48,26 @@ _WARMUP_NAMES = {"720p": (720, 1280), "1080p": (1080, 1920),
 
 
 class BlurService:
-    """Pipeline cache + device lock shared by all request threads."""
+    """Pipeline cache + device lock shared by all request threads.
+
+    Two locks: ``_cache_lock`` (short — pipeline dict + counters; what
+    ``/healthz`` takes) and ``_device_lock`` (dispatch only). A cold shape
+    bucket's XLA compile runs via ``pipe.ensure_compiled`` BEFORE the
+    device lock is taken, so a many-second compile never blocks health
+    checks or other requests' dispatch — concurrent compiles of the same
+    program are deduplicated by XLA's own compilation cache.
+    """
 
     def __init__(self, max_pipelines: int = 32):
         self._pipelines: dict[tuple, BlurPipeline] = {}
-        self._lock = threading.Lock()
+        self._cache_lock = threading.Lock()
+        self._device_lock = threading.Lock()
         self._max = int(max_pipelines)
         self.requests = 0
 
     def pipeline(self, sigma: float, engine: str, kernel: str) -> BlurPipeline:
         key = (round(float(sigma), 4), engine, kernel)
-        with self._lock:
+        with self._cache_lock:
             pipe = self._pipelines.get(key)
             if pipe is None:
                 if len(self._pipelines) >= self._max:
@@ -72,15 +83,21 @@ class BlurService:
              kernel: str) -> bytes:
         img = decode_image(body, fmt)
         pipe = self.pipeline(sigma, engine, kernel)
-        with self._lock:  # covers dispatch; async device work overlaps
-            self.requests += 1
+        # cold bucket -> compile here, outside the device lock
+        pipe.ensure_compiled(
+            img.shape[-3], img.shape[-2], channels=img.shape[-1],
+            batch=img.shape[:-3],
+        )
+        with self._device_lock:  # covers dispatch; async device work overlaps
             out = pipe(img)
+        with self._cache_lock:
+            self.requests += 1
         return encode_image(np.asarray(out), fmt)
 
     def stats(self) -> dict:
         import jax
 
-        with self._lock:
+        with self._cache_lock:
             return {
                 "status": "ok",
                 "backend": jax.default_backend(),

@@ -636,6 +636,40 @@ class TestDmaForm:
         )
         assert vmem <= _hw().wide_vmem_budget
 
+    def test_tile_vmem_accounts_for_output_width(self):
+        """u8 input with f32 output (the sharded path's ``out_u8=False``
+        default): the out BlockSpec strips are 4-byte, so the VMEM model
+        must size them at the OUTPUT width. Regression: with out strips
+        counted at in_b=1 the picker chose a whole-height (2880, 384)
+        tile whose true f32-out footprint is ~144 MiB — past the 110 MiB
+        budget and the chip's physical VMEM."""
+        from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+            _dma_vmem_bytes,
+            _hw,
+            _pick_chunks_dma,
+            _pick_tile_dma,
+        )
+
+        plan = make_plan((2880, 5120), 10.0)
+        rh, rw = plan.col.support_radius, plan.row.support_radius
+        budget = _hw().wide_vmem_budget
+
+        th_u8, tw = _pick_tile_dma(plan, in_b=1, out_b=1)
+        assert th_u8 == 2880  # u8->u8 keeps the whole-height strip
+
+        # the u8->u8 pick would overflow at f32 out...
+        cw, ch = _pick_chunks_dma(th_u8, tw, rh, rw)
+        assert _dma_vmem_bytes(
+            2880, 5120, th_u8, tw, rh, rw, 1, 2, cw, ch, 4
+        ) > budget
+        # ...so the f32-out pick must shrink to a geometry that fits
+        th, tw = _pick_tile_dma(plan, in_b=1, out_b=4)
+        assert th < th_u8
+        cw, ch = _pick_chunks_dma(th, tw, rh, rw)
+        assert _dma_vmem_bytes(
+            2880, 5120, th, tw, rh, rw, 1, 2, cw, ch, 4
+        ) <= budget
+
     def test_tile_vmax_giant_frames(self):
         """Giant frames (whole-height strips blow VMEM): the picker takes
         the tallest feasible strip CLASS — per strip count n the cost

@@ -87,3 +87,13 @@ class TestLayout:
         # float targets stay untouched (no rounding)
         outf = np.asarray(from_planar(planar, jnp.float32))
         np.testing.assert_allclose(outf.ravel(), [200.7, -5.2, 40000.5])
+
+    def test_int32_target_saturates_at_range_edges(self):
+        """32-bit targets: float32 cannot represent 2^31 - 1 (it rounds
+        to 2^31), so the clip bound must be pulled INSIDE the range or
+        out-of-range values would reach the int cast. Values at the top
+        of range saturate positive — never wrap to INT_MIN."""
+        planar = jnp.asarray([[[2.2e9]], [[-2.5e9]]], dtype=jnp.float32)
+        out = np.asarray(from_planar(planar, jnp.int32)).ravel()
+        assert out[0] > 2_147_000_000  # saturated high, not wrapped
+        assert out[1] == np.iinfo(np.int32).min

@@ -11,6 +11,19 @@ def _img(rng, h, w):
     return (rng.random((h, w, 3)) * 255).astype(np.uint8)
 
 
+def test_ensure_compiled_once_per_bucket(rng):
+    """ensure_compiled warms a cold bucket (True) and is a no-op on a warm
+    one (False) — the serving frontend's pre-device-lock compile hook.
+    Neither path perturbs the call stats."""
+    pipe = GaussianBlur(3.0, bucket=64)
+    assert pipe.ensure_compiled(60, 60) is True
+    assert pipe.ensure_compiled(50, 63) is False  # same (64, 64) bucket
+    assert pipe.stats == {"calls": 0, "distinct_buckets": 1}
+    out = pipe(_img(rng, 60, 60))
+    assert out.shape == (60, 60, 3)
+    assert pipe.stats == {"calls": 1, "distinct_buckets": 1}
+
+
 def test_exact_mode_matches_oracle(rng):
     pipe = GaussianBlur(5.0, exact=True)
     img = _img(rng, 70, 90)
