@@ -87,7 +87,7 @@ def main() -> int:
             mk,
             x,
             iters=16 if on_tpu else 2,
-            reps=5 if on_tpu else 2,
+            reps=10 if on_tpu else 2,
             name=engine_name,
             megapixels=batch * h * w / 1e6,
         )

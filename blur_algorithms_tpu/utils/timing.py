@@ -125,15 +125,24 @@ def time_fn_chained(
     float(f1(x))
     float(fn_(x))  # compile both
 
-    def best(f):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(f(x))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+    def sample(f):
+        t0 = time.perf_counter()
+        float(f(x))
+        return time.perf_counter() - t0
 
-    t1, tn = best(f1), best(fn_)
+    def best_pair(n):
+        # Interleave the 1-step and N-step samples: tunnel RTT drifts on
+        # a seconds timescale, so timing all f1 reps then all fn_ reps
+        # puts each program's min in a different drift regime and the
+        # difference inherits the drift. Alternating pairs keeps both
+        # mins in the same regime; min() still rejects per-sample spikes.
+        b1 = bn = float("inf")
+        for _ in range(n):
+            b1 = min(b1, sample(f1))
+            bn = min(bn, sample(fn_))
+        return b1, bn
+
+    t1, tn = best_pair(reps)
     # Short chains through a noisy tunnel can measure tn <= t1 (the 1-step
     # program never hit its RTT floor). More reps only LOWER each min, and
     # the true floors satisfy tn > t1, so accumulating mins recovers the
@@ -143,8 +152,8 @@ def time_fn_chained(
     for _ in range(3):
         if tn > t1:
             break
-        t1 = min(t1, best(f1))
-        tn = min(tn, best(fn_))
+        a1, an = best_pair(reps)
+        t1, tn = min(t1, a1), min(tn, an)
         total_reps += reps
     per_ms = max((tn - t1) / (iters - 1) * 1e3, 1e-6)
     return BenchResult(
