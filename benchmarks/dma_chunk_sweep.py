@@ -49,6 +49,17 @@ def main() -> int:
                    help="explicit ch candidates (default: 24 72); the "
                         "kernel supports tail chunks, so ch need not "
                         "divide th")
+    p.add_argument("--tws", nargs="*", type=int, default=None,
+                   help="explicit tw candidates (default: 256 384); the "
+                        "cols dots' output width N is tw, and the dot-rate "
+                        "microbench shows N=512 reaches ~4x the N=128 rate "
+                        "(4 MXUs want >= 512 lanes)")
+    p.add_argument("--cws", nargs="*", type=int, default=None,
+                   help="explicit cw candidates (default: 128); the MXU "
+                        "dot-rate microbench (mxu_dot_rate.py) shows "
+                        "n=128 dots at ~half the big-dot rate, so wider "
+                        "rows chunks may win at wide radius despite the "
+                        "extra cw+2r MACs")
     p.add_argument("--precision", choices=("int8", "bf16x3"), default="int8")
     p.add_argument("--plan-only", action="store_true",
                    help="print the variant grid without touching the device")
@@ -98,13 +109,14 @@ def main() -> int:
         # 216-tall only matters as the dense policy's own tile)
         ths = args.tiles or sorted({dense_tile[0], 432, 720})
         chs = tuple(args.chunks) if args.chunks else (24, 72)
+        cws = tuple(args.cws) if args.cws else (128,)
+        tws = tuple(args.tws) if args.tws else (256, 384)
         variants = [("dense", dense_tile, (dense_tile[1], dense_tile[0]))]
-        for th, tw, ch in itertools.product(ths, (256, 384), chs):
+        for th, tw, cw, ch in itertools.product(ths, tws, cws, chs):
             # tail chunks are supported (the kernel statically slices the
             # band operand), so ch need not divide th; tw stays 128-mult
-            if tw % 128 or ch > th:
+            if tw % 128 or ch > th or cw > tw:
                 continue
-            cw = 128
             if _dma_vmem_bytes(h, w, th, tw, rh, rw, 1, mat_b, cw, ch) > budget:
                 continue
             variants.append((f"t{th}x{tw}_c{cw}x{ch}", (th, tw), (cw, ch)))

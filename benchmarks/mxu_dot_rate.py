@@ -79,9 +79,14 @@ def make_fn(m, k, n, inner, dtype, steps):
     return f
 
 
-def run(m, k, n, dtype, inner=64, steps=16, iters=4, name="dot"):
+def run(m, k, n, dtype, inner=None, steps=16, iters=4, name="dot"):
     from blur_algorithms_tpu.utils.timing import time_fn_chained
 
+    if inner is None:
+        # size the in-kernel loop so one call does ~0.5 TMAC (>= ~2.5 ms
+        # even at peak rate) — small shapes otherwise finish inside the
+        # chained-timing noise floor and report impossible TOP/s
+        inner = max(16, int(5e11 / (m * k * n * steps)))
     rng = np.random.default_rng(0)
     if dtype == jnp.int8:
         a = jnp.asarray(rng.integers(-4, 4, (m, k), dtype=np.int8))
@@ -104,29 +109,36 @@ def run(m, k, n, dtype, inner=64, steps=16, iters=4, name="dot"):
     )
     macs = m * k * n * inner * steps
     tops = 2 * macs / (res.median_ms / 1e3) / 1e12
+    if res.suspect:
+        tops = float("nan")
     return res.median_ms, tops
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--inner", type=int, default=64)
+    p.add_argument("--inner", type=int, default=None)
     p.add_argument("--steps", type=int, default=16)
     args = p.parse_args()
 
     shapes = [
         # (m, k, n, label)
-        (512, 512, 512, "ideal cube"),
         (1024, 1024, 1024, "big cube"),
-        (2048, 1152, 128, "rows-band r=512 (cw=128)"),
-        (120, 1152, 384, "cols-band r=512 (ch=120, tw=384)"),
-        (384, 1152, 120, "cols-band transposed"),
-        (2048, 768, 128, "rows-band r=320"),
+        # rows-band: does widening the output chunk lift the rate?
+        (2048, 1152, 128, "rows-band r=512 cw=128"),
+        (2048, 1280, 256, "rows-band r=512 cw=256"),
+        (2048, 1408, 384, "rows-band r=512 cw=384"),
+        (2048, 1536, 512, "rows-band r=512 cw=512"),
+        # cols-band: output chunk is M — sweep it (K grows with ch too)
+        (120, 1144, 384, "cols-band r=512 ch=120"),
+        (240, 1264, 384, "cols-band r=512 ch=240"),
+        (384, 1408, 384, "cols-band r=512 ch=384"),
+        (512, 1536, 384, "cols-band r=512 ch=512"),
     ]
     for dtype, name in ((jnp.int8, "int8"), (jnp.bfloat16, "bf16")):
         for m, k, n, label in shapes:
             ms, tops = run(m, k, n, dtype, inner=args.inner,
                            steps=args.steps, name=name)
-            print(f"{name} {label:28s} m={m:5d} k={k:5d} n={n:4d}: "
+            print(f"{name} {label:24s} m={m:5d} k={k:5d} n={n:4d}: "
                   f"{ms:8.3f} ms  {tops:7.1f} TOP/s", flush=True)
 
 
