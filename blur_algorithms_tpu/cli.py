@@ -138,6 +138,14 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     engine = _parse_engine(args.engine)
 
+    # CLI runs are separate processes: persist compiled programs so repeat
+    # invocations at one (shape, sigma, engine) skip the 5-30 s XLA compile
+    # (cross-process analog of the reference's pocketfft plan cache,
+    # Source.cpp:4-5). Opt-out: BLUR_TPU_NO_COMPILE_CACHE=1.
+    from blur_algorithms_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from blur_algorithms_tpu import api
     from blur_algorithms_tpu.utils import io
 

@@ -162,6 +162,11 @@ def make_handler(service: BlurService):
 def serve(port: int = 8700, warmup=(), sigma: float = 10.0,
           engine: str = "auto", kernel: str = "gaussian",
           started: threading.Event | None = None):
+    # restarts reload compiled programs from disk instead of re-paying the
+    # warmup compiles (opt-out: BLUR_TPU_NO_COMPILE_CACHE=1)
+    from blur_algorithms_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     service = BlurService()
     if warmup:
         pipe = service.pipeline(sigma, engine, kernel)

@@ -1,5 +1,7 @@
 """Coverage for utils (io edge cases, timing harness) and api edge engines."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -94,3 +96,70 @@ class TestEdgeEngines:
         got = np.asarray(blur_u8(jnp.asarray(img), 2.0, engine=Engine.CASCADE))
         want = np.asarray(blur_u8(jnp.asarray(img), 2.0, engine=Engine.FUSED))
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+class TestPersistentCache:
+    """utils/cache.py: cross-process XLA compile cache (CLI analog of the
+    reference's in-process pocketfft plan cache, Source.cpp:4-5)."""
+
+    def _reset(self):
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", None)
+        # the cache singleton binds to the first dir used in the process
+        # (jax._src.compilation_cache: "initialization is done at most
+        # once") — drop it so each test really targets its own tmp dir
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+
+    def test_enables_and_creates_dir(self, tmp_path):
+        import jax
+
+        from blur_algorithms_tpu.utils.cache import enable_persistent_cache
+
+        d = str(tmp_path / "xla_cache")
+        try:
+            got = enable_persistent_cache(d)
+            assert got == d
+            assert os.path.isdir(d)
+            assert jax.config.jax_compilation_cache_dir == d
+        finally:
+            self._reset()
+
+    def test_env_opt_out(self, tmp_path, monkeypatch):
+        from blur_algorithms_tpu.utils.cache import enable_persistent_cache
+
+        monkeypatch.setenv("BLUR_TPU_NO_COMPILE_CACHE", "1")
+        assert enable_persistent_cache(str(tmp_path / "x")) is None
+        assert not (tmp_path / "x").exists()
+
+    def test_env_dir_override(self, tmp_path, monkeypatch):
+        from blur_algorithms_tpu.utils.cache import enable_persistent_cache
+
+        d = str(tmp_path / "via_env")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", d)
+        try:
+            assert enable_persistent_cache() == d
+        finally:
+            self._reset()
+
+    def test_compiled_program_persisted(self, tmp_path):
+        """A jitted program lands in the cache dir (min thresholds zeroed)."""
+        import jax
+
+        from blur_algorithms_tpu.utils.cache import enable_persistent_cache
+
+        d = str(tmp_path / "xla_cache")
+        self._reset()  # detach from any dir an earlier test bound
+        try:
+            assert enable_persistent_cache(d, min_compile_secs=0.0) == d
+
+            @jax.jit
+            def f(x):
+                return (x * 2.0 + 1.0).sum()
+
+            f(jnp.arange(64.0).reshape(8, 8)).block_until_ready()
+            assert os.listdir(d), "no cache entry written"
+        finally:
+            self._reset()
