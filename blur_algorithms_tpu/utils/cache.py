@@ -39,7 +39,10 @@ def enable_persistent_cache(
     the first directory used and ignores later ``cache_dir`` changes for
     the life of the process (``jax._src.compilation_cache._get_cache``).
     """
-    if os.environ.get("BLUR_TPU_NO_COMPILE_CACHE"):
+    # affirmative opt-out only: =1/true disables, =0/"" does not
+    if os.environ.get("BLUR_TPU_NO_COMPILE_CACHE", "").lower() not in (
+        "", "0", "false",
+    ):
         return None
     cache_dir = cache_dir or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", _DEFAULT_DIR
@@ -48,11 +51,13 @@ def enable_persistent_cache(
 
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # thresholds first: if any knob is missing (older jax) we bail
+        # before the cache dir is set, so "return None" == cache disabled
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", min_compile_secs
         )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     except (OSError, AttributeError):  # unwritable dir / jax without the knob
         return None
     return cache_dir

@@ -1,7 +1,8 @@
 """HTTP serving example (examples/serve.py): end-to-end over a socket.
 
-A 256x256 frame is exactly one bucket, so the served result must match the
-pocketfft oracle to <= 1 uint8 count (the pipeline adds no bucket pad).
+The served result must match the pocketfft oracle to <= 1 uint8 count —
+the pipeline's margin-inclusive bucketing is exact, so the bucket pad it
+adds cannot move any output pixel.
 """
 
 import json
@@ -21,9 +22,17 @@ from blur_algorithms_tpu.utils.io import decode_image, encode_image
 
 
 @pytest.fixture(scope="module")
-def server():
+def server(tmp_path_factory):
     import serve as serve_mod
 
+    # keep the server's persistent-cache side effect inside tmp_path: the
+    # process-wide XLA cache singleton binds to the first dir used, and the
+    # suite must not write into the user's real ~/.cache
+    import os
+
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = str(
+        tmp_path_factory.mktemp("xla_cache")
+    )
     started = threading.Event()
     httpd = serve_mod.serve(port=0, started=started)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)

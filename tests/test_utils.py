@@ -108,10 +108,15 @@ class TestPersistentCache:
         jax.config.update("jax_compilation_cache_dir", None)
         # the cache singleton binds to the first dir used in the process
         # (jax._src.compilation_cache: "initialization is done at most
-        # once") — drop it so each test really targets its own tmp dir
-        from jax._src import compilation_cache as _cc
+        # once") — drop it so each test really targets its own tmp dir.
+        # Private API: tolerate its absence in future jax releases (the
+        # config reset above still detaches the dir).
+        try:
+            from jax._src import compilation_cache as _cc
 
-        _cc.reset_cache()
+            _cc.reset_cache()
+        except (ImportError, AttributeError):
+            pass
 
     def test_enables_and_creates_dir(self, tmp_path):
         import jax
@@ -133,6 +138,17 @@ class TestPersistentCache:
         monkeypatch.setenv("BLUR_TPU_NO_COMPILE_CACHE", "1")
         assert enable_persistent_cache(str(tmp_path / "x")) is None
         assert not (tmp_path / "x").exists()
+
+    def test_env_opt_out_is_affirmative(self, tmp_path, monkeypatch):
+        # =0 / empty do NOT disable (the documented convention is =1)
+        from blur_algorithms_tpu.utils.cache import enable_persistent_cache
+
+        monkeypatch.setenv("BLUR_TPU_NO_COMPILE_CACHE", "0")
+        d = str(tmp_path / "y")
+        try:
+            assert enable_persistent_cache(d) == d
+        finally:
+            self._reset()
 
     def test_env_dir_override(self, tmp_path, monkeypatch):
         from blur_algorithms_tpu.utils.cache import enable_persistent_cache
