@@ -20,12 +20,16 @@ window ``j+1`` overlaps the matmuls of window ``j`` (the guide's classic
 double-buffering pattern). Band matrices ride constant-index BlockSpecs
 (fetched once).
 
-Two precisions, same numerics as the blocked forms:
+Three precisions, the first two with the same numerics as the blocked
+forms:
 
 * ``int8``   — the fixed-point digit pipeline of ``fused_blur._kernel_int8``
   (same quantizer, scales, <=1-count class); uint8 in, uint8 out.
 * ``bf16x3`` — hi/lo bfloat16 split dots (lo*lo dropped) for float inputs
   and signed/asymmetric custom taps; uint8 or float32 in, either out.
+* ``bf16``   — single-dot DEFAULT-class bf16 band matmuls (2 dots/px, the
+  fastest rung); uint8 in only, routed by AUTO strictly inside the
+  device-certified sigma region (``_tile_bf16`` docstring).
 
 Production-routed on TPU only (``dma_form_applicable`` rejects other
 backends; the blocked form is the portable fallback). Off TPU the
@@ -61,15 +65,20 @@ __all__ = [
     "dma_form_applicable",
 ]
 
-# Largest support radius at which the int8 band matmuls run chunked
-# (``_pick_chunks_dma``) and the tile targets go tall (``_pick_tile_dma``).
-# Calibrated by ``benchmarks/dma_chunk_sweep.py`` on v5e (4K batch-4 u8,
-# two independent runs): r=32 dense 2.97 -> 1.76 ms; r=95 ~5.0 -> ~3.2;
-# r=165 ~5.8 -> ~4.3; r=332 ~8.9 -> ~6.7; r=515 ~13.0 -> ~10.3 — chunked
-# (tall tile, ch=24) wins at EVERY measured radius, 1.2-1.7x
-# (``benchmarks/dma_chunk_sweep_wide*.json``). 600 is the DMA form's own
-# applicability cap, so the chunked regime now covers its whole domain.
-_CHUNK_MAX_RADIUS = 600
+# Largest support radius the DMA form serves at all — and, identically,
+# the radius up to which its band matmuls run chunked (``_pick_chunks_dma``)
+# with tall tile targets (``_pick_tile_dma``), so chunking covers the
+# form's whole domain. Calibrated by ``benchmarks/dma_chunk_sweep.py`` on
+# v5e (4K batch-4 u8, two independent runs): r=32 dense 2.97 -> 1.76 ms;
+# r=95 ~5.0 -> ~3.2; r=165 ~5.8 -> ~4.3; r=332 ~8.9 -> ~6.7; r=515 ~13.0
+# -> ~10.3 — chunked (tall tile, ch=24) wins at EVERY measured radius,
+# 1.2-1.7x (``benchmarks/dma_chunk_sweep_wide*.json``); v5e cap 600.
+# Device-keyed via utils/hw.DeviceSpec.dma_max_radius (scales with VMEM
+# on 16 MiB parts; v5e value unchanged).
+
+
+def _chunk_max_radius() -> int:
+    return _hw().dma_max_radius
 
 
 def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
@@ -85,6 +94,8 @@ def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
             x, bw_ref, bh_ref, rows_shift=rows_shift,
             cols_scale=cols_scale, **geom,
         )
+    elif precision == "bf16":
+        outf = _tile_bf16(x, bw_ref, bh_ref, **geom)
     else:
         outf = _tile_bf16x3(x, bw_ref, bh_ref, in_u8=in_u8, **geom)
     if out_u8:
@@ -466,6 +477,52 @@ def _tile_bf16x3(x, bw_ref, bh_ref, *, in_u8: bool,
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
+def _tile_bf16(x, bw_ref, bh_ref, *,
+               tw: int, th: int, rw: int, rh: int, cw: int, ch: int):
+    """Single-dot bf16 ("DEFAULT-class") band matmuls: 2 dots per pixel.
+
+    The fastest precision rung: rows pass ``dot(x_hi, w_hi)`` and cols
+    pass ``dot(b_hi, y_hi)`` only — no lo-compensation terms (bf16x3 runs
+    5, int8 6-at-2x-rate ~ 3 bf16-equivalents). uint8 inputs are exact in
+    bfloat16; the dropped terms are the band matrices' lo halves (<= 2^-9
+    relative per tap) and the f32 intermediate's lo half (<= 2^-9
+    relative, ~0.25 counts at 255 scale). The combined error breaks the
+    <=1-count oracle gate at SMALL sigma (peaky taps; measured max 2 on
+    the blocked DEFAULT form, PERF.md) but holds above a certified sigma
+    boundary — AUTO only routes here inside the device-certified region
+    (``benchmarks/default_precision_cert.json``, ``utils/hw.DeviceSpec``).
+    uint8 input only (float inputs would silently drop 8 mantissa bits).
+    Band refs reuse the bf16x3 stacked (hi, lo) operands; the lo plane is
+    simply never read.
+    """
+    f32 = jnp.float32
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=f32
+        )
+
+    dims_r = ((1,), (0,))
+    x_hi = x.astype(jnp.int32).astype(f32).astype(jnp.bfloat16)
+    ys = []
+    for k0 in range(0, tw, cw):
+        cwk = min(cw, tw - k0)
+        sl = slice(k0, k0 + cwk + 2 * rw)
+        w0 = bw_ref[0][: cwk + 2 * rw, :cwk]
+        ys.append(dot(x_hi[:, sl], w0, dims_r))
+    y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
+
+    dims_c = ((0,), (0,))
+    y_hi = y.astype(jnp.bfloat16)
+    outs = []
+    for m0 in range(0, th, ch):
+        chm = min(ch, th - m0)
+        sl = slice(m0, m0 + chm + 2 * rh)
+        b0 = bh_ref[0][: chm + 2 * rh, :chm]
+        outs.append(dot(b0, y_hi[sl], dims_c))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
 def _align_geometry(
     th: int, tw: int, rh: int, rw: int, rows_prepadded: bool = False
 ) -> tuple[int, int, int, int, int, int, int, int]:
@@ -749,12 +806,14 @@ def dma_form_applicable(
         is_u8 and int8_applicable(plan, jnp.uint8)
     ):
         return False
+    if precision == "bf16" and not is_u8:
+        return False  # float inputs would drop ~8 mantissa bits silently
     if not is_u8 and jnp.dtype(dtype) != jnp.float32:
         return False
     rh, rw = plan.col.support_radius, plan.row.support_radius
     if rh == 0 or rw == 0:
         return False
-    if max(rh, rw) > 600:
+    if max(rh, rw) > _chunk_max_radius():
         # measured DMA wins (4K batch 4, min-of-reps) through r=515:
         # +11% at r=33, +15% at r=165, +9% at r=332, +7% at r=515 — the
         # single dense band matmul per pass beats the blocked form's
@@ -843,7 +902,7 @@ def _pick_chunks_dma(
     clamped to [24, 120] reproduces every anchor, and r=32 keeps the
     swept ch=24.
     """
-    if max(rh, rw) > _CHUNK_MAX_RADIUS:
+    if max(rh, rw) > _chunk_max_radius():
         return tw, th
     ch = min(120, 24 * -(-rh // 96)) if rh > 0 else 24
     return min(128, tw), min(ch, th)
@@ -897,7 +956,7 @@ def _pick_tile_dma(
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
     if chunked is None:
-        chunked = max(rh, rw) <= _CHUNK_MAX_RADIUS
+        chunked = max(rh, rw) <= _chunk_max_radius()
     dense_target = min(max(216, int(2.6 * rh)), 432)
     if chunked:
         # chunked-dot regime: compute no longer grows with the tile, so

@@ -22,6 +22,19 @@ This is the TPU-native replacement for what the reference could never do:
 its ``flip_block`` transpose between row/col passes (``Source.cpp:367,384``)
 assumed one address space. Here the column pass happens in place on each
 shard; no transpose, no gather, only O(r x W) nearest-neighbor traffic.
+
+Traffic accounting: the single-hop exchange ships exactly ``r`` input rows
+each way per shard boundary (``O(r x W)`` bytes, uint8 when the input is);
+the multi-hop whole-block gather ships ``ceil(r / h_loc)`` blocks each way
+— ``O(r x W)`` rounded up to block granularity. Per-shard compute routes
+like the single-chip flagship: the DMA form in its domain, the blocked
+kernel, then the haloed two-pass split form for wide radii
+(``fused_blur._blur_fused_haloed_split``). When the radius passes the
+device's fused-vs-FFT crossover, no fused form fits VMEM/HBM, or the
+gather would replicate ~the whole frame into every shard (r ~ H, where
+halo context is inherently O(n_sp x frame) aggregate), the call reroutes
+to :func:`blur_fft_sharded` — two ``all_to_all`` reshards move each
+element exactly twice, O(frame) aggregate ICI traffic, radius-free.
 """
 
 from __future__ import annotations
@@ -91,6 +104,40 @@ def blur_sharded(
 
     is_u8 = planar.dtype == jnp.uint8
     precision = "int8" if is_u8 else "bf16x3"
+
+    # Wide-radius routing (trace-time, plan static). The fused per-shard
+    # step stops being the right owner when (a) its band matrices exceed
+    # VMEM in BOTH the single and haloed-split forms, (b) the radius is
+    # past the device's fused-vs-FFT crossover (single-chip AUTO routes
+    # fft there too), or (c) the whole-block halo gather would replicate
+    # close to the full frame into every shard (r ~ H: halo context IS
+    # O(n_sp x frame) aggregate ICI traffic + per-shard HBM). The
+    # distributed FFT moves each element exactly twice (two all_to_all
+    # reshards, O(frame) aggregate) and its cost is radius-independent.
+    if r > 0:
+        from blur_algorithms_tpu.pallas_kernels.fused_blur import (
+            haloed_fused_feasible,
+        )
+        from blur_algorithms_tpu.utils.hw import budgets
+
+        in_bytes = 1 if is_u8 else 4
+        spec_hw = budgets()
+        r_max = (
+            spec_hw.auto_fused_max_radius_u8 if is_u8
+            else spec_hw.auto_fused_max_radius_f32
+        )
+        k = min(-(-r // h_loc), n_sp - 1)
+        ctx_bytes = (
+            ((b + pad_b) // n_dp) * c * (2 * k + 1) * h_loc * w * in_bytes
+        )
+        if (
+            not haloed_fused_feasible(local_plan, in_bytes, precision)
+            or r > r_max
+            or ctx_bytes > spec_hw.split_hbm_budget // 2
+        ):
+            if pad_b or pad_h:  # delegate the original, unpadded frames
+                planar = planar[:b, :, :h, :]
+            return blur_fft_sharded(planar, plan, mesh, out_u8=out_u8)
     spec = P("dp", None, "sp", None)
     planar = jax.lax.with_sharding_constraint(
         planar if is_u8 else planar.astype(jnp.float32),

@@ -68,6 +68,57 @@ class DeviceSpec:
         ratio = self.peak_bf16_tflops / self.hbm_gbps
         return max(1, round(37 * ratio / v5e_ratio))
 
+    def _scale_by_flops_per_byte(self, v5e_value: int) -> int:
+        """Scale a measured v5e crossover radius by flops-per-HBM-byte.
+
+        The routing crossovers below all compare an O(radius)-MACs-per-
+        pixel MXU path against a (nearly) radius-independent path whose
+        cost is dominated by HBM traffic (prefix scan) or by heavier HBM
+        intermediates (the MXU FFT's padded f32 rows). A chip with more
+        MACs per HBM byte keeps the O(r) matmul path profitable to a
+        proportionally larger radius, so the crossover scales with
+        ``peak_bf16_tflops / hbm_gbps`` relative to v5e — exact for the
+        v5e calibration point, analytic elsewhere (no other device kind
+        was measurable in this repo's environment).
+        """
+        v5e_ratio = 197.0 / 819.0
+        ratio = self.peak_bf16_tflops / self.hbm_gbps
+        return max(128, round(v5e_value * ratio / v5e_ratio))
+
+    @property
+    def auto_fused_max_radius_u8(self) -> int:
+        """AUTO's fused-vs-fft_mxu crossover, uint8 int8-e32 split path.
+
+        v5e measurement (``benchmarks/wide_radius.json``, 67 MP frame):
+        fused 1056 vs fft_mxu 720 MP/s at r=2046 and 684 vs 642 at
+        r=3328 -> crossover ~3500.
+        """
+        return self._scale_by_flops_per_byte(3500)
+
+    @property
+    def auto_fused_max_radius_f32(self) -> int:
+        """AUTO's fused-vs-fft_mxu crossover for float inputs (bf16x3
+        pass 2; v5e measured ~2560: 706 vs 776 MP/s at r=3328)."""
+        return self._scale_by_flops_per_byte(2560)
+
+    @property
+    def box_scan_crossover_radius(self) -> int:
+        """Box blur: widening fused matmuls vs the radius-independent
+        Pallas prefix scan (~1 GP/s HBM-bound on v5e; crossover ~1024)."""
+        return self._scale_by_flops_per_byte(1024)
+
+    @property
+    def dma_max_radius(self) -> int:
+        """Largest support radius served by the exact-window DMA form.
+
+        On v5e the measured win holds through r=515 and the blocked
+        split form wins by r=1863 (453 vs 264 ms at 348 MP) -> cap 600.
+        The cap is also a VMEM geometry bound — the aligned halo windows
+        span ``th + 2*rh`` rows — so it shrinks with VMEM on 16 MiB
+        parts (v2/v3) rather than with the flops/byte ratio.
+        """
+        return max(32, 600 * self.vmem_bytes // (128 * _MIB))
+
 
 _GIB = 1 << 30
 _MIB = 1 << 20

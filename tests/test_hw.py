@@ -78,3 +78,69 @@ class TestMockedRouting:
         monkeypatch.setattr(fused_blur, "_hw", lambda: v6e)
         t2 = fused_blur._pick_tile(plan)
         assert t1 == t2
+
+
+class TestDeviceKeyedCrossovers:
+    """Routing crossovers live in DeviceSpec (VERDICT r2 item 3): v5e
+    reproduces the measured values; other kinds scale analytically."""
+
+    def test_v5e_values_are_the_measured_calibration(self):
+        spec = hw.spec_for_kind("TPU v5 lite")
+        assert spec.auto_fused_max_radius_u8 == 3500
+        assert spec.auto_fused_max_radius_f32 == 2560
+        assert spec.box_scan_crossover_radius == 1024
+        assert spec.dma_max_radius == 600
+
+    def test_crossovers_scale_with_flops_per_byte(self):
+        v5e = hw.spec_for_kind("TPU v5 lite")
+        v6e = hw.spec_for_kind("TPU v6e")  # ~2.3x the flops/byte of v5e
+        assert v6e.auto_fused_max_radius_u8 > 1.5 * v5e.auto_fused_max_radius_u8
+        assert v6e.box_scan_crossover_radius > 1.5 * v5e.box_scan_crossover_radius
+        # VMEM-bound cap scales with VMEM instead: 16 MiB parts shrink it
+        assert hw.spec_for_kind("TPU v3").dma_max_radius == 75
+        assert v6e.dma_max_radius == 600  # same 128 MiB VMEM as v5e
+
+    def test_auto_routing_shifts_with_device_kind(self, monkeypatch):
+        """r between the v5e and v6e crossovers: v5e -> FFT_MXU, v6e -> FUSED."""
+        from blur_algorithms_tpu import api
+        from blur_algorithms_tpu.ops.plan import make_plan
+
+        plan = make_plan((8192, 8192), 1720.0)  # r ~ 4000
+        r = max(plan.col.support_radius, plan.row.support_radius)
+        v5e = hw.spec_for_kind("TPU v5 lite")
+        v6e = hw.spec_for_kind("TPU v6e")
+        assert v5e.auto_fused_max_radius_u8 < r < v6e.auto_fused_max_radius_u8
+
+        monkeypatch.setattr(hw, "budgets", lambda: v5e)
+        assert api._resolve_engine(api.Engine.AUTO, plan, 1) is api.Engine.FFT_MXU
+        monkeypatch.setattr(hw, "budgets", lambda: v6e)
+        assert api._resolve_engine(api.Engine.AUTO, plan, 1) is api.Engine.FUSED
+
+    def test_box_scan_routing_shifts_with_device_kind(self, monkeypatch):
+        from blur_algorithms_tpu import api
+
+        v5e = hw.spec_for_kind("TPU v5 lite")
+        v6e = hw.spec_for_kind("TPU v6e")
+        # radius 28^2 = 784, 2 passes -> effective support 1568: past the
+        # v5e crossover, inside the v6e one
+        monkeypatch.setattr(hw, "budgets", lambda: v5e)
+        api._plan_for.cache_clear()
+        plan, eng = api._plan_for(4096, 4096, 28.0, api.Engine.BOX, "box_fast", "auto")
+        r = max(plan.col.support_radius, plan.row.support_radius)
+        assert v5e.box_scan_crossover_radius < r < v6e.box_scan_crossover_radius
+        assert eng is api.Engine.BOX_SCAN
+        monkeypatch.setattr(hw, "budgets", lambda: v6e)
+        api._plan_for.cache_clear()
+        _, eng = api._plan_for(4096, 4096, 28.0, api.Engine.BOX, "box_fast", "auto")
+        assert eng is api.Engine.FUSED
+        api._plan_for.cache_clear()
+
+    def test_dma_chunk_gate_follows_spec(self, monkeypatch):
+        from blur_algorithms_tpu.pallas_kernels import fused_dma
+
+        monkeypatch.setattr(
+            hw, "budgets", lambda: hw.spec_for_kind("TPU v5 lite")
+        )
+        assert fused_dma._chunk_max_radius() == 600
+        monkeypatch.setattr(hw, "budgets", lambda: hw.spec_for_kind("TPU v3"))
+        assert fused_dma._chunk_max_radius() == 75
