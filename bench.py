@@ -72,14 +72,19 @@ def main() -> int:
         dma_form_applicable,
     )
 
-    use_dma = dma_form_applicable(jnp.uint8, plan)
-    engine_name = "fused/int8-dma" if use_dma else "fused/int8"
+    # the production precision ladder: single-dot bf16 inside the
+    # device-certified radius region (benchmarks/default_prec_cert.json;
+    # sigma=10 -> r=32 is comfortably inside on v5e), else int8 fixed
+    # point — exactly what AUTO routes for this plan
+    from blur_algorithms_tpu.api import _u8_dma_precision
+
+    prec = _u8_dma_precision(plan)
+    use_dma = dma_form_applicable(jnp.uint8, plan, prec)
+    engine_name = f"fused/{prec}-dma" if use_dma else "fused/int8"
 
     def mk():
-        # int8: the fixed-point MXU path (~1.6x bf16 dot rate on v5e),
-        # certified <=1 uint8 count vs the oracle like bf16x3
         if use_dma:
-            return lambda v: blur_fused_u8_dma(v, plan)
+            return lambda v: blur_fused_u8_dma(v, plan, precision=prec)
         return lambda v: blur_fused_u8(v, plan, precision="int8")
 
     def timed():

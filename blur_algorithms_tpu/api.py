@@ -231,6 +231,37 @@ def _blur_planar(x: jnp.ndarray, plan: BlurPlan, engine: Engine) -> jnp.ndarray:
     raise ValueError(f"engine {engine} is not a planar blur engine")
 
 
+def _u8_dma_precision(plan: BlurPlan) -> str:
+    """Precision rung for the uint8 DMA form on this device and plan.
+
+    ``"bf16"`` (single-dot DEFAULT-class, the fastest rung, ~1.3x int8)
+    only inside the region the device certification sweep proved against
+    the <=1-count oracle gate (``benchmarks/default_prec_cert.py``;
+    boundary embedded per kind in ``utils/hw.DeviceSpec``): gaussian-
+    family taps with every axis radius at or past the certified boundary.
+    Otherwise ``"int8"`` where the fixed-point path applies, ``"bf16x3"``
+    for signed/asymmetric custom taps.
+    """
+    from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+        dma_form_applicable,
+    )
+    from blur_algorithms_tpu.utils.hw import budgets
+
+    r_min = budgets().bf16_min_radius  # accuracy AND perf floors
+    if (
+        r_min is not None
+        and plan.kernel == "gaussian"
+        and min(plan.col.support_radius, plan.row.support_radius) >= r_min
+        and dma_form_applicable(jnp.uint8, plan, "bf16")
+    ):
+        return "bf16"
+    return (
+        "int8"
+        if fused_blur.int8_applicable(plan, jnp.uint8)
+        else "bf16x3"
+    )
+
+
 def _fused_u8_interleaved(plan: BlurPlan):
     """uint8 (..., H, W, C) -> uint8 via the fused engine, u8 end to end.
 
@@ -246,13 +277,11 @@ def _fused_u8_interleaved(plan: BlurPlan):
         dma_form_applicable,
     )
 
-    # signed/asymmetric taps run the DMA form at bf16x3 (measured +24% on
-    # a 4K sharpen vs the blocked bf16x3 kernel); blur taps run int8
-    prec = (
-        "int8"
-        if fused_blur.int8_applicable(plan, jnp.uint8)
-        else "bf16x3"
-    )
+    # fastest certified precision first: the single-dot bf16 DMA rung (2
+    # dots/px) inside the device-certified radius region, then int8 fixed
+    # point, then bf16x3 (signed/asymmetric taps, measured +24% on a 4K
+    # sharpen vs the blocked bf16x3 kernel)
+    prec = _u8_dma_precision(plan)
     if dma_form_applicable(jnp.uint8, plan, prec):
 
         def fn(img):

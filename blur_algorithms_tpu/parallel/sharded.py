@@ -152,7 +152,18 @@ def blur_sharded(
 
     # per-shard compute: the exact-window DMA form (the single-chip
     # flagship) when it serves this (dtype, plan, precision); the blocked
-    # kernel otherwise — radius 0 rows need no halo context at all
+    # kernel otherwise — radius 0 rows need no halo context at all.
+    # uint8 shards take the same certified precision ladder as the
+    # single-chip route: the single-dot bf16 rung inside the device-
+    # certified radius region (identical band operands per shard, so the
+    # certification transfers), else int8 fixed point.
+    if is_u8 and r > 0:
+        from blur_algorithms_tpu.api import _u8_dma_precision
+
+        if _u8_dma_precision(local_plan) == "bf16" and dma_form_applicable(
+            jnp.uint8, local_plan, "bf16", out_u8=out_u8
+        ):
+            precision = "bf16"
     use_dma = r > 0 and dma_form_applicable(
         planar.dtype, local_plan, precision, out_u8=out_u8
     )

@@ -40,6 +40,25 @@ class DeviceSpec:
     vmem_bytes: int
     hbm_gbps: float  # GB/s
     peak_bf16_tflops: float
+    # Smallest support radius at which the single-dot bf16 DMA path is
+    # DEVICE-CERTIFIED to hold the <=1-count oracle gate (the
+    # ``benchmarks/default_prec_cert.py`` sweep: sigma grid x adversarial
+    # content). None = uncertified on this kind -> AUTO never routes bf16.
+    # A measurement, not a model — deliberately NOT scaled across kinds.
+    bf16_cert_min_radius: int | None = None
+    # Smallest radius at which bf16 also WINS on wall clock (below it the
+    # DMA form is HBM-bound and int8's tighter numerics cost nothing):
+    # v5e single-4K sweep ``benchmarks/bf16_radius_sweep.json`` — int8
+    # faster at r=52 (0.212 vs 0.254 ms), bf16 faster from r=105 on
+    # (0.390 vs 0.480 ... 1.385 vs 1.655 at r=498). 0 = no perf floor.
+    bf16_route_min_radius: int = 0
+
+    @property
+    def bf16_min_radius(self) -> int | None:
+        """Routing boundary for the bf16 rung: accuracy AND perf floors."""
+        if self.bf16_cert_min_radius is None:
+            return None
+        return max(self.bf16_cert_min_radius, self.bf16_route_min_radius)
 
     @property
     def wide_vmem_budget(self) -> int:
@@ -125,7 +144,15 @@ _MIB = 1 << 20
 
 # Published per-chip specs (HBM capacity / VMEM / HBM bandwidth GB/s / peak
 # bf16 TFLOP/s). v2/v3 report per-core; jax exposes each core as a device.
-_V5E = DeviceSpec("TPU v5e", 16 * _GIB, 128 * _MIB, 819.0, 197.0)
+# v5e bf16 certification: benchmarks/default_prec_cert.py (2026-08-20,
+# 1088x1920, 9 adversarial patterns x sigma 1.3..150): gate failures
+# (max 2) only at radius 5 and 9; EVERY measured radius >= 12 holds
+# max <= 1 through r=498. Routed boundary 16 = certified 12 plus one
+# grid step of margin against the borderline wiggle at r~9.
+_V5E = DeviceSpec(
+    "TPU v5e", 16 * _GIB, 128 * _MIB, 819.0, 197.0,
+    bf16_cert_min_radius=16, bf16_route_min_radius=96,
+)
 _TABLE: tuple[tuple[tuple[str, ...], DeviceSpec], ...] = (
     (("v5 lite", "v5e", "v5litepod"), _V5E),
     (("v6 lite", "v6e", "trillium"),
