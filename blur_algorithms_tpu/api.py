@@ -250,7 +250,10 @@ def _u8_dma_precision(plan: BlurPlan) -> str:
     r_min = budgets().bf16_min_radius  # accuracy AND perf floors
     if (
         r_min is not None
-        and plan.kernel == "gaussian"
+        # both certified families: gaussian (default_prec_cert.json) and
+        # the folded box/tent taps (default_prec_cert_box.json: <=1 at
+        # every measured support radius 8-600)
+        and plan.kernel in ("gaussian", "box_fast")
         and min(plan.col.support_radius, plan.row.support_radius) >= r_min
         and dma_form_applicable(jnp.uint8, plan, "bf16")
     ):

@@ -227,3 +227,19 @@ class TestBf16CertRouting:
         )
         assert api._u8_dma_precision(self._plan(10.0)) == "int8"
         assert api._u8_dma_precision(self._plan(48.0)) == "bf16"
+
+    def test_box_taps_route_bf16_inside_region(self, monkeypatch):
+        # folded tent taps are certified too (default_prec_cert_box.json)
+        from blur_algorithms_tpu import api
+        from blur_algorithms_tpu.ops.plan import make_plan
+        from blur_algorithms_tpu.pallas_kernels import fused_dma
+
+        monkeypatch.setattr(
+            hw, "budgets", lambda: hw.spec_for_kind("TPU v5 lite")
+        )
+        monkeypatch.setattr(
+            fused_dma, "dma_form_applicable", lambda *a, **k: True
+        )
+        plan = make_plan((1024, 1024), 64, kernel="box_fast", box_passes=2)
+        assert plan.col.support_radius == 128  # inside [96, 600]
+        assert api._u8_dma_precision(plan) == "bf16"
