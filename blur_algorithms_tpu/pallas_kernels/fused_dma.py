@@ -81,6 +81,15 @@ def _chunk_max_radius() -> int:
     return _hw().dma_max_radius
 
 
+# Window-buffer slots in the manual DMA pipeline. With 2 (classic double
+# buffering) only ONE window fetch is in flight while a window computes;
+# at small radii the per-window compute (~2 us) is far shorter than a
+# window DMA, so the loop is DMA-latency-bound. k slots keep k-1 fetches
+# in flight. The VMEM cost is n_slots * shp * swp * in_bytes per grid
+# step (modeled in ``_dma_vmem_bytes``).
+_N_WIN_SLOTS = 2
+
+
 def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
                    th: int, tw: int, sh: int, sw: int, cw: int, ch: int,
                    precision: str, rows_shift: int, cols_scale: int,
@@ -122,8 +131,9 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
             sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
             nbw: int, cw: int, ch: int, precision: str, rows_shift: int,
             cols_scale: int, out_u8: bool, ro: int = 0, co: int = 0,
-            tl: int = 0):
-    """One row-strip: loop column windows with double-buffered DMA."""
+            tl: int = 0, n_slots: int = 2):
+    """One row-strip: loop column windows with multi-buffered DMA
+    (``n_slots - 1`` window fetches kept in flight)."""
     c = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -137,16 +147,17 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
             sem.at[slot],
         )
 
-    get_dma(0, 0).start()
+    for k in range(min(n_slots - 1, nbw)):
+        get_dma(k, k).start()
 
     in_u8 = win.dtype == jnp.uint8
 
     def body(j, _):
-        slot = j % 2
+        slot = j % n_slots
 
-        @pl.when(j + 1 < nbw)
+        @pl.when(j + n_slots - 1 < nbw)
         def _():
-            get_dma((j + 1) % 2, j + 1).start()
+            get_dma((j + n_slots - 1) % n_slots, j + n_slots - 1).start()
 
         get_dma(slot, j).wait()
 
@@ -226,7 +237,8 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
                    nbh: int, nbw: int, cw: int, ch: int, precision: str,
                    rows_shift: int, cols_scale: int, out_u8: bool,
                    ro: int, co: int, tl: int,
-                   orh: int, orw: int, h8: int, w128: int):
+                   orh: int, orw: int, h8: int, w128: int,
+                   n_slots: int = 2):
     """No-assemble form: every window is spliced in VMEM.
 
     Instead of fetching from a pre-assembled padded frame (a full-frame
@@ -328,16 +340,17 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
         for cond, mk in copies(slot, j):
             pl.when(cond)(lambda mk=mk: mk().wait())
 
-    start(0, 0)
+    for k in range(min(n_slots - 1, nbw)):
+        start(k, k)
 
     in_u8 = win.dtype == jnp.uint8
 
     def body(j, _):
-        slot = j % 2
+        slot = j % n_slots
 
-        @pl.when(j + 1 < nbw)
+        @pl.when(j + n_slots - 1 < nbw)
         def _():
-            start((j + 1) % 2, j + 1)
+            start((j + n_slots - 1) % n_slots, j + n_slots - 1)
 
         wait(slot, j)
 
@@ -855,7 +868,7 @@ def _dma_vmem_bytes(
     if out_b is None:
         out_b = in_b
     return (
-        2 * shp * swp * in_b
+        _N_WIN_SLOTS * shp * swp * in_b
         + (cw + 2 * rw) * cw * mat_b
         + (ch + 2 * rh) * ch * mat_b
         + sh * tw * 10  # r + e (int32) + e1/e0 (int8)
@@ -1111,10 +1124,13 @@ def _dma_kernel_call(
     cw: int,
     ch: int,
     rows_prepadded: bool = False,
+    n_slots: int | None = None,
 ) -> jnp.ndarray:
     """The pallas_call stage on an already-assembled padded ``(bc, hp, wp)``
     frame -> uncropped ``(bc, nbh*th, nbw*tw)``. Split out so the
     decomposition benchmark can time the kernel without the pad stage."""
+    if n_slots is None:
+        n_slots = _N_WIN_SLOTS
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
     _, _, ro, co, sh, sw, shp, swp = _align_geometry(
@@ -1139,6 +1155,7 @@ def _dma_kernel_call(
             cw=cw, ch=ch,
             precision=precision, rows_shift=rows_shift,
             cols_scale=cols_scale, out_u8=out_u8, ro=ro, co=co, tl=tl,
+            n_slots=n_slots,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_hw().kernel_vmem_limit
@@ -1157,8 +1174,8 @@ def _dma_kernel_call(
             (bc, nbh * th, wout), jnp.uint8 if out_u8 else jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, shp, swp), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, shp, swp), x.dtype),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
         interpret=jax.default_backend() != "tpu",
     )(x, bw, bh)
@@ -1174,11 +1191,14 @@ def _dma_kernel_call_direct(
     tw: int,
     cw: int,
     ch: int,
+    n_slots: int | None = None,
 ) -> jnp.ndarray:
     """No-assemble pallas_call on the ORIGINAL ``(bc, h, w)`` frame ->
     uncropped ``(bc, nbh*th, wout)``. The in-VMEM window splice
     (``_kernel_direct``) replaces the padded-frame assemble stage — the
     only XLA-built inputs are the four thin edge strips."""
+    if n_slots is None:
+        n_slots = _N_WIN_SLOTS
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
     orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
@@ -1204,6 +1224,7 @@ def _dma_kernel_call_direct(
             nbh=nbh, nbw=nbw, cw=cw, ch=ch, precision=precision,
             rows_shift=rows_shift, cols_scale=cols_scale, out_u8=out_u8,
             ro=ro, co=co, tl=tl, orh=orh, orw=orw, h8=h8, w128=w128,
+            n_slots=n_slots,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_hw().kernel_vmem_limit
@@ -1220,8 +1241,8 @@ def _dma_kernel_call_direct(
             (bc, nbh * th, wout), jnp.uint8 if out_u8 else jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, shp, swp), x.dtype),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((n_slots, shp, swp), x.dtype),
+            pltpu.SemaphoreType.DMA((n_slots, 4)),
         ],
         interpret=jax.default_backend() != "tpu",
     )(x, top, bot, lb, rb, bw, bh)

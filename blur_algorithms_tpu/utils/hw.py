@@ -21,6 +21,14 @@ published HBM / VMEM / bandwidth / peak-bf16 numbers — see the public
 
 Unknown device kinds (including CPU test runs, which exercised the same
 constants in round 1) fall back to the v5e entry.
+
+Round 3 adds the ROUTING crossovers (previously module-level v5e
+constants): ``auto_fused_max_radius_u8/_f32`` (fused-vs-fft), the
+``box_scan_crossover_radius``, and ``dma_max_radius`` — the first three
+scaled by flops-per-HBM-byte, the DMA cap by VMEM — plus the bf16
+certification boundary (``bf16_cert_min_radius`` / ``bf16_route_min_radius``
+/ ``bf16_min_radius``), which is a per-kind MEASUREMENT and deliberately
+not scaled.
 """
 
 from __future__ import annotations
