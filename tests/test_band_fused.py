@@ -1116,3 +1116,29 @@ class TestDmaForm:
             want = oracle.blur_u8(img[c][..., None], 2.0)[..., 0]
             d = np.abs(out[c].astype(int) - want.astype(int))
             assert d.max() <= 1
+
+
+def test_multi_slot_window_buffer_bit_identical(rng):
+    """The n-slot DMA window pipeline (round-3 knob) is scheduling only:
+    any slot count produces the 2-slot result bit for bit."""
+    import numpy as np
+
+    from blur_algorithms_tpu.ops.plan import make_plan
+    from blur_algorithms_tpu.pallas_kernels import fused_dma
+
+    img = (rng.random((3, 48, 1024)) * 255).astype(np.uint8)
+    import jax.numpy as jnp
+
+    x = jnp.asarray(img)
+    outs = {}
+    for ns in (2, 3):
+        plan = make_plan((48, 1024), 4.0)  # fresh plan -> fresh trace
+        old = fused_dma._N_WIN_SLOTS
+        fused_dma._N_WIN_SLOTS = ns
+        try:
+            outs[ns] = np.asarray(
+                fused_dma.blur_fused_u8_dma(x, plan, precision="int8")
+            )
+        finally:
+            fused_dma._N_WIN_SLOTS = old
+    np.testing.assert_array_equal(outs[2], outs[3])
