@@ -88,11 +88,18 @@ def main() -> int:
                 mk = lambda: (
                     lambda v: blur_u8(v, sigma, engine=eng, size_mode="pow2")
                 )
-                # small frames need longer chains: the ~30 ms tunnel RTT noise
-                # must stay small next to (iters-1) * per_step
-                iters = max(args.iters, min(48, int(24 / max(mp, 0.1))))
+                # small frames need LONG chains: the ~30 ms tunnel RTT
+                # noise must stay small next to (iters-1) * per_step —
+                # a 1.5 MP frame blurs in ~0.1 ms, so a 16-step chain's
+                # 1.5 ms difference can vanish into the noise entirely
+                # (observed 0.000 ms readings); 96/mp targets a >= 10 ms
+                # difference at ~15 GP/s
+                iters = max(args.iters, min(256, int(96 / max(mp, 0.4))))
                 r = time_fn_chained(mk, xj, iters=iters, name=name,
                                     megapixels=mp)
+                if r.median_ms < 0.005:  # still swallowed: quadruple once
+                    r = time_fn_chained(mk, xj, iters=min(1024, iters * 4),
+                                        reps=5, name=name, megapixels=mp)
                 row[name + "_ms"] = round(r.median_ms, 3)
                 row[name + "_mps"] = round(r.mpix_per_s, 1)
             except Exception as exc:  # keep sweeping past OOM/VMEM limits

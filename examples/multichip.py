@@ -9,8 +9,10 @@ pod slice it uses the real chips. Demonstrates the three sharded routes:
    shard), uint8 end to end.
 2. ``blur_fft_sharded``  — the distributed-FFT decomposition: shard-local
    batched rFFTs + ONE ``all_to_all`` reshard between the two 1-D passes.
-3. AUTO dp-sharding      — ``blur_u8`` transparently shards batches
-   divisible by the device count.
+3. AUTO sharding         — ``blur_u8`` transparently shards ANY batch of
+   >= 2 frames (indivisible sizes pad-and-crop; spare devices shard rows
+   when the batch is smaller than the device count) and sp-shards single
+   frames above ~16.8 MP over all chips.
 
 Usage: python examples/multichip.py
 """
