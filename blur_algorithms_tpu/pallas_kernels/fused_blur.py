@@ -785,6 +785,18 @@ def _split_wins(plan: BlurPlan, in_bytes: int, precision=None) -> bool:
         return False
     if single is None:
         return True  # split is the only feasible MXU path
+    if p2_int8:
+        # Round-3 matched-radius measurement (interleaved, single 4K
+        # frame): the int8-e32 split beats the single int8 kernel at
+        # EVERY blocked-regime radius — r=665/798/931/1131/1330 split
+        # 2.53/3.71/4.56/5.11/5.54 ms vs single 4.02/4.49/5.56/7.35/9.46
+        # (`benchmarks/wide_route_compare.json`; round 2's calibration
+        # had the crossover at ~1300, but the chunked/whole-height tile
+        # work sped the split's passes past it). The u8 fixed-point path
+        # therefore splits as soon as it is feasible past the
+        # small-radius guard — on TPU the DMA form owns r <= 600, so
+        # this decides r > 600 in practice.
+        return True
     # intermediate round trip: int16 E (2 + 2 bytes) on the e32 path, f32
     # (4 + 4) otherwise — kept independent of the calibrated efficiency
     # penalty so the byte model stays honest per precision form

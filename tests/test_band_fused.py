@@ -118,9 +118,10 @@ class TestFusedKernel:
 
         small = make_plan((2160, 3840), 10.0)
         assert not fused_blur._split_wins(small, 1)
-        # int8 singles survive deeper into the wide regime than bf16x3
+        # round 3: the e32 split wins the WHOLE u8 blocked regime (the
+        # matched-radius measurement in benchmarks/wide_route_compare.json)
         mid = make_plan((2160, 3840), 300.0)  # r ~ 997
-        assert not fused_blur._split_wins(mid, 1, "int8")
+        assert fused_blur._split_wins(mid, 1, "int8")
         wide = make_plan((2160, 3840), 400.0)  # r ~ 1330
         assert fused_blur._split_wins(wide, 1, "int8")
         assert fused_blur._split_wins(wide, 1, "bf16x3")
