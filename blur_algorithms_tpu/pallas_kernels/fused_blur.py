@@ -797,6 +797,12 @@ def _split_wins(plan: BlurPlan, in_bytes: int, precision=None) -> bool:
         # small-radius guard — on TPU the DMA form owns r <= 600, so
         # this decides r > 600 in practice.
         return True
+    if precision == "bf16x3":
+        # Same measured outcome for the bf16x3 forms (round 3, 4K float,
+        # interleaved): split 3.15/4.67/4.32/6.13/7.76 ms vs single
+        # 4.65/4.85/6.35/8.75/13.5 at r=332/465/565/665/931 — the split
+        # wins or ties at every radius past the small-radius guard.
+        return True
     # intermediate round trip: int16 E (2 + 2 bytes) on the e32 path, f32
     # (4 + 4) otherwise — kept independent of the calibrated efficiency
     # penalty so the byte model stays honest per precision form
