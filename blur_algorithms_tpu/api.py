@@ -447,7 +447,9 @@ def _compiled_planar(
         shape[-2], shape[-1], nsmooth, engine, kernel, size_mode, in_bytes=4
     )
 
-    if Engine(engine) is Engine.AUTO and eng is Engine.FUSED:
+    if Engine(engine) is Engine.AUTO and eng in (
+        Engine.FUSED, Engine.FFT_MXU, Engine.FFT_STREAM
+    ):
         fn_sharded = _auto_sharded_fn(shape, plan, is_u8=False)
         if fn_sharded is not None:
             return fn_sharded
@@ -480,7 +482,13 @@ def _compiled_u8(
 
     plan, eng = _plan_for(shape[-3], shape[-2], nsmooth, engine, kernel, size_mode)
 
-    if Engine(engine) is Engine.AUTO and eng is Engine.FUSED:
+    # multi-chip AUTO for the fused family AND the FFT-resolved regimes:
+    # blur_sharded's own router runs the fused kernel per shard where it
+    # serves and delegates to the distributed FFT past the crossover /
+    # feasibility guards, so both resolutions shard safely
+    if Engine(engine) is Engine.AUTO and eng in (
+        Engine.FUSED, Engine.FFT_MXU, Engine.FFT_STREAM
+    ):
         fn_sharded = _auto_sharded_fn(shape, plan, is_u8=True)
         if fn_sharded is not None:
             return fn_sharded

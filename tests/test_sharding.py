@@ -356,3 +356,31 @@ class TestAutoShardingWidened:
         fn = api._compiled_u8((64, 64, 3), 2.5, api.Engine.AUTO,
                               "gaussian", "auto")
         assert not getattr(fn, "_sharded", False)
+
+    def test_auto_shards_fft_resolved_batch(self, monkeypatch):
+        """AUTO multi-chips FFT-resolved plans too: the sharded router
+        delegates them to the distributed FFT internally."""
+        import dataclasses as dc
+
+        from blur_algorithms_tpu import api
+        from blur_algorithms_tpu.utils import hw
+
+        tiny = dc.replace(
+            hw.spec_for_kind("TPU v5 lite"), peak_bf16_tflops=1.0
+        )
+        monkeypatch.setattr(hw, "budgets", lambda: tiny)
+        h, w, sigma = 384, 192, 80.0  # r ~ 186 > the 128 crossover floor
+        plan, eng = api._plan_for(h, w, sigma, api.Engine.AUTO, "gaussian",
+                                  "auto")
+        api._plan_for.cache_clear()
+        assert eng is api.Engine.FFT_MXU
+        fn = api._compiled_u8((4, h, w, 3), sigma, api.Engine.AUTO,
+                              "gaussian", "auto")
+        api._compiled_u8.cache_clear()
+        assert getattr(fn, "_sharded", False)
+        rng = np.random.default_rng(9)
+        batch = (rng.random((4, h, w, 3)) * 255).astype(np.uint8)
+        got = np.asarray(fn(jnp.asarray(batch)))
+        want = oracle.blur_u8(batch[0], sigma)
+        assert np.abs(got[0].astype(int) - want.astype(int)).max() <= 1
+        api._plan_for.cache_clear()  # drop tiny-spec plans for later tests
