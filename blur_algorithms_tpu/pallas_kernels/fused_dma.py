@@ -172,6 +172,91 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
     jax.lax.fori_loop(0, nbw, body, None, unroll=False)
 
 
+def _store_tile(out_ref, outf, j, *, tw: int, nbw: int, tl: int,
+                out_u8: bool):
+    """Round/cast + store one (th, tw) tile at window column ``j``."""
+    if out_u8:
+        outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
+        outf = outf.astype(jnp.int32).astype(jnp.uint8)
+    else:
+        outf = outf.astype(jnp.float32)
+    if tl in (0, tw):
+        out_ref[0, :, pl.ds(j * tw, tw)] = outf
+    else:
+        @pl.when(j < nbw - 1)
+        def _():
+            out_ref[0, :, pl.ds(j * tw, tw)] = outf
+
+        @pl.when(j == nbw - 1)
+        def _():
+            out_ref[0, :, pl.ds(j * tw, tl)] = outf[:, :tl]
+
+
+def _kernel_pipe(x_hbm, bw_ref, bh_ref, out_ref, win, sem, rbuf, *,
+                 sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
+                 nbw: int, cw: int, ch: int, rows_shift: int,
+                 cols_scale: int, out_u8: bool, ro: int = 0, co: int = 0,
+                 tl: int = 0, n_slots: int = 2):
+    """Software-pipelined int8 strip: rows(j) and cols(j-1) share a block.
+
+    Hypothesis under test (PERF.md "where the headline millisecond
+    goes"): the plain loop's per-window chain recentre -> rows dots ->
+    digit ops -> cols dots serializes VPU elementwise work against MXU
+    dots. Here iteration j computes the MXU-heavy rows stage of window
+    ``j`` AND the VPU-heavy cols stage of window ``j-1`` (independent
+    chains, rows output staged through a 2-slot VMEM buffer), giving
+    Mosaic's scheduler two overlappable instruction streams per block.
+    Bit-identical to ``_kernel``: the same ops run in the same per-window
+    order, only the loop grouping changes.
+    """
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(
+            x_hbm.at[c, pl.ds(i * th, shp), pl.ds(j * tw, swp)],
+            win.at[slot],
+            sem.at[slot],
+        )
+
+    # the prologue consumes window 0 below (its rows stage runs before the
+    # loop), so it must also start window 1's fetch — the plain kernel's
+    # body(0) does that; here the loop begins at j=1
+    for k in range(min(n_slots, nbw)):
+        get_dma(k % n_slots, k).start()
+
+    rw = (sw - tw) // 2
+    rh = (sh - th) // 2
+
+    def rows(slot):
+        x = win[slot][ro:ro + sh, co:co + sw]
+        return _rows_int8(x, bw_ref, tw=tw, rw=rw, cw=cw)
+
+    def cols_store(j, r):
+        outf = _cols_int8(
+            r, bh_ref, rows_shift=rows_shift, cols_scale=cols_scale,
+            tw=tw, th=th, rh=rh, ch=ch,
+        )
+        _store_tile(out_ref, outf, j, tw=tw, nbw=nbw, tl=tl, out_u8=out_u8)
+
+    get_dma(0, 0).wait()
+    rbuf[0] = rows(0)
+
+    def body(j, _):
+        slot = j % n_slots
+
+        @pl.when(j + n_slots - 1 < nbw)
+        def _():
+            get_dma((j + n_slots - 1) % n_slots, j + n_slots - 1).start()
+
+        get_dma(slot, j).wait()
+        rbuf[j % 2] = rows(slot)
+        cols_store(j - 1, rbuf[(j - 1) % 2])
+
+    jax.lax.fori_loop(1, nbw, body, None, unroll=False)
+    cols_store(nbw - 1, rbuf[(nbw - 1) % 2])
+
+
 def _col_splices(nbw, tw, orw, swp, w128):
     """Static column splice table for the direct kernel.
 
@@ -365,6 +450,33 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
     jax.lax.fori_loop(0, nbw, body, None, unroll=False)
 
 
+def _rows_int8(x, bw_ref, *, tw: int, rw: int, cw: int):
+    """Rows stage of the fixed-point pipeline: u8 window -> int32 rows
+    conv (same arithmetic/order as inside ``_tile_int8``)."""
+    # recentre u8 -> int8 as one narrow VPU op: (v ^ 0x80) reinterpreted
+    # as int8 IS v - 128 exactly (top-bit flip == offset-binary decode)
+    xc = jax.lax.bitcast_convert_type(x ^ jnp.uint8(128), jnp.int8)
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=jnp.int32
+        )
+
+    # chunked band matmuls (contraction cw + 2rw per chunk); a tail chunk
+    # (tw % cw != 0) uses a static slice of the same band matrix — band
+    # matrices are translation-invariant, so bw[:cwk + 2rw, :cwk] IS the
+    # (cwk)-wide band matrix
+    rs = []
+    for k0 in range(0, tw, cw):
+        cwk = min(cw, tw - k0)
+        xs = xc[:, k0 : k0 + cwk + 2 * rw]
+        rs.append(
+            dot(xs, bw_ref[0][: cwk + 2 * rw, :cwk], ((1,), (0,))) * 128
+            + dot(xs, bw_ref[1][: cwk + 2 * rw, :cwk], ((1,), (0,)))
+        )
+    return jnp.concatenate(rs, axis=1) if len(rs) > 1 else rs[0]
+
+
 def _tile_int8(x, bw_ref, bh_ref, *, rows_shift: int, cols_scale: int,
                tw: int, th: int, rw: int, rh: int, cw: int, ch: int):
     """Fixed-point digit pipeline on one (sh, sw) u8 window -> (th, tw) f32.
@@ -377,28 +489,22 @@ def _tile_int8(x, bw_ref, bh_ref, *, rows_shift: int, cols_scale: int,
     BIT-IDENTICAL (the skipped terms are exact zeros). ``cw == tw`` /
     ``ch == th`` degenerates to the single dense dot.
     """
-    # recentre u8 -> int8 as one narrow VPU op: (v ^ 0x80) reinterpreted
-    # as int8 IS v - 128 exactly (top-bit flip == offset-binary decode)
-    xc = jax.lax.bitcast_convert_type(x ^ jnp.uint8(128), jnp.int8)
+    r = _rows_int8(x, bw_ref, tw=tw, rw=rw, cw=cw)
+    return _cols_int8(
+        r, bh_ref, rows_shift=rows_shift, cols_scale=cols_scale,
+        tw=tw, th=th, rh=rh, ch=ch,
+    )
+
+
+def _cols_int8(r, bh_ref, *, rows_shift: int, cols_scale: int,
+               tw: int, th: int, rh: int, ch: int):
+    """Cols stage: int32 rows conv -> (th, tw) f32 (digit split + dots)."""
 
     def dot(a, b, dims):
         return jax.lax.dot_general(
             a, b, (dims, ((), ())), preferred_element_type=jnp.int32
         )
 
-    # rows pass: chunked band matmuls (contraction cw + 2rw per chunk);
-    # a tail chunk (tw % cw != 0) uses a static slice of the same band
-    # matrix — band matrices are translation-invariant, so
-    # bw[:cwk + 2rw, :cwk] IS the (cwk)-wide band matrix
-    rs = []
-    for k0 in range(0, tw, cw):
-        cwk = min(cw, tw - k0)
-        xs = xc[:, k0 : k0 + cwk + 2 * rw]
-        rs.append(
-            dot(xs, bw_ref[0][: cwk + 2 * rw, :cwk], ((1,), (0,))) * 128
-            + dot(xs, bw_ref[1][: cwk + 2 * rw, :cwk], ((1,), (0,)))
-        )
-    r = jnp.concatenate(rs, axis=1) if len(rs) > 1 else rs[0]
     # width-independent 14-bit intermediate E = 127*(conv - 128)
     # (int16 digit-split was tried for narrower VPU ops: Mosaic rejects
     # 16-bit arithmetic shifts)
@@ -1125,10 +1231,13 @@ def _dma_kernel_call(
     ch: int,
     rows_prepadded: bool = False,
     n_slots: int | None = None,
+    pipelined: bool = False,
 ) -> jnp.ndarray:
     """The pallas_call stage on an already-assembled padded ``(bc, hp, wp)``
     frame -> uncropped ``(bc, nbh*th, nbw*tw)``. Split out so the
-    decomposition benchmark can time the kernel without the pad stage."""
+    decomposition benchmark can time the kernel without the pad stage.
+    ``pipelined`` selects the experimental software-pipelined int8 form
+    (``_kernel_pipe``)."""
     if n_slots is None:
         n_slots = _N_WIN_SLOTS
     h, w = plan.shape
@@ -1149,14 +1258,33 @@ def _dma_kernel_call(
     mat = lambda shape: pl.BlockSpec(
         shape, (lambda c, i: (0,) * len(shape)), memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
-        functools.partial(
+    use_pipe = pipelined and precision == "int8" and nbw >= 2
+    if use_pipe:
+        body = functools.partial(
+            _kernel_pipe, sh=sh, shp=shp, sw=sw, swp=swp, th=th, tw=tw,
+            nbw=nbw, cw=cw, ch=ch, rows_shift=rows_shift,
+            cols_scale=cols_scale, out_u8=out_u8, ro=ro, co=co, tl=tl,
+            n_slots=n_slots,
+        )
+        scratch = [
+            pltpu.VMEM((n_slots, shp, swp), x.dtype),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.VMEM((2, sh, tw), jnp.int32),  # staged rows outputs
+        ]
+    else:
+        body = functools.partial(
             _kernel, sh=sh, shp=shp, sw=sw, swp=swp, th=th, tw=tw, nbw=nbw,
             cw=cw, ch=ch,
             precision=precision, rows_shift=rows_shift,
             cols_scale=cols_scale, out_u8=out_u8, ro=ro, co=co, tl=tl,
             n_slots=n_slots,
-        ),
+        )
+        scratch = [
+            pltpu.VMEM((n_slots, shp, swp), x.dtype),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+        ]
+    out = pl.pallas_call(
+        body,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_hw().kernel_vmem_limit
         ),
@@ -1173,10 +1301,7 @@ def _dma_kernel_call(
         out_shape=jax.ShapeDtypeStruct(
             (bc, nbh * th, wout), jnp.uint8 if out_u8 else jnp.float32
         ),
-        scratch_shapes=[
-            pltpu.VMEM((n_slots, shp, swp), x.dtype),
-            pltpu.SemaphoreType.DMA((n_slots,)),
-        ],
+        scratch_shapes=scratch,
         interpret=jax.default_backend() != "tpu",
     )(x, bw, bh)
     return out
@@ -1253,7 +1378,7 @@ def _dma_kernel_call_direct(
     jax.jit,
     static_argnames=(
         "plan", "precision", "out_u8", "tile", "chunks", "rows_prepadded",
-        "direct",
+        "direct", "pipelined",
     ),
 )
 def _blur_fused_dma_impl(
@@ -1265,6 +1390,7 @@ def _blur_fused_dma_impl(
     chunks: tuple[int, int] | None = None,
     rows_prepadded: bool = False,
     direct: bool | None = None,
+    pipelined: bool = False,
 ) -> jnp.ndarray:
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
@@ -1283,7 +1409,10 @@ def _blur_fused_dma_impl(
     nbh, nbw = -(-h // th), -(-w // tw)
 
     if direct is None:
-        direct = _direct_applicable(h, w, th, tw, rh, rw, rows_prepadded)
+        direct = (
+            not pipelined  # the pipelined probe targets the assemble form
+            and _direct_applicable(h, w, th, tw, rh, rw, rows_prepadded)
+        )
     if direct:
         out = _dma_kernel_call_direct(
             x, plan, precision, out_u8, th, tw, cw, ch
@@ -1328,7 +1457,8 @@ def _blur_fused_dma_impl(
         )
 
     out = _dma_kernel_call(
-        x, plan, precision, out_u8, th, tw, cw, ch, rows_prepadded
+        x, plan, precision, out_u8, th, tw, cw, ch, rows_prepadded,
+        pipelined=pipelined,
     )
     return out[:, :h, :w].reshape(lead + (h, w))
 

@@ -1143,3 +1143,29 @@ def test_multi_slot_window_buffer_bit_identical(rng):
         finally:
             fused_dma._N_WIN_SLOTS = old
     np.testing.assert_array_equal(outs[2], outs[3])
+
+
+def test_pipelined_dma_kernel_bit_identical(rng):
+    """The software-pipelined int8 DMA kernel (rows(j) grouped with
+    cols(j-1); measured perf-neutral, kept as an in-tree experiment) must
+    reproduce the plain kernel bit for bit."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from blur_algorithms_tpu.ops.plan import make_plan
+    from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+        _blur_fused_dma_impl,
+    )
+
+    img = (rng.random((3, 48, 1024)) * 255).astype(np.uint8)
+    x = jnp.asarray(img)
+    plain = np.asarray(
+        _blur_fused_dma_impl(x, make_plan((48, 1024), 4.0), "int8", True,
+                             direct=False)
+    )
+    pipe = np.asarray(
+        _blur_fused_dma_impl(x, make_plan((48, 1024), 4.0), "int8", True,
+                             pipelined=True)
+    )
+    np.testing.assert_array_equal(plain, pipe)
