@@ -384,3 +384,23 @@ class TestAutoShardingWidened:
         want = oracle.blur_u8(batch[0], sigma)
         assert np.abs(got[0].astype(int) - want.astype(int)).max() <= 1
         api._plan_for.cache_clear()  # drop tiny-spec plans for later tests
+
+
+def test_auto_mesh_factorization():
+    """_auto_sharded_fn picks dp = largest divisor of n_devices <= B and
+    gives the rest to sp (spare devices shard rows)."""
+    from blur_algorithms_tpu import api
+    from blur_algorithms_tpu.ops.plan import make_plan
+
+    from jax.sharding import Mesh
+
+    plan = make_plan((64, 48), 2.0)
+    for b, want_dp, want_sp in [(8, 8, 1), (9, 8, 1), (4, 4, 2),
+                                (3, 2, 4), (2, 2, 4), (16, 8, 1)]:
+        fn = api._auto_sharded_fn((b, 64, 48, 3), plan, is_u8=True)
+        assert fn is not None, b
+        meshes = [c.cell_contents for c in fn.__closure__
+                  if isinstance(c.cell_contents, Mesh)]
+        assert len(meshes) == 1, b
+        shape = meshes[0].shape
+        assert (shape["dp"], shape["sp"]) == (want_dp, want_sp), b
