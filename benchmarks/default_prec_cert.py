@@ -93,6 +93,11 @@ def main() -> int:
                  16.0, 24.0, 32.0, 48.0, 64.0, 100.0, 150.0, 250.0],
     )
     ap.add_argument(
+        "--precision", choices=["bf16", "hybrid"], default="bf16",
+        help="which fast DMA rung to certify (hybrid = exact int8 rows + "
+             "single-dot bf16 cols)",
+    )
+    ap.add_argument(
         "--kernel", choices=["gaussian", "box_fast"], default="gaussian",
         help="box_fast: --sigmas are BOX RADII (2 passes folded to "
              "effective tent taps, the FastBoxBlur call-site semantics)",
@@ -125,7 +130,7 @@ def main() -> int:
             rows.append({"sigma": sigma, "radius": r, "skip": "radius 0"})
             continue
         if jax.default_backend() == "tpu" and not dma_form_applicable(
-            jnp.uint8, plan, "bf16"
+            jnp.uint8, plan, args.precision
         ):
             rows.append({"sigma": sigma, "radius": r, "skip": "dma n/a"})
             continue
@@ -133,7 +138,9 @@ def main() -> int:
         per_pat = {}
         for name, img in pats.items():
             got = np.asarray(
-                blur_fused_u8_dma(jnp.asarray(img), plan, precision="bf16")
+                blur_fused_u8_dma(
+                    jnp.asarray(img), plan, precision=args.precision
+                )
             )
             if args.kernel == "box_fast":
                 want = box_oracle_u8(img, int(sigma), plan.box_passes)
@@ -162,6 +169,7 @@ def main() -> int:
     summary = {
         "backend": jax.default_backend(),
         "device_kind": device_kind(),
+        "precision": args.precision,
         "kernel": args.kernel,
         "image": [h, w, 3],
         "patterns": sorted(pats),

@@ -250,14 +250,25 @@ def _u8_dma_precision(plan: BlurPlan) -> str:
     )
     from blur_algorithms_tpu.utils.hw import budgets
 
-    r_min = budgets().bf16_min_radius  # accuracy AND perf floors
+    b = budgets()
+    r = min(plan.col.support_radius, plan.row.support_radius)
+    certified_taps = plan.kernel in ("gaussian", "box_fast")
+    # fastest rung first: HYBRID (exact int8 rows + single-dot bf16 cols;
+    # strict accuracy superset of bf16, measured 1.2-1.4x int8 at every
+    # radius it serves — benchmarks/hybrid_probe.json)
     if (
-        r_min is not None
-        # both certified families: gaussian (default_prec_cert.json) and
-        # the folded box/tent taps (default_prec_cert_box.json: <=1 at
-        # every measured support radius 8-600)
-        and plan.kernel in ("gaussian", "box_fast")
-        and min(plan.col.support_radius, plan.row.support_radius) >= r_min
+        b.hybrid_min_radius is not None
+        and certified_taps
+        and r >= b.hybrid_min_radius
+        and dma_form_applicable(jnp.uint8, plan, "hybrid")
+    ):
+        return "hybrid"
+    # then the full-bf16 rung inside ITS certified window (kept for kinds
+    # or regions where hybrid is uncertified)
+    if (
+        b.bf16_min_radius is not None
+        and certified_taps
+        and r >= b.bf16_min_radius
         and dma_form_applicable(jnp.uint8, plan, "bf16")
     ):
         return "bf16"

@@ -103,6 +103,8 @@ def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
             x, bw_ref, bh_ref, rows_shift=rows_shift,
             cols_scale=cols_scale, **geom,
         )
+    elif precision == "hybrid":
+        outf = _tile_hybrid(x, bw_ref, bh_ref, rows_shift=rows_shift, **geom)
     elif precision == "bf16":
         outf = _tile_bf16(x, bw_ref, bh_ref, **geom)
     else:
@@ -540,6 +542,44 @@ def _cols_int8(r, bh_ref, *, rows_shift: int, cols_scale: int,
     )
 
 
+def _tile_hybrid(x, bw_ref, bh_ref, *, rows_shift: int,
+                 tw: int, th: int, rw: int, rh: int, cw: int, ch: int):
+    """int8 rows + single-dot bf16 cols: the digit pipeline skipped.
+
+    The rows stage is the EXACT fixed-point form (int8 dots, int32 E
+    intermediate — bit-identical to ``_tile_int8``'s rows); the cols
+    stage rounds E to bfloat16 once and runs ONE dot per chunk against
+    the bf16 column band (hi half only). Total 3 int8/bf16 dots (~1.5
+    bf16-equivalents) and roughly half the per-window VPU elementwise
+    work of the full digit pipeline; the only precision losses are the
+    E -> bf16 round (<= 2^-9 relative, ~0.25 counts) and the column
+    taps' bf16 round — a strict accuracy SUPERSET of the full-bf16 rung
+    (whose rows are also rounded), so the bf16 certification region
+    covers it. E = 127*(conv - 128), so the recombine is one fused
+    multiply-add: out = (Bh_bf16 . E_bf16) / 127 + 128.
+    """
+    f32 = jnp.float32
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=f32
+        )
+
+    r = _rows_int8(x, bw_ref, tw=tw, rw=rw, cw=cw)
+    e = (r + (1 << (rows_shift - 1))) >> rows_shift
+    y = e.astype(f32).astype(jnp.bfloat16)
+
+    dims_c = ((0,), (0,))
+    outs = []
+    for m0 in range(0, th, ch):
+        chm = min(ch, th - m0)
+        sl = slice(m0, m0 + chm + 2 * rh)
+        b0 = bh_ref[0][: chm + 2 * rh, :chm]
+        outs.append(dot(b0, y[sl], dims_c))
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return out * (1.0 / 127.0) + 128.0
+
+
 def _tile_bf16x3(x, bw_ref, bh_ref, *, in_u8: bool,
                  tw: int, th: int, rw: int, rh: int, cw: int, ch: int):
     """bf16 hi/lo split dots on one (sh, sw) window -> (th, tw) f32.
@@ -921,7 +961,7 @@ def dma_form_applicable(
     if jax.default_backend() != "tpu":
         return False
     is_u8 = jnp.dtype(dtype) == jnp.uint8
-    if precision == "int8" and not (
+    if precision in ("int8", "hybrid") and not (
         is_u8 and int8_applicable(plan, jnp.uint8)
     ):
         return False
@@ -1198,7 +1238,7 @@ def _band_operands(
     bh_np = band_block_matrix(plan.col.taps, ch)  # (ch + 2rh, ch)
     rows_shift = 7
     cols_scale = 1
-    if precision == "int8":
+    if precision in ("int8", "hybrid"):
         rows_scale = pick_int8_scale(plan.row.taps, pow2=True)
         cols_scale = pick_int8_scale(plan.col.taps)
         rows_shift = 7 + (rows_scale // (127 * 128)).bit_length() - 1
@@ -1207,7 +1247,15 @@ def _band_operands(
             return jnp.asarray(np.stack([q >> 7, q & 127]).astype(np.int8))
 
         bw = as_i8(_quantize_band_int8(bw_np, rows_scale))
-        bh = as_i8(_quantize_band_int8(bh_np, cols_scale))
+        if precision == "hybrid":
+            # cols ride the bf16 band (hi/lo stacked; hybrid reads hi)
+            bhj = jnp.asarray(bh_np)
+            hi = bhj.astype(jnp.bfloat16)
+            lo = (bhj - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = jnp.stack([hi, lo])
+            cols_scale = 1
+        else:
+            bh = as_i8(_quantize_band_int8(bh_np, cols_scale))
     else:  # bf16x3: pre-split hi/lo stacks, computed once at trace time
         def as_bf16(m: np.ndarray) -> jnp.ndarray:
             mj = jnp.asarray(m)

@@ -160,10 +160,11 @@ def blur_sharded(
     if is_u8 and r > 0:
         from blur_algorithms_tpu.api import _u8_dma_precision
 
-        if _u8_dma_precision(local_plan) == "bf16" and dma_form_applicable(
-            jnp.uint8, local_plan, "bf16", out_u8=out_u8
+        rung = _u8_dma_precision(local_plan)
+        if rung in ("bf16", "hybrid") and dma_form_applicable(
+            jnp.uint8, local_plan, rung, out_u8=out_u8
         ):
-            precision = "bf16"
+            precision = rung
     use_dma = r > 0 and dma_form_applicable(
         planar.dtype, local_plan, precision, out_u8=out_u8
     )

@@ -68,6 +68,19 @@ class DeviceSpec:
             return None
         return max(self.bf16_cert_min_radius, self.bf16_route_min_radius)
 
+    # The HYBRID rung (exact int8 rows + single-dot bf16 cols — strict
+    # accuracy superset of bf16, ~1.2-1.4x int8 wherever measured):
+    # same two-floor structure, own certification sweep
+    # (``benchmarks/hybrid_cert*.json``). None = uncertified.
+    hybrid_cert_min_radius: int | None = None
+    hybrid_route_min_radius: int = 0
+
+    @property
+    def hybrid_min_radius(self) -> int | None:
+        if self.hybrid_cert_min_radius is None:
+            return None
+        return max(self.hybrid_cert_min_radius, self.hybrid_route_min_radius)
+
     @property
     def wide_vmem_budget(self) -> int:
         """VMEM cap for the wide-radius fused tile search (v5e: 110 MiB)."""
@@ -157,9 +170,16 @@ _MIB = 1 << 20
 # (max 2) only at radius 5 and 9; EVERY measured radius >= 12 holds
 # max <= 1 through r=498. Routed boundary 16 = certified 12 plus one
 # grid step of margin against the borderline wiggle at r~9.
+# v5e hybrid certification (benchmarks/hybrid_cert.json / _box.json,
+# 2026-08-20): worst err 1 at EVERY measured radius — gaussian 3..498,
+# box/tent support 8..600, no failures anywhere (the exact int8 rows
+# remove bf16's small-sigma failures) — and the perf probe shows hybrid
+# beats int8 at every radius down to r=4 (hybrid_small_radius.json,
+# hybrid_probe.json: 1.2-1.4x), so its route floor is its cert floor.
 _V5E = DeviceSpec(
     "TPU v5e", 16 * _GIB, 128 * _MIB, 819.0, 197.0,
     bf16_cert_min_radius=16, bf16_route_min_radius=96,
+    hybrid_cert_min_radius=3, hybrid_route_min_radius=0,
 )
 _TABLE: tuple[tuple[tuple[str, ...], DeviceSpec], ...] = (
     (("v5 lite", "v5e", "v5litepod"), _V5E),

@@ -1100,7 +1100,9 @@ class TestDmaForm:
             want = oracle.blur_u8(img[b, 0][..., None], 2.0)[..., 0]
             d = np.abs(out[b, 0].astype(int) - want.astype(int))
             assert d.max() <= 1
-            assert (d == 0).mean() > 0.99
+            # the per-shard step routes the hybrid rung here (round 3):
+            # same <=1 gate, slightly lower exact fraction than int8
+            assert (d == 0).mean() > 0.95
 
     def test_policy_driven_interpret_small_frame(self, rng):
         """tile=None: _pick_tile_dma + _pick_chunks_dma drive the kernel
