@@ -23,10 +23,11 @@ TPU-native engines beyond the parity set:
 * ``fft_mxu`` — Bailey four-step FFT as MXU matmuls (fused Pallas pipeline
   on TPU): radius-independent, the exact path for giant kernels;
 * ``auto``    — the fused family to radius ~3500 (exact-window DMA with
-  the certified int8/bf16 precision ladder to r<=600, then the int8-e32
-  two-pass split), fft_mxu past the crossover, strip-streamed FFT when
-  frames outgrow HBM budgets; multi-chip sharding engages transparently
-  when more than one device is visible (``_auto_sharded_fn``).
+  the certified hybrid/int8/bf16 precision ladder to r<=600, then the
+  int8-e32 two-pass split), fft_mxu past the crossover, strip-streamed
+  FFT when frames outgrow HBM budgets; multi-chip sharding engages
+  transparently when more than one device is visible
+  (``_auto_sharded_fn``).
 
 Every (shape, nsmooth, engine, options) tuple is a distinct jit
 specialization, cached process-wide; compiled programs fuse
