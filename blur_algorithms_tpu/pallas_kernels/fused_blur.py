@@ -209,7 +209,7 @@ def _kernel(*refs, rows_h: tuple, cols_w: tuple, precision, out_u8: bool,
 def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
                  skip_cols: bool = False, rows_scale: int = _INT8_SCALE,
                  cols_scale: int = _INT8_SCALE, out_e32: bool = False,
-                 in_e32: bool = False):
+                 in_e32: bool = False, hybrid_cols: bool = False):
     """Fixed-point int8 MXU path (uint8 input only; ~1.6x the bf16 dot rate).
 
     Matrices arrive as (2, K, N) int8 stacks [q >> 7, q & 127] of the
@@ -264,12 +264,27 @@ def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
     dims_r = ((1,), (0,))
     dims_c = ((0,), (0,))
 
-    acc = p1a = p23a = p4a = None
+    acc = p1a = p23a = p4a = facc = None
     for di in range(nh):
         if in_e32:
             # cols-only form: the block IS the intermediate E (int16 in
             # HBM — half the f32 split's intermediate traffic; |E| <= 16257)
             e = x_refs[di * nw][0, : rows_h[di], :].astype(jnp.int32)
+            if hybrid_cols:
+                # HYBRID pass 2 (round 3): one bf16 dot per chunk on
+                # bf16(E) against the bf16 column band's hi half — the
+                # digit pipeline skipped entirely. E is exact from pass
+                # 1; the only losses are E -> bf16 (<= 2^-9 relative)
+                # and the taps' bf16 round — the same error structure as
+                # the DMA hybrid rung, certified <= 1. out = taps.E/127
+                # + 128 (unit-sum taps pass the -128 offset through).
+                y = e.astype(jnp.float32).astype(jnp.bfloat16)
+                p = jax.lax.dot_general(
+                    bh_parts[di][0], y, (dims_c, ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                facc = p if facc is None else facc + p
+                continue
         else:
             r_acc = None
             for dj in range(nw):
@@ -309,7 +324,9 @@ def _kernel_int8(*refs, rows_h: tuple, cols_w: tuple, out_u8: bool,
         # |E| <= 16257 fits int16: half the HBM of an f32/int32 intermediate
         out_ref[0] = acc.astype(jnp.int16)
         return
-    if skip_cols:
+    if hybrid_cols:
+        outf = facc * (1.0 / 127.0) + 128.0
+    elif skip_cols:
         outf = acc.astype(jnp.float32) * (1.0 / rows_scale) + 128.0
     else:
         # per-part f32 scaling: each part is < 2^24-exact after its own
@@ -380,8 +397,13 @@ def _blur_fused_planar(
         )
 
     int8_mode = precision == "int8"
+    hybrid_mode = precision == "hybrid"
+    if hybrid_mode and e32 != "in":
+        raise ValueError(
+            "precision='hybrid' is the e32-consuming cols-only pass only"
+        )
     if e32 is not None:
-        if not int8_mode:
+        if not int8_mode and not hybrid_mode:
             raise ValueError("e32 streaming requires precision='int8'")
         if e32 == "out" and (rh != 0 or planar.dtype != jnp.uint8):
             raise ValueError("e32='out' is the rows-only u8 form (rh == 0)")
@@ -455,7 +477,21 @@ def _blur_fused_planar(
         return jnp.stack([hi, lo])
 
     # chunk the band matrices to match each neighbor block's contribution
-    if int8_mode:
+    if hybrid_mode:
+        # hybrid e32-in pass: no row mats (E arrives), cols as stacked
+        # bf16 hi/lo (the kernel reads the hi half)
+        bw_parts = []
+
+        def as_bf16(m: np.ndarray) -> jnp.ndarray:
+            mj = jnp.asarray(m)
+            hi = mj.astype(jnp.bfloat16)
+            lo = (mj - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return jnp.stack([hi, lo])
+
+        bh_parts = [
+            as_bf16(bh[k * th : k * th + rows_h[k]]) for k in range(nh)
+        ]
+    elif int8_mode:
         # quantize the FULL matrix (so per-column sums hit the scale exactly
         # across chunk boundaries), then chunk and split into int8 hi/lo
         # stacks. Scales adapt to the largest tap per axis; the full form's
@@ -505,7 +541,12 @@ def _blur_fused_planar(
 
     interpret = jax.default_backend() != "tpu"
 
-    if int8_mode:
+    if hybrid_mode:
+        body = functools.partial(
+            _kernel_int8, rows_h=rows_h, cols_w=cols_w, out_u8=out_u8,
+            in_e32=True, hybrid_cols=True,
+        )
+    elif int8_mode:
         body = functools.partial(
             _kernel_int8, rows_h=rows_h, cols_w=cols_w, out_u8=out_u8,
             skip_cols=rh == 0, rows_scale=rows_scale, cols_scale=cols_scale,
@@ -819,6 +860,29 @@ def _split_wins(plan: BlurPlan, in_bytes: int, precision=None) -> bool:
 _SPLIT_EFF_PENALTY = 2.2
 
 
+def _hybrid_cols_ok(plan: BlurPlan) -> bool:
+    """Device-certified gate for the split's HYBRID pass 2 (TPU only).
+
+    Same two conditions as the DMA hybrid rung (``api._u8_dma_precision``):
+    a device kind with a measured hybrid certification and certified tap
+    families. Accuracy in the split regime is covered by the DEFAULT-split
+    probe (max err 1 at r=997-1920, ``benchmarks/split_bf16_probe.json``)
+    — the hybrid pass is strictly tighter (exact int8 rows) — plus the
+    on-chip spot checks in ``benchmarks/hybrid_split_check.json``.
+    """
+    if jax.default_backend() != "tpu":
+        return False
+    from blur_algorithms_tpu.utils.hw import budgets
+
+    b = budgets()
+    return (
+        b.hybrid_min_radius is not None
+        and plan.kernel in ("gaussian", "box_fast")
+        and min(plan.col.support_radius, plan.row.support_radius)
+        >= b.hybrid_min_radius
+    )
+
+
 def _blur_fused_split(planar, plan: BlurPlan, precision, out_u8: bool):
     rows_plan, cols_plan = _split_plans(plan)
     is_u8 = jnp.asarray(planar).dtype == jnp.uint8
@@ -834,8 +898,9 @@ def _blur_fused_split(planar, plan: BlurPlan, precision, out_u8: bool):
             planar, rows_plan, _pick_tile(rows_plan, in_bytes, "int8"),
             "int8", out_u8=False, e32="out",
         )
+        p2 = "hybrid" if _hybrid_cols_ok(plan) else "int8"
         return _blur_fused_planar(
-            e, cols_plan, _pick_tile(cols_plan, 2, "int8"), "int8",
+            e, cols_plan, _pick_tile(cols_plan, 2, "int8"), p2,
             out_u8=out_u8, e32="in",
         )
     # pass 1 reads the raw uint8 frame: the int8 fixed-point rows form
@@ -989,8 +1054,9 @@ def _blur_fused_haloed_split(planar, plan: BlurPlan, precision, out_u8: bool):
             planar, rows_plan_h, _pick_tile(rows_plan_h, in_bytes, "int8"),
             "int8", out_u8=False, e32="out",
         )
+        p2 = "hybrid" if _hybrid_cols_ok(plan) else "int8"
         return _blur_fused_planar(
-            e, cols_plan, _pick_tile(cols_plan, 2, "int8"), "int8",
+            e, cols_plan, _pick_tile(cols_plan, 2, "int8"), p2,
             out_u8=out_u8, e32="in", pre_padded_col=True,
         )
     p1_prec = precision

@@ -1171,3 +1171,40 @@ def test_pipelined_dma_kernel_bit_identical(rng):
                              pipelined=True)
     )
     np.testing.assert_array_equal(plain, pipe)
+
+
+def test_hybrid_split_pass2_interpret(rng, monkeypatch):
+    """The split's HYBRID pass 2 (bf16 dot on the int16-E intermediate,
+    round 3): <= 1 count vs the oracle and exact at constant levels."""
+    from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+    monkeypatch.setattr(fused_blur, "_FORCE_INTERPRET", True)
+    monkeypatch.setattr(fused_blur, "_hybrid_cols_ok", lambda plan: True)
+    img = (rng.random((64, 80, 3)) * 255).astype(np.uint8)
+    plan = make_plan((64, 80), 18.0)
+    planar = jnp.moveaxis(jnp.asarray(img), -1, -3)
+    got = np.asarray(
+        fused_blur._blur_fused_split(planar, plan, "int8", out_u8=True)
+    )
+    want = np.moveaxis(oracle.blur_u8(img, 18.0), -1, 0)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+    for level in (0, 127, 255):
+        p2 = make_plan((32, 32), 6.0)
+        c = np.asarray(
+            fused_blur._blur_fused_split(
+                jnp.full((1, 32, 32), level, jnp.uint8), p2, "int8",
+                out_u8=True,
+            )
+        )
+        assert (c == level).all(), level
+
+
+def test_hybrid_precision_validation():
+    from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+    plan = make_plan((32, 32), 6.0)
+    x8 = jnp.zeros((1, 32, 32), jnp.uint8)
+    with pytest.raises(ValueError):  # hybrid is the e32-in pass only
+        fused_blur._blur_fused_planar(
+            x8, plan, (16, 16), "hybrid", out_u8=True
+        )
