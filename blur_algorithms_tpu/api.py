@@ -256,11 +256,14 @@ def _u8_dma_precision(plan: BlurPlan) -> str:
     certified_taps = plan.kernel in ("gaussian", "box_fast")
     # fastest rung first: HYBRID (exact int8 rows + single-dot bf16 cols;
     # strict accuracy superset of bf16, measured 1.2-1.4x int8 at every
-    # radius it serves — benchmarks/hybrid_probe.json)
+    # radius it serves — benchmarks/hybrid_probe.json). The floor is
+    # per tap family: box/tent taps carry their own measured cert floor
+    # (hybrid_cert_box.json certifies box_fast from r=8 on v5e).
+    hmr = b.hybrid_min_radius_for(plan.kernel)
     if (
-        b.hybrid_min_radius is not None
+        hmr is not None
         and certified_taps
-        and r >= b.hybrid_min_radius
+        and r >= hmr
         and dma_form_applicable(jnp.uint8, plan, "hybrid")
     ):
         return "hybrid"
@@ -280,7 +283,7 @@ def _u8_dma_precision(plan: BlurPlan) -> str:
     )
 
 
-def _fused_u8_interleaved(plan: BlurPlan):
+def _fused_u8_interleaved(plan: BlurPlan, precision: str | None = None):
     """uint8 (..., H, W, C) -> uint8 via the fused engine, u8 end to end.
 
     Convert + round happen inside the Pallas kernel. int8 = the fixed-point
@@ -299,7 +302,7 @@ def _fused_u8_interleaved(plan: BlurPlan):
     # dots/px) inside the device-certified radius region, then int8 fixed
     # point, then bf16x3 (signed/asymmetric taps, measured +24% on a 4K
     # sharpen vs the blocked bf16x3 kernel)
-    prec = _u8_dma_precision(plan)
+    prec = precision or _u8_dma_precision(plan)
     if dma_form_applicable(jnp.uint8, plan, prec):
 
         def fn(img):
@@ -310,20 +313,27 @@ def _fused_u8_interleaved(plan: BlurPlan):
 
         return fn
 
+    blocked_prec = prec if prec in ("int8", "bf16x3") else "int8"
+
     def fn(img):
         planar = jnp.moveaxis(img, -1, -3)
-        out = fused_blur.blur_fused_u8(planar, plan, precision="int8")
+        out = fused_blur.blur_fused_u8(planar, plan, precision=blocked_prec)
         return jnp.moveaxis(out, -3, -1)
 
     return fn
 
 
-# AUTO sp-shards a SINGLE frame over all chips only above this pixel count
-# (~16.8 MP): below it one chip finishes in ~1 ms and the halo exchange +
-# dispatch overhead of a row-sharded step would not amortize; above it (8K
-# frames, the reference's 348 MP sweep points) the frame outgrows one
-# chip's fast regime and row (sp) sharding scales it near-linearly.
-_AUTO_SP_MIN_PX = 1 << 24
+def _auto_sp_min_px() -> int:
+    """AUTO sp-shards frame rows over chips only above this pixel count
+    (v5e: ~16.8 MP): below it one chip finishes in ~1 ms and the halo
+    exchange + dispatch overhead of a row-sharded step would not
+    amortize; above it (8K frames, the reference's 348 MP sweep points)
+    the frame outgrows one chip's fast regime and row (sp) sharding
+    scales it near-linearly. Device-keyed (round-4: moved into
+    ``DeviceSpec.auto_sp_min_px`` with the other routing crossovers)."""
+    from blur_algorithms_tpu.utils.hw import budgets
+
+    return budgets().auto_sp_min_px
 
 
 def _auto_sharded_fn(shape: tuple[int, ...], plan: BlurPlan, is_u8: bool):
@@ -333,8 +343,8 @@ def _auto_sharded_fn(shape: tuple[int, ...], plan: BlurPlan, is_u8: bool):
     (4-D) shard dp over frames — indivisible batch/height pad-and-crop
     inside :func:`parallel.blur_sharded`, so divisibility is NOT required
     — with leftover devices sharding rows (sp) when the batch is smaller
-    than the device count. A single frame (3-D) above ``_AUTO_SP_MIN_PX``
-    shards its rows over all chips. Float and uint8 inputs both route;
+    than the device count. A single frame (3-D) above
+    ``DeviceSpec.auto_sp_min_px`` shards its rows over all chips. Float and uint8 inputs both route;
     per-shard compute is the same fused kernel lattice as single-chip
     (int8/DMA for u8, bf16x3 for float), so results stay in the same
     <=1-count accuracy class. Multi-host stays single-device: batches are
@@ -351,12 +361,23 @@ def _auto_sharded_fn(shape: tuple[int, ...], plan: BlurPlan, is_u8: bool):
     )
 
     if len(shape) == 4 and shape[0] >= 2:
-        # dp over frames; if B < ndev, spare devices shard rows
+        # dp over frames; if B < ndev, spare devices shard rows — but
+        # only when the per-frame pixel count clears the same floor as
+        # single-frame sp-sharding (round-3 advisor: sub-floor frames
+        # don't amortize the halo exchange, so a B=2 batch of small
+        # frames must not row-shard over the spare devices). Below the
+        # floor the batch stays dp-only on a device subset.
         dp = max(
             d for d in range(1, ndev + 1) if ndev % d == 0 and d <= shape[0]
         )
-        mesh = make_mesh(dp=dp, sp=ndev // dp)
-    elif len(shape) == 3 and plan.shape[0] * plan.shape[1] >= _AUTO_SP_MIN_PX:
+        sp = ndev // dp
+        if sp > 1 and plan.shape[0] * plan.shape[1] < _auto_sp_min_px():
+            # dp-only on a device subset: the spare devices idle, which
+            # beats paying halo exchange on frames too small to amortize
+            mesh = make_mesh(dp=dp, sp=1, devices=jax.devices()[:dp])
+        else:
+            mesh = make_mesh(dp=dp, sp=sp)
+    elif len(shape) == 3 and plan.shape[0] * plan.shape[1] >= _auto_sp_min_px():
         mesh = make_mesh(dp=1, sp=ndev)
     else:
         return None
@@ -482,7 +503,22 @@ def _compiled_u8(
     engine: Engine,
     kernel: str,
     size_mode: str,
+    precision: str | None = None,
 ) -> Any:
+    if precision is not None:
+        # explicit exactness-ladder request (PERF.md "Exactness ladder"):
+        # pin the fused family on one chip at the named rung — int8 is
+        # ~99.9% bit-exact vs hybrid's ~98.9% at the headline config
+        # (both max err <= 1)
+        if Engine(engine) not in (Engine.AUTO, Engine.FUSED):
+            raise ValueError(
+                "precision= applies to the fused engine (AUTO/FUSED), "
+                f"not {engine}"
+            )
+        plan, _ = _plan_for(
+            shape[-3], shape[-2], nsmooth, Engine.FUSED, kernel, size_mode
+        )
+        return jax.jit(_fused_u8_interleaved(plan, precision))
     if Engine(engine) is Engine.CASCADE:
         if isinstance(nsmooth, tuple):
             raise ValueError("cascade engine takes a single scalar sigma")
@@ -610,11 +646,18 @@ def blur_u8(
     engine: Engine | str = Engine.AUTO,
     kernel: str = "gaussian",
     size_mode: str = "auto",
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Blur interleaved uint8 ``(..., H, W, C)``; returns uint8.
 
     The full reference pipeline (deinterleave -> blur -> +0.5 interleave,
     ``Source.cpp:459-567``) as one fused jit program.
+
+    ``precision`` picks a rung of the exactness ladder explicitly
+    (``"int8"`` ~99.9% bit-exact / ``"hybrid"`` ~98.9%, both certified
+    max err <= 1 — PERF.md "Exactness ladder"); it pins the fused engine
+    family on one chip. ``None`` (default) lets AUTO route the fastest
+    certified rung.
     """
     img = jnp.asarray(img)
     if img.dtype != jnp.uint8:
@@ -623,7 +666,7 @@ def blur_u8(
         raise ValueError("blur_u8 expects (..., H, W, C)")
     fn = _compiled_u8(
         tuple(img.shape), _norm_nsmooth(nsmooth), Engine(engine), kernel,
-        size_mode,
+        size_mode, precision,
     )
     return fn(img)
 

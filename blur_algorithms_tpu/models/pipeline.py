@@ -89,12 +89,26 @@ class BlurPipeline:
             return h, w  # dim-clamped kernel: exact shape, one compile
         return bh, bw
 
-    def __call__(self, img: np.ndarray | jnp.ndarray) -> jnp.ndarray:
-        """Blur a uint8 frame ``(H, W, C)`` or batch ``(B, H, W, C)``."""
+    def __call__(
+        self,
+        img: np.ndarray | jnp.ndarray,
+        prebucketed: bool = False,
+    ) -> jnp.ndarray:
+        """Blur a uint8 frame ``(H, W, C)`` or batch ``(B, H, W, C)``.
+
+        ``prebucketed`` marks a frame ALREADY padded to its bucket target
+        (``stream``'s host-side stager pad): it is blurred at its own
+        shape with no re-bucketing. Without it, a bucket-shaped frame
+        would re-bucket to the NEXT margin-inclusive target (the
+        margin makes ``_bucketed`` non-idempotent) and compile a second,
+        larger program than the one ``warmup``/``ensure_compiled`` built
+        — breaking the serving contract of no pad op / no compile on a
+        live request.
+        """
         img = jnp.asarray(img)
         self._calls += 1
         h, w = img.shape[-3], img.shape[-2]
-        if self.exact:
+        if self.exact or prebucketed:
             bh, bw = h, w
         else:
             bh, bw = self._bucketed(h, w)
@@ -221,7 +235,7 @@ class BlurPipeline:
                     pending.append(pool.submit(stage, item, idx))
                 except StopIteration:
                     pass
-                out = self(img)
+                out = self(img, prebucketed=hw is not None)
                 if hw is not None:  # crop the host-side bucket pad back off
                     out = out[..., : hw[0], : hw[1], :]
                 yield key, out

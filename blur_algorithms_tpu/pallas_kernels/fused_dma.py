@@ -89,6 +89,28 @@ def _chunk_max_radius() -> int:
 # step (modeled in ``_dma_vmem_bytes``).
 _N_WIN_SLOTS = 2
 
+# Round-4 probe knobs, read at TRACE time (fresh plans -> fresh traces —
+# the same A/B mechanism as ``_N_WIN_SLOTS``; see dma_slot_sweep.py).
+#
+# ``_HYBRID_FOLD_SHIFT``: the hybrid rung emits the rows conv R directly
+# to bf16 and folds the requant's ``2^-rows_shift`` into the f32 output
+# scale — dropping the ``(R + half) >> shift`` integer requant, i.e. two
+# int32 VPU ops per E-plane element AND one rounding step (bf16(R) is
+# strictly tighter than bf16(round(R >> s))).
+#
+# ``_HYBRID_ROWS_F32``: accumulate the hybrid rows dots in f32 instead of
+# int32 so the digit recombine + bf16 cast chain runs one cast shorter
+# (probe only: exactness of the int32 E is not required on this rung —
+# the f32 combine's 2^-24 relative round is far inside the bf16 2^-9).
+#
+# ``_TRUNC_STORE``: quantize the u8 store as clip + truncating cast with
+# the half folded in, instead of an explicit floor op — BIT-IDENTICAL:
+# after the clip the operand is >= 0, where f32 -> s32 round-toward-zero
+# IS floor.
+_HYBRID_FOLD_SHIFT = True
+_HYBRID_ROWS_F32 = False
+_TRUNC_STORE = True
+
 
 def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
                    th: int, tw: int, sh: int, sw: int, cw: int, ch: int,
@@ -110,7 +132,10 @@ def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
     else:
         outf = _tile_bf16x3(x, bw_ref, bh_ref, in_u8=in_u8, **geom)
     if out_u8:
-        outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
+        if _TRUNC_STORE:
+            outf = jnp.clip(outf + 0.5, 0.0, 255.5)
+        else:
+            outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
         outf = outf.astype(jnp.int32).astype(jnp.uint8)
     else:
         outf = outf.astype(jnp.float32)
@@ -178,7 +203,10 @@ def _store_tile(out_ref, outf, j, *, tw: int, nbw: int, tl: int,
                 out_u8: bool):
     """Round/cast + store one (th, tw) tile at window column ``j``."""
     if out_u8:
-        outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
+        if _TRUNC_STORE:
+            outf = jnp.clip(outf + 0.5, 0.0, 255.5)
+        else:
+            outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
         outf = outf.astype(jnp.int32).astype(jnp.uint8)
     else:
         outf = outf.astype(jnp.float32)
@@ -452,16 +480,24 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
     jax.lax.fori_loop(0, nbw, body, None, unroll=False)
 
 
-def _rows_int8(x, bw_ref, *, tw: int, rw: int, cw: int):
+def _rows_int8(x, bw_ref, *, tw: int, rw: int, cw: int,
+               acc_f32: bool = False):
     """Rows stage of the fixed-point pipeline: u8 window -> int32 rows
-    conv (same arithmetic/order as inside ``_tile_int8``)."""
+    conv (same arithmetic/order as inside ``_tile_int8``).
+
+    ``acc_f32`` (hybrid-rung probe only) accumulates the int8 dots in f32
+    so the digit recombine needs no int32 -> f32 cast downstream; the
+    combine's 2^-24 relative round is far inside the rung's bf16 2^-9 —
+    NOT legal for the exact digit pipeline, which needs the int32 E."""
     # recentre u8 -> int8 as one narrow VPU op: (v ^ 0x80) reinterpreted
     # as int8 IS v - 128 exactly (top-bit flip == offset-binary decode)
     xc = jax.lax.bitcast_convert_type(x ^ jnp.uint8(128), jnp.int8)
+    acc_ty = jnp.float32 if acc_f32 else jnp.int32
+    hi_w = 128.0 if acc_f32 else 128
 
     def dot(a, b, dims):
         return jax.lax.dot_general(
-            a, b, (dims, ((), ())), preferred_element_type=jnp.int32
+            a, b, (dims, ((), ())), preferred_element_type=acc_ty
         )
 
     # chunked band matmuls (contraction cw + 2rw per chunk); a tail chunk
@@ -473,7 +509,7 @@ def _rows_int8(x, bw_ref, *, tw: int, rw: int, cw: int):
         cwk = min(cw, tw - k0)
         xs = xc[:, k0 : k0 + cwk + 2 * rw]
         rs.append(
-            dot(xs, bw_ref[0][: cwk + 2 * rw, :cwk], ((1,), (0,))) * 128
+            dot(xs, bw_ref[0][: cwk + 2 * rw, :cwk], ((1,), (0,))) * hi_w
             + dot(xs, bw_ref[1][: cwk + 2 * rw, :cwk], ((1,), (0,)))
         )
     return jnp.concatenate(rs, axis=1) if len(rs) > 1 else rs[0]
@@ -548,15 +584,20 @@ def _tile_hybrid(x, bw_ref, bh_ref, *, rows_shift: int,
 
     The rows stage is the EXACT fixed-point form (int8 dots, int32 E
     intermediate — bit-identical to ``_tile_int8``'s rows); the cols
-    stage rounds E to bfloat16 once and runs ONE dot per chunk against
-    the bf16 column band (hi half only). Total 3 int8/bf16 dots (~1.5
-    bf16-equivalents) and roughly half the per-window VPU elementwise
-    work of the full digit pipeline; the only precision losses are the
-    E -> bf16 round (<= 2^-9 relative, ~0.25 counts) and the column
-    taps' bf16 round — a strict accuracy SUPERSET of the full-bf16 rung
-    (whose rows are also rounded), so the bf16 certification region
-    covers it. E = 127*(conv - 128), so the recombine is one fused
-    multiply-add: out = (Bh_bf16 . E_bf16) / 127 + 128.
+    stage rounds the rows conv to bfloat16 once and runs ONE dot per
+    chunk against the bf16 column band (hi half only). Total 3 int8/bf16
+    dots (~1.5 bf16-equivalents) and roughly half the per-window VPU
+    elementwise work of the full digit pipeline; the only precision
+    losses are the rows-conv -> bf16 round (<= 2^-9 relative, ~0.25
+    counts) and the column taps' bf16 round — a strict accuracy SUPERSET
+    of the full-bf16 rung (whose rows are also rounded), so the bf16
+    certification region covers it.
+
+    Round 4 (``_HYBRID_FOLD_SHIFT``): the requant shift is folded into
+    the f32 output scale — y = bf16(R) with R = 127*2^s*(conv - 128)
+    exact int32, out = (Bh_bf16 . y) / (127*2^s) + 128. One bf16
+    rounding instead of the legacy integer requant + bf16 round
+    (strictly tighter), and the E-plane VPU chain loses the add + shift.
     """
     f32 = jnp.float32
 
@@ -565,9 +606,17 @@ def _tile_hybrid(x, bw_ref, bh_ref, *, rows_shift: int,
             a, b, (dims, ((), ())), preferred_element_type=f32
         )
 
-    r = _rows_int8(x, bw_ref, tw=tw, rw=rw, cw=cw)
-    e = (r + (1 << (rows_shift - 1))) >> rows_shift
-    y = e.astype(f32).astype(jnp.bfloat16)
+    r = _rows_int8(
+        x, bw_ref, tw=tw, rw=rw, cw=cw,
+        acc_f32=_HYBRID_ROWS_F32 and _HYBRID_FOLD_SHIFT,
+    )
+    if _HYBRID_FOLD_SHIFT:
+        y = r.astype(f32).astype(jnp.bfloat16)
+        inv = 1.0 / (127.0 * float(1 << rows_shift))
+    else:
+        e = (r + (1 << (rows_shift - 1))) >> rows_shift
+        y = e.astype(f32).astype(jnp.bfloat16)
+        inv = 1.0 / 127.0
 
     dims_c = ((0,), (0,))
     outs = []
@@ -577,7 +626,7 @@ def _tile_hybrid(x, bw_ref, bh_ref, *, rows_shift: int,
         b0 = bh_ref[0][: chm + 2 * rh, :chm]
         outs.append(dot(b0, y[sl], dims_c))
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    return out * (1.0 / 127.0) + 128.0
+    return out * inv + 128.0
 
 
 def _tile_bf16x3(x, bw_ref, bh_ref, *, in_u8: bool,
@@ -996,6 +1045,7 @@ def dma_form_applicable(
 def _dma_vmem_bytes(
     h: int, w: int, th: int, tw: int, rh: int, rw: int,
     in_b: int, mat_b: int, cw: int, ch: int, out_b: int | None = None,
+    n_slots: int | None = None,
 ) -> int:
     """VMEM bytes for one grid step of the DMA kernel at this geometry.
 
@@ -1013,8 +1063,13 @@ def _dma_vmem_bytes(
     nbw = -(-w // tw)
     if out_b is None:
         out_b = in_b
+    if n_slots is None:
+        # model the slots the kernel will actually allocate — per-call
+        # overrides (the slot-sweep probe) must not be admitted against
+        # a 2-slot model (round-3 advisor finding)
+        n_slots = _N_WIN_SLOTS
     return (
-        _N_WIN_SLOTS * shp * swp * in_b
+        n_slots * shp * swp * in_b
         + (cw + 2 * rw) * cw * mat_b
         + (ch + 2 * rh) * ch * mat_b
         + sh * tw * 10  # r + e (int32) + e1/e0 (int8)
@@ -1268,6 +1323,32 @@ def _band_operands(
     return bw, bh, rows_shift, cols_scale
 
 
+def _check_slots_vmem(
+    plan: BlurPlan, precision: str, th: int, tw: int, cw: int, ch: int,
+    n_slots: int, in_b: int, out_u8: bool,
+) -> None:
+    """Launch-time guard: a per-call ``n_slots`` override (the slot-sweep
+    probe) re-validates the VMEM model at the slot count the kernel will
+    ACTUALLY allocate — the routing gate only modeled ``_N_WIN_SLOTS``
+    (round-3 advisor finding)."""
+    if n_slots == _N_WIN_SLOTS:
+        return  # the geometry was admitted against exactly this model
+    h, w = plan.shape
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    mat_b = 2 if precision == "int8" else 4
+    vmem = _dma_vmem_bytes(
+        h, w, th, tw, rh, rw, in_b, mat_b, cw, ch,
+        1 if out_u8 else 4, n_slots=n_slots,
+    )
+    limit = _hw().kernel_vmem_limit
+    if vmem > limit:
+        raise ValueError(
+            f"n_slots={n_slots} needs ~{vmem >> 20} MiB VMEM at tile "
+            f"({th}, {tw}) — over the {limit >> 20} MiB kernel limit; "
+            "shrink the tile or the slot count"
+        )
+
+
 def _dma_kernel_call(
     x: jnp.ndarray,
     plan: BlurPlan,
@@ -1290,6 +1371,8 @@ def _dma_kernel_call(
         n_slots = _N_WIN_SLOTS
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
+    _check_slots_vmem(plan, precision, th, tw, cw, ch, n_slots,
+                      1 if x.dtype == jnp.uint8 else 4, out_u8)
     _, _, ro, co, sh, sw, shp, swp = _align_geometry(
         th, tw, rh, rw, rows_prepadded
     )
@@ -1374,6 +1457,8 @@ def _dma_kernel_call_direct(
         n_slots = _N_WIN_SLOTS
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
+    _check_slots_vmem(plan, precision, th, tw, cw, ch, n_slots,
+                      1 if x.dtype == jnp.uint8 else 4, out_u8)
     orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
     bc = x.shape[0]
     nbh, nbw = -(-h // th), -(-w // tw)

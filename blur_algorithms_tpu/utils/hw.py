@@ -72,14 +72,39 @@ class DeviceSpec:
     # accuracy superset of bf16, ~1.2-1.4x int8 wherever measured):
     # same two-floor structure, own certification sweep
     # (``benchmarks/hybrid_cert*.json``). None = uncertified.
+    # ``hybrid_cert_min_radius_box`` is the BOX/TENT tap family's own
+    # measured floor (``hybrid_cert_box.json`` certifies box_fast from
+    # support radius 8 on v5e; the gaussian sweep's floor of 3 must not
+    # be applied to taps it never measured — round-3 advisor finding).
     hybrid_cert_min_radius: int | None = None
     hybrid_route_min_radius: int = 0
+    hybrid_cert_min_radius_box: int | None = None
+    # Largest min-axis support radius at which the SPLIT form's hybrid
+    # pass 2 is certified by the wide-regime sweep
+    # (``benchmarks/hybrid_split_cert.json``: 9 adversarial patterns x a
+    # radius grid spanning the blocked split regime to the fft crossover,
+    # gaussian + box taps, int8-e32 and hybrid-split both gated <= 1).
+    # None = no wide-regime certification -> the split keeps its exact
+    # int8-e32 pass 2. A measurement, not a model — NOT scaled.
+    hybrid_split_cert_max_radius: int | None = None
 
     @property
     def hybrid_min_radius(self) -> int | None:
         if self.hybrid_cert_min_radius is None:
             return None
         return max(self.hybrid_cert_min_radius, self.hybrid_route_min_radius)
+
+    def hybrid_min_radius_for(self, kernel: str) -> int | None:
+        """Per-tap-family hybrid floor: box/tent taps use their own
+        measured certification floor, not the gaussian sweep's."""
+        base = self.hybrid_min_radius
+        if base is None:
+            return None
+        if kernel == "box_fast":
+            if self.hybrid_cert_min_radius_box is None:
+                return None
+            return max(base, self.hybrid_cert_min_radius_box)
+        return base
 
     @property
     def wide_vmem_budget(self) -> int:
@@ -148,6 +173,19 @@ class DeviceSpec:
         return self._scale_by_flops_per_byte(1024)
 
     @property
+    def auto_sp_min_px(self) -> int:
+        """Pixel floor below which AUTO does NOT row(sp)-shard a frame.
+
+        Below it one chip finishes in ~1 ms and the halo-exchange +
+        dispatch overhead of a row-sharded step would not amortize
+        (v5e calibration: 1<<24 ~ 16.8 MP). The floor tracks the chip's
+        small-radius blur throughput, which is HBM-bound, so it scales
+        with HBM bandwidth relative to v5e (the time floor it protects
+        is roughly constant across kinds).
+        """
+        return max(1 << 22, round((1 << 24) * self.hbm_gbps / 819.0))
+
+    @property
     def dma_max_radius(self) -> int:
         """Largest support radius served by the exact-window DMA form.
 
@@ -180,6 +218,7 @@ _V5E = DeviceSpec(
     "TPU v5e", 16 * _GIB, 128 * _MIB, 819.0, 197.0,
     bf16_cert_min_radius=16, bf16_route_min_radius=96,
     hybrid_cert_min_radius=3, hybrid_route_min_radius=0,
+    hybrid_cert_min_radius_box=8,
 )
 _TABLE: tuple[tuple[tuple[str, ...], DeviceSpec], ...] = (
     (("v5 lite", "v5e", "v5litepod"), _V5E),

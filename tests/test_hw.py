@@ -230,3 +230,25 @@ class TestBf16CertRouting:
         )
         plan = make_plan((1024, 1024), 64, kernel="box_fast", box_passes=2)
         assert api._u8_dma_precision(plan) == "hybrid"
+
+    def test_box_taps_below_their_cert_floor_stay_int8(self, monkeypatch):
+        """Round-3 advisor: hybrid_cert_box.json certifies box_fast only
+        from support radius 8 — box plans under the family floor must not
+        ride the gaussian sweep's r=3 floor."""
+        from blur_algorithms_tpu import api
+        from blur_algorithms_tpu.ops.plan import make_plan
+        from blur_algorithms_tpu.pallas_kernels import fused_dma
+
+        spec = hw.spec_for_kind("TPU v5 lite")
+        assert spec.hybrid_cert_min_radius_box == 8
+        assert spec.hybrid_min_radius_for("box_fast") == 8
+        assert spec.hybrid_min_radius_for("gaussian") == 3
+        monkeypatch.setattr(hw, "budgets", lambda: spec)
+        monkeypatch.setattr(
+            fused_dma, "dma_form_applicable", lambda *a, **k: True
+        )
+        # box radius 2, 2 passes -> support radius 4: inside the gaussian
+        # floor but below the box family's measured floor
+        plan = make_plan((256, 256), 2, kernel="box_fast", box_passes=2)
+        assert 3 <= min(plan.col.support_radius, plan.row.support_radius) < 8
+        assert api._u8_dma_precision(plan) == "int8"

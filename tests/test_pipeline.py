@@ -136,6 +136,28 @@ def test_stream_host_pad_matches_direct_call(rng, tmp_path):
         np.testing.assert_array_equal(streamed[i], direct)
 
 
+def test_stream_reuses_warmup_program(rng):
+    """Serving contract (round-3 advisor, medium): stream's host-padded
+    frames must run the SAME compiled bucket program warmup built — the
+    margin-inclusive ``_bucketed`` is not idempotent, so without the
+    ``prebucketed`` marker a bucket-shaped frame would re-bucket to the
+    next larger target and compile a second program on a live request."""
+    from blur_algorithms_tpu.models.pipeline import BlurPipeline
+
+    pipe = BlurPipeline(3.0, bucket=64)
+    pipe.warmup([(100, 130), (60, 200)])
+    n = pipe.stats["distinct_buckets"]
+    frames = [
+        (rng.random((100, 130, 3)) * 255).astype(np.uint8),
+        (rng.random((60, 200, 3)) * 255).astype(np.uint8),
+    ]
+    outs = {k: np.asarray(v) for k, v in pipe.stream(frames)}
+    assert pipe.stats["distinct_buckets"] == n  # no new program compiled
+    for i, f in enumerate(frames):  # and the output is still the exact one
+        want = np.asarray(BlurPipeline(3.0, exact=True)(f))
+        np.testing.assert_array_equal(outs[i], want)
+
+
 def test_native_reflect_matches_device_pad(rng):
     """native/blurfx.cpp reflect-101 == the XLA reflect_101 (incl. clamp)."""
     import jax.numpy as jnp

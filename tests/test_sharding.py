@@ -339,7 +339,7 @@ class TestAutoShardingWidened:
     def test_auto_sp_shards_giant_single_frame(self, monkeypatch):
         from blur_algorithms_tpu import api
 
-        monkeypatch.setattr(api, "_AUTO_SP_MIN_PX", 1 << 10)
+        monkeypatch.setattr(api, "_auto_sp_min_px", lambda: 1 << 10)
         rng = np.random.default_rng(8)
         img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
         fn = api._compiled_u8((64, 64, 3), 2.0, api.Engine.AUTO,
@@ -349,6 +349,30 @@ class TestAutoShardingWidened:
         want = oracle.blur_u8(img, 2.0)
         assert got.shape == img.shape
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_auto_small_frame_batch_keeps_dp_only(self, monkeypatch):
+        """Round-3 advisor: a B>=2 batch of sub-floor frames must not
+        row-shard over the spare devices (the halo exchange would not
+        amortize on tiny frames) — the sp remainder collapses to 1."""
+        from blur_algorithms_tpu import api, parallel
+        from blur_algorithms_tpu.ops.plan import make_plan
+
+        captured = {}
+        real = parallel.make_mesh
+
+        def spy(dp, sp, devices=None):
+            captured["dp"], captured["sp"] = dp, sp
+            return real(dp=dp, sp=sp, devices=devices)
+
+        monkeypatch.setattr(parallel, "make_mesh", spy)
+        plan = make_plan((64, 48), 3.0)
+        fn = api._auto_sharded_fn((2, 64, 48, 3), plan, is_u8=True)
+        assert fn is not None
+        assert captured == {"dp": 2, "sp": 1}
+        # a batch of frames past the floor still uses the spare devices
+        plan_big = make_plan((5000, 4000), 3.0)  # 20 MP >= the 16.8 MP floor
+        api._auto_sharded_fn((2, 5000, 4000, 3), plan_big, is_u8=True)
+        assert captured == {"dp": 2, "sp": 4}
 
     def test_auto_small_single_frame_stays_single_device(self):
         from blur_algorithms_tpu import api
@@ -388,19 +412,26 @@ class TestAutoShardingWidened:
 
 def test_auto_mesh_factorization():
     """_auto_sharded_fn picks dp = largest divisor of n_devices <= B and
-    gives the rest to sp (spare devices shard rows)."""
+    gives the rest to sp (spare devices shard rows) — but only when the
+    per-frame pixel count clears the sp floor; sub-floor frames keep a
+    dp-only mesh on a device subset (round-3 advisor)."""
     from blur_algorithms_tpu import api
     from blur_algorithms_tpu.ops.plan import make_plan
 
     from jax.sharding import Mesh
 
-    plan = make_plan((64, 48), 2.0)
-    for b, want_dp, want_sp in [(8, 8, 1), (9, 8, 1), (4, 4, 2),
-                                (3, 2, 4), (2, 2, 4), (16, 8, 1)]:
-        fn = api._auto_sharded_fn((b, 64, 48, 3), plan, is_u8=True)
-        assert fn is not None, b
+    def mesh_shape(shape, plan):
+        fn = api._auto_sharded_fn(shape, plan, is_u8=True)
+        assert fn is not None, shape
         meshes = [c.cell_contents for c in fn.__closure__
                   if isinstance(c.cell_contents, Mesh)]
-        assert len(meshes) == 1, b
-        shape = meshes[0].shape
-        assert (shape["dp"], shape["sp"]) == (want_dp, want_sp), b
+        assert len(meshes) == 1, shape
+        return meshes[0].shape["dp"], meshes[0].shape["sp"]
+
+    tiny = make_plan((64, 48), 2.0)  # sub-floor: sp remainder collapses
+    for b, want_dp, want_sp in [(8, 8, 1), (9, 8, 1), (4, 4, 1),
+                                (3, 2, 1), (2, 2, 1), (16, 8, 1)]:
+        assert mesh_shape((b, 64, 48, 3), tiny) == (want_dp, want_sp), b
+    big = make_plan((5000, 4000), 2.0)  # 20 MP >= the floor: spares sp-shard
+    for b, want_dp, want_sp in [(4, 4, 2), (3, 2, 4), (2, 2, 4)]:
+        assert mesh_shape((b, 5000, 4000, 3), big) == (want_dp, want_sp), b
