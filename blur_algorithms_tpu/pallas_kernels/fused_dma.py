@@ -111,16 +111,49 @@ _HYBRID_FOLD_SHIFT = True
 _HYBRID_ROWS_F32 = False
 _TRUNC_STORE = True
 
+# ``_ALIGNED_COMPUTE``: compute directly on the ALIGNED (shp, swp) window
+# buffer instead of slicing the true (sh, sw) halo window out of it,
+# folding the (ro, co) offset into the band operands as LEADING ZERO
+# ROWS — bit-identical for the integer rungs (added zero terms), <= 1
+# count for bf16 (f32 summation-order moves ~1e-5 of pixels by one).
+# Motivated by the alignment sawtooth (``dma_align_probe.json``: wall
+# time jumps 39-44% when ``co = ceil128(rw) - rw`` wraps to ~124), but
+# REFUTED as a win by the interleaved A/B (``dma_aligned_ab.json``,
+# round 4): aligned is 10-25% SLOWER at every measured config — the
+# extra ``co`` contraction MACs and whole-(shp, swp)-buffer elementwise
+# work cost more than the slice, i.e. Mosaic does NOT pay a big rotate
+# for the lane-offset slice. The sawtooth cliff instead tracks the
+# fetched window AREA (swp jumps a full 128-lane tile when co wraps).
+# Kept off as the measured-honest record + for other device kinds.
+_ALIGNED_COMPUTE = False
+
 
 def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
                    th: int, tw: int, sh: int, sw: int, cw: int, ch: int,
                    precision: str, rows_shift: int, cols_scale: int,
-                   out_u8: bool, nbw: int, tl: int, in_u8: bool):
-    """Band-matmul one true ``(sh, sw)`` window ``j`` and store its tile."""
+                   out_u8: bool, nbw: int, tl: int, in_u8: bool,
+                   ro: int = 0, co: int = 0):
+    """Band-matmul one ``(sh, sw)`` window ``j`` and store its tile.
+
+    ``(ro, co) != (0, 0)`` is the aligned-compute mode: ``x`` is the
+    UNSLICED aligned buffer whose true window starts at ``(ro, co)``, and
+    the band operands carry matching leading zero rows (bit-identical;
+    see ``_ALIGNED_COMPUTE``)."""
     geom = dict(
-        tw=tw, th=th, rw=(sw - tw) // 2, rh=(sh - th) // 2, cw=cw, ch=ch
+        tw=tw, th=th, rw=(sw - tw) // 2, rh=(sh - th) // 2, cw=cw, ch=ch,
+        ro=ro, co=co,
     )
-    if precision == "int8":
+    if precision == "ablate_copy":
+        # decomposition probe only (benchmarks/dma_stage_decompose.py):
+        # window fetch + slice + a trivial u8 tile store — no band work.
+        # Content is NOT a blur; never routed.
+        outf = x[:th, :tw]
+    elif precision == "ablate_rows":
+        # probe only: fetch + recentre + the exact int8 rows dots, then a
+        # wrapping u8 store of the int32 rows plane — no cols stage.
+        r = _rows_int8(x, bw_ref, tw=tw, rw=geom["rw"], cw=cw, co=co)
+        outf = (r[:th, :tw] & 255).astype(jnp.uint8)
+    elif precision == "int8":
         outf = _tile_int8(
             x, bw_ref, bh_ref, rows_shift=rows_shift,
             cols_scale=cols_scale, **geom,
@@ -132,11 +165,12 @@ def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
     else:
         outf = _tile_bf16x3(x, bw_ref, bh_ref, in_u8=in_u8, **geom)
     if out_u8:
-        if _TRUNC_STORE:
-            outf = jnp.clip(outf + 0.5, 0.0, 255.5)
-        else:
-            outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
-        outf = outf.astype(jnp.int32).astype(jnp.uint8)
+        if outf.dtype != jnp.uint8:  # ablate_* probes store u8 directly
+            if _TRUNC_STORE:
+                outf = jnp.clip(outf + 0.5, 0.0, 255.5)
+            else:
+                outf = jnp.clip(jnp.floor(outf + 0.5), 0.0, 255.0)
+            outf = outf.astype(jnp.int32).astype(jnp.uint8)
     else:
         outf = outf.astype(jnp.float32)
     if tl in (0, tw):
@@ -158,7 +192,7 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
             sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
             nbw: int, cw: int, ch: int, precision: str, rows_shift: int,
             cols_scale: int, out_u8: bool, ro: int = 0, co: int = 0,
-            tl: int = 0, n_slots: int = 2):
+            tl: int = 0, n_slots: int = 2, aligned: bool = False):
     """One row-strip: loop column windows with multi-buffered DMA
     (``n_slots - 1`` window fetches kept in flight)."""
     c = pl.program_id(0)
@@ -188,12 +222,18 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
 
         get_dma(slot, j).wait()
 
-        x = win[slot][ro:ro + sh, co:co + sw]  # true window of the fetch
+        if aligned:
+            # compute on the whole aligned buffer; the zero-padded band
+            # rows make the (ro, co)-offset exact with no slice relayout
+            x, kro, kco = win[slot][:, :], ro, co
+        else:
+            x = win[slot][ro:ro + sh, co:co + sw]  # true window of the fetch
+            kro = kco = 0
         _compute_store(
             x, j, bw_ref, bh_ref, out_ref, th=th, tw=tw, sh=sh, sw=sw,
             cw=cw, ch=ch, precision=precision, rows_shift=rows_shift,
             cols_scale=cols_scale, out_u8=out_u8, nbw=nbw, tl=tl,
-            in_u8=in_u8,
+            in_u8=in_u8, ro=kro, co=kco,
         )
 
     jax.lax.fori_loop(0, nbw, body, None, unroll=False)
@@ -353,7 +393,7 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
                    rows_shift: int, cols_scale: int, out_u8: bool,
                    ro: int, co: int, tl: int,
                    orh: int, orw: int, h8: int, w128: int,
-                   n_slots: int = 2):
+                   n_slots: int = 2, aligned: bool = False):
     """No-assemble form: every window is spliced in VMEM.
 
     Instead of fetching from a pre-assembled padded frame (a full-frame
@@ -469,26 +509,39 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
 
         wait(slot, j)
 
-        x = win[slot][ro:ro + sh, co:co + sw]
+        if aligned:
+            # whole aligned buffer + zero-padded band rows: bit-identical,
+            # no per-window slice relayout (see _ALIGNED_COMPUTE; stale
+            # slack lanes are u8-finite and killed by the zero taps)
+            x, kro, kco = win[slot][:, :], ro, co
+        else:
+            x = win[slot][ro:ro + sh, co:co + sw]
+            kro = kco = 0
         _compute_store(
             x, j, bw_ref, bh_ref, out_ref, th=th, tw=tw, sh=sh, sw=sw,
             cw=cw, ch=ch, precision=precision, rows_shift=rows_shift,
             cols_scale=cols_scale, out_u8=out_u8, nbw=nbw, tl=tl,
-            in_u8=in_u8,
+            in_u8=in_u8, ro=kro, co=kco,
         )
 
     jax.lax.fori_loop(0, nbw, body, None, unroll=False)
 
 
 def _rows_int8(x, bw_ref, *, tw: int, rw: int, cw: int,
-               acc_f32: bool = False):
+               acc_f32: bool = False, co: int = 0):
     """Rows stage of the fixed-point pipeline: u8 window -> int32 rows
     conv (same arithmetic/order as inside ``_tile_int8``).
 
     ``acc_f32`` (hybrid-rung probe only) accumulates the int8 dots in f32
     so the digit recombine needs no int32 -> f32 cast downstream; the
     combine's 2^-24 relative round is far inside the rung's bf16 2^-9 —
-    NOT legal for the exact digit pipeline, which needs the int32 E."""
+    NOT legal for the exact digit pipeline, which needs the int32 E.
+
+    ``co`` (aligned-compute mode): ``x`` is the UNSLICED aligned window
+    whose true content starts at lane ``co``; the band operands carry
+    ``co`` leading zero rows, so each chunk contracts the lane-ALIGNED
+    slice ``[k0, k0 + co + c + 2rw)`` with identical (bit-exact) sums —
+    no per-window lane-rotate relayout (see ``_ALIGNED_COMPUTE``)."""
     # recentre u8 -> int8 as one narrow VPU op: (v ^ 0x80) reinterpreted
     # as int8 IS v - 128 exactly (top-bit flip == offset-binary decode)
     xc = jax.lax.bitcast_convert_type(x ^ jnp.uint8(128), jnp.int8)
@@ -500,23 +553,25 @@ def _rows_int8(x, bw_ref, *, tw: int, rw: int, cw: int,
             a, b, (dims, ((), ())), preferred_element_type=acc_ty
         )
 
-    # chunked band matmuls (contraction cw + 2rw per chunk); a tail chunk
-    # (tw % cw != 0) uses a static slice of the same band matrix — band
-    # matrices are translation-invariant, so bw[:cwk + 2rw, :cwk] IS the
-    # (cwk)-wide band matrix
+    # chunked band matmuls (contraction co + cw + 2rw per chunk); a tail
+    # chunk (tw % cw != 0) uses a static slice of the same band matrix —
+    # band matrices are translation-invariant, so bw[:co + cwk + 2rw,
+    # :cwk] IS the (cwk)-wide (zero-row-padded) band matrix
     rs = []
     for k0 in range(0, tw, cw):
         cwk = min(cw, tw - k0)
-        xs = xc[:, k0 : k0 + cwk + 2 * rw]
+        xs = xc[:, k0 : k0 + co + cwk + 2 * rw]
         rs.append(
-            dot(xs, bw_ref[0][: cwk + 2 * rw, :cwk], ((1,), (0,))) * hi_w
-            + dot(xs, bw_ref[1][: cwk + 2 * rw, :cwk], ((1,), (0,)))
+            dot(xs, bw_ref[0][: co + cwk + 2 * rw, :cwk], ((1,), (0,)))
+            * hi_w
+            + dot(xs, bw_ref[1][: co + cwk + 2 * rw, :cwk], ((1,), (0,)))
         )
     return jnp.concatenate(rs, axis=1) if len(rs) > 1 else rs[0]
 
 
 def _tile_int8(x, bw_ref, bh_ref, *, rows_shift: int, cols_scale: int,
-               tw: int, th: int, rw: int, rh: int, cw: int, ch: int):
+               tw: int, th: int, rw: int, rh: int, cw: int, ch: int,
+               ro: int = 0, co: int = 0):
     """Fixed-point digit pipeline on one (sh, sw) u8 window -> (th, tw) f32.
 
     The band matmuls run in translation-invariant CHUNKS of ``cw`` output
@@ -527,15 +582,15 @@ def _tile_int8(x, bw_ref, bh_ref, *, rows_shift: int, cols_scale: int,
     BIT-IDENTICAL (the skipped terms are exact zeros). ``cw == tw`` /
     ``ch == th`` degenerates to the single dense dot.
     """
-    r = _rows_int8(x, bw_ref, tw=tw, rw=rw, cw=cw)
+    r = _rows_int8(x, bw_ref, tw=tw, rw=rw, cw=cw, co=co)
     return _cols_int8(
         r, bh_ref, rows_shift=rows_shift, cols_scale=cols_scale,
-        tw=tw, th=th, rh=rh, ch=ch,
+        tw=tw, th=th, rh=rh, ch=ch, ro=ro,
     )
 
 
 def _cols_int8(r, bh_ref, *, rows_shift: int, cols_scale: int,
-               tw: int, th: int, rh: int, ch: int):
+               tw: int, th: int, rh: int, ch: int, ro: int = 0):
     """Cols stage: int32 rows conv -> (th, tw) f32 (digit split + dots)."""
 
     def dot(a, b, dims):
@@ -556,10 +611,10 @@ def _cols_int8(r, bh_ref, *, rows_shift: int, cols_scale: int,
     p1s, p23s, p4s = [], [], []
     for m0 in range(0, th, ch):
         chm = min(ch, th - m0)
-        s1 = e1[m0 : m0 + chm + 2 * rh, :]
-        s0 = e0[m0 : m0 + chm + 2 * rh, :]
-        b0 = bh_ref[0][: chm + 2 * rh, :chm]
-        b1 = bh_ref[1][: chm + 2 * rh, :chm]
+        s1 = e1[m0 : m0 + ro + chm + 2 * rh, :]
+        s0 = e0[m0 : m0 + ro + chm + 2 * rh, :]
+        b0 = bh_ref[0][: ro + chm + 2 * rh, :chm]
+        b1 = bh_ref[1][: ro + chm + 2 * rh, :chm]
         p1s.append(dot(b0, s1, ((0,), (0,))))
         p23s.append(
             dot(b0, s0, ((0,), (0,)))
@@ -579,7 +634,8 @@ def _cols_int8(r, bh_ref, *, rows_shift: int, cols_scale: int,
 
 
 def _tile_hybrid(x, bw_ref, bh_ref, *, rows_shift: int,
-                 tw: int, th: int, rw: int, rh: int, cw: int, ch: int):
+                 tw: int, th: int, rw: int, rh: int, cw: int, ch: int,
+                 ro: int = 0, co: int = 0):
     """int8 rows + single-dot bf16 cols: the digit pipeline skipped.
 
     The rows stage is the EXACT fixed-point form (int8 dots, int32 E
@@ -607,7 +663,7 @@ def _tile_hybrid(x, bw_ref, bh_ref, *, rows_shift: int,
         )
 
     r = _rows_int8(
-        x, bw_ref, tw=tw, rw=rw, cw=cw,
+        x, bw_ref, tw=tw, rw=rw, cw=cw, co=co,
         acc_f32=_HYBRID_ROWS_F32 and _HYBRID_FOLD_SHIFT,
     )
     if _HYBRID_FOLD_SHIFT:
@@ -622,15 +678,16 @@ def _tile_hybrid(x, bw_ref, bh_ref, *, rows_shift: int,
     outs = []
     for m0 in range(0, th, ch):
         chm = min(ch, th - m0)
-        sl = slice(m0, m0 + chm + 2 * rh)
-        b0 = bh_ref[0][: chm + 2 * rh, :chm]
+        sl = slice(m0, m0 + ro + chm + 2 * rh)
+        b0 = bh_ref[0][: ro + chm + 2 * rh, :chm]
         outs.append(dot(b0, y[sl], dims_c))
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return out * inv + 128.0
 
 
 def _tile_bf16x3(x, bw_ref, bh_ref, *, in_u8: bool,
-                 tw: int, th: int, rw: int, rh: int, cw: int, ch: int):
+                 tw: int, th: int, rw: int, rh: int, cw: int, ch: int,
+                 ro: int = 0, co: int = 0):
     """bf16 hi/lo split dots on one (sh, sw) window -> (th, tw) f32.
 
     Same numerics as ``fused_blur._kernel``'s bf16x3 path: uint8-valued
@@ -659,9 +716,9 @@ def _tile_bf16x3(x, bw_ref, bh_ref, *, in_u8: bool,
     ys = []
     for k0 in range(0, tw, cw):
         cwk = min(cw, tw - k0)
-        sl = slice(k0, k0 + cwk + 2 * rw)
-        w0 = bw_ref[0][: cwk + 2 * rw, :cwk]
-        w1 = bw_ref[1][: cwk + 2 * rw, :cwk]
+        sl = slice(k0, k0 + co + cwk + 2 * rw)
+        w0 = bw_ref[0][: co + cwk + 2 * rw, :cwk]
+        w1 = bw_ref[1][: co + cwk + 2 * rw, :cwk]
         yk = dot(x_hi[:, sl], w0, dims_r) + dot(x_hi[:, sl], w1, dims_r)
         if x_lo is not None:
             yk = yk + dot(x_lo[:, sl], w0, dims_r)
@@ -674,9 +731,9 @@ def _tile_bf16x3(x, bw_ref, bh_ref, *, in_u8: bool,
     outs = []
     for m0 in range(0, th, ch):
         chm = min(ch, th - m0)
-        sl = slice(m0, m0 + chm + 2 * rh)
-        b0 = bh_ref[0][: chm + 2 * rh, :chm]
-        b1 = bh_ref[1][: chm + 2 * rh, :chm]
+        sl = slice(m0, m0 + ro + chm + 2 * rh)
+        b0 = bh_ref[0][: ro + chm + 2 * rh, :chm]
+        b1 = bh_ref[1][: ro + chm + 2 * rh, :chm]
         outs.append(
             dot(b0, y_hi[sl], dims_c)
             + dot(b0, y_lo[sl], dims_c)
@@ -686,7 +743,8 @@ def _tile_bf16x3(x, bw_ref, bh_ref, *, in_u8: bool,
 
 
 def _tile_bf16(x, bw_ref, bh_ref, *,
-               tw: int, th: int, rw: int, rh: int, cw: int, ch: int):
+               tw: int, th: int, rw: int, rh: int, cw: int, ch: int,
+               ro: int = 0, co: int = 0):
     """Single-dot bf16 ("DEFAULT-class") band matmuls: 2 dots per pixel.
 
     The fastest precision rung: rows pass ``dot(x_hi, w_hi)`` and cols
@@ -715,8 +773,8 @@ def _tile_bf16(x, bw_ref, bh_ref, *,
     ys = []
     for k0 in range(0, tw, cw):
         cwk = min(cw, tw - k0)
-        sl = slice(k0, k0 + cwk + 2 * rw)
-        w0 = bw_ref[0][: cwk + 2 * rw, :cwk]
+        sl = slice(k0, k0 + co + cwk + 2 * rw)
+        w0 = bw_ref[0][: co + cwk + 2 * rw, :cwk]
         ys.append(dot(x_hi[:, sl], w0, dims_r))
     y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
 
@@ -725,8 +783,8 @@ def _tile_bf16(x, bw_ref, bh_ref, *,
     outs = []
     for m0 in range(0, th, ch):
         chm = min(ch, th - m0)
-        sl = slice(m0, m0 + chm + 2 * rh)
-        b0 = bh_ref[0][: chm + 2 * rh, :chm]
+        sl = slice(m0, m0 + ro + chm + 2 * rh)
+        b0 = bh_ref[0][: ro + chm + 2 * rh, :chm]
         outs.append(dot(b0, y_hi[sl], dims_c))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
@@ -1059,7 +1117,7 @@ def _dma_vmem_bytes(
     path's u8-in/f32-out combination). Both per-tile terms scale with th,
     which is what bounds the whole-height tile choice.
     """
-    _, _, _, _, sh, _, shp, swp = _align_geometry(th, tw, rh, rw)
+    _, _, ro, co, sh, _, shp, swp = _align_geometry(th, tw, rh, rw)
     nbw = -(-w // tw)
     if out_b is None:
         out_b = in_b
@@ -1070,9 +1128,11 @@ def _dma_vmem_bytes(
         n_slots = _N_WIN_SLOTS
     return (
         n_slots * shp * swp * in_b
-        + (cw + 2 * rw) * cw * mat_b
-        + (ch + 2 * rh) * ch * mat_b
-        + sh * tw * 10  # r + e (int32) + e1/e0 (int8)
+        # aligned-compute mode (the u8 default) prepends (co, ro) zero
+        # rows to the bands and runs the rows pass on all shp sublanes
+        + (co + cw + 2 * rw) * cw * mat_b
+        + (ro + ch + 2 * rh) * ch * mat_b
+        + shp * tw * 10  # r + e (int32) + e1/e0 (int8)
         + th * tw * 16  # p1/p23/p4 (int32) + the f32 tile
         # out strips (ceil128(w) wide) are double-buffered too
         + 2 * th * min(nbw * tw, -(-w // 128) * 128) * out_b
@@ -1285,15 +1345,28 @@ def _pick_tile_dma(
 
 
 def _band_operands(
-    plan: BlurPlan, precision: str, cw: int, ch: int
+    plan: BlurPlan, precision: str, cw: int, ch: int,
+    co: int = 0, ro: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, int, int]:
     """Quantized/pre-split band-matrix operands -> (bw, bh, rows_shift,
-    cols_scale)."""
+    cols_scale).
+
+    ``(co, ro)`` prepend that many ZERO rows to the row/column bands —
+    the aligned-compute mode's offset fold (``_ALIGNED_COMPUTE``): zero
+    taps contribute exact zeros, so contracting the padded band against
+    the lane/sublane-ALIGNED window slice reproduces the offset window's
+    sums bit-identically."""
     bw_np = band_block_matrix(plan.row.taps, cw)  # (cw + 2rw, cw)
     bh_np = band_block_matrix(plan.col.taps, ch)  # (ch + 2rh, ch)
+    if co:
+        bw_np = np.vstack([np.zeros((co, bw_np.shape[1]), bw_np.dtype),
+                           bw_np])
+    if ro:
+        bh_np = np.vstack([np.zeros((ro, bh_np.shape[1]), bh_np.dtype),
+                           bh_np])
     rows_shift = 7
     cols_scale = 1
-    if precision in ("int8", "hybrid"):
+    if precision in ("int8", "hybrid", "ablate_rows"):
         rows_scale = pick_int8_scale(plan.row.taps, pow2=True)
         cols_scale = pick_int8_scale(plan.col.taps)
         rows_shift = 7 + (rows_scale // (127 * 128)).bit_length() - 1
@@ -1384,12 +1457,16 @@ def _dma_kernel_call(
     wout = min(nbw * tw, -(-w // 128) * 128)
     tl = wout - (nbw - 1) * tw
 
-    bw, bh, rows_shift, cols_scale = _band_operands(plan, precision, cw, ch)
+    use_pipe = pipelined and precision == "int8" and nbw >= 2
+    aligned = _ALIGNED_COMPUTE and x.dtype == jnp.uint8 and not use_pipe
+    bw, bh, rows_shift, cols_scale = _band_operands(
+        plan, precision, cw, ch,
+        co if aligned else 0, ro if aligned else 0,
+    )
 
     mat = lambda shape: pl.BlockSpec(
         shape, (lambda c, i: (0,) * len(shape)), memory_space=pltpu.VMEM
     )
-    use_pipe = pipelined and precision == "int8" and nbw >= 2
     if use_pipe:
         body = functools.partial(
             _kernel_pipe, sh=sh, shp=shp, sw=sw, swp=swp, th=th, tw=tw,
@@ -1408,7 +1485,7 @@ def _dma_kernel_call(
             cw=cw, ch=ch,
             precision=precision, rows_shift=rows_shift,
             cols_scale=cols_scale, out_u8=out_u8, ro=ro, co=co, tl=tl,
-            n_slots=n_slots,
+            n_slots=n_slots, aligned=aligned,
         )
         scratch = [
             pltpu.VMEM((n_slots, shp, swp), x.dtype),
@@ -1471,7 +1548,11 @@ def _dma_kernel_call_direct(
 
     top, bot, hb = _topbot_strips(x, rh, rw, orh, orw, hp, wp)
     lb, rb = _lr_borders(x, rw, orw, wr)
-    bw, bh, rows_shift, cols_scale = _band_operands(plan, precision, cw, ch)
+    aligned = _ALIGNED_COMPUTE and x.dtype == jnp.uint8
+    bw, bh, rows_shift, cols_scale = _band_operands(
+        plan, precision, cw, ch,
+        co if aligned else 0, ro if aligned else 0,
+    )
 
     mat = lambda shape: pl.BlockSpec(
         shape, (lambda c, i: (0,) * len(shape)), memory_space=pltpu.VMEM
@@ -1482,7 +1563,7 @@ def _dma_kernel_call_direct(
             nbh=nbh, nbw=nbw, cw=cw, ch=ch, precision=precision,
             rows_shift=rows_shift, cols_scale=cols_scale, out_u8=out_u8,
             ro=ro, co=co, tl=tl, orh=orh, orw=orw, h8=h8, w128=w128,
-            n_slots=n_slots,
+            n_slots=n_slots, aligned=aligned,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_hw().kernel_vmem_limit

@@ -1147,6 +1147,37 @@ def test_multi_slot_window_buffer_bit_identical(rng):
     np.testing.assert_array_equal(outs[2], outs[3])
 
 
+def test_aligned_compute_bit_identical(rng):
+    """The aligned-compute mode (zero-padded bands, round-4 probe knob;
+    default off after the A/B refutation) reproduces the legacy sliced
+    compute bit for bit on the integer rungs."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from blur_algorithms_tpu.ops.plan import make_plan
+    from blur_algorithms_tpu.pallas_kernels import fused_dma
+
+    img = (rng.random((3, 48, 1024)) * 255).astype(np.uint8)
+    x = jnp.asarray(img)
+    outs = {}
+    for flag in (False, True):
+        plan = make_plan((48, 1024), 4.0)  # fresh plan -> fresh trace
+        old = fused_dma._ALIGNED_COMPUTE
+        fused_dma._ALIGNED_COMPUTE = flag
+        try:
+            outs[flag] = {
+                p: np.asarray(
+                    fused_dma.blur_fused_u8_dma(x, plan, precision=p)
+                )
+                for p in ("int8", "hybrid")
+            }
+        finally:
+            fused_dma._ALIGNED_COMPUTE = old
+    for p in ("int8", "hybrid"):
+        np.testing.assert_array_equal(outs[False][p], outs[True][p])
+
+
 def test_pipelined_dma_kernel_bit_identical(rng):
     """The software-pipelined int8 DMA kernel (rows(j) grouped with
     cols(j-1); measured perf-neutral, kept as an in-tree experiment) must
