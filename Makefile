@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test certify bench native clean
+.PHONY: test certify certify-device bench native clean
 
 # CPU test suite (tests/conftest.py forces an 8-device virtual CPU mesh)
 test:
@@ -16,6 +16,13 @@ test:
 # real chip in production); records benchmarks/certify.json.
 certify:
 	$(PY) benchmarks/parity_grid.py --fuzz 24 --multichip 8 --out benchmarks/certify.json
+
+# device-certification runbook: run the bf16/hybrid/split cert sweeps +
+# the route-floor microbench on whatever TPU kind jax finds and emit a
+# ready-to-paste DeviceSpec entry (benchmarks/device_cert/<kind>.json).
+# `make certify-device QUICK=1` runs the trimmed smoke ladder.
+certify-device:
+	$(PY) benchmarks/certify_device.py $(if $(QUICK),--quick)
 
 # headline benchmark (one JSON line; real TPU)
 bench:

@@ -1,0 +1,193 @@
+"""Device-certification runbook: measure a chip, emit its DeviceSpec entry.
+
+Round-4 verdict item 4: the precision-rung boundaries in
+``utils/hw.DeviceSpec`` are MEASUREMENTS (deliberately not scaled across
+kinds), but only v5e carried them — a v6e/v5p deployment silently ran
+int8-only because nothing turned the sweep artifacts into a spec entry.
+This script is that missing step. On whatever chip it finds it runs:
+
+1. the bf16 rung certification sweep (``default_prec_cert.py``,
+   gaussian), deriving ``bf16_cert_min_radius``;
+2. the hybrid rung sweeps (gaussian + box_fast), deriving
+   ``hybrid_cert_min_radius`` / ``hybrid_cert_min_radius_box``;
+3. the split-regime sweep (``hybrid_split_cert.py``), deriving
+   ``hybrid_split_cert_max_radius``;
+4. an interleaved route-floor probe (hybrid vs int8 and bf16 vs int8 at
+   a small radius ladder) deriving ``hybrid_route_min_radius`` /
+   ``bf16_route_min_radius`` — the smallest radius from which the fast
+   rung actually wins wall clock.
+
+and emits ``benchmarks/device_cert/<kind>.json`` plus a ready-to-paste
+``DeviceSpec(...)`` snippet for ``utils/hw.py``'s table (published
+HBM/VMEM/bandwidth/TFLOP numbers still come from the vendor tables —
+they are capacities, not measurements). ``--quick`` trims the sweeps for
+smoke runs; ``make certify-device`` runs the full ladder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_sweep(script: str, out: str, extra: list[str]) -> dict:
+    cmd = [sys.executable, os.path.join(HERE, script), "--out", out, *extra]
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True)
+    with open(out) as f:
+        return json.load(f)
+
+
+def route_floor_probe(radii: list[int]) -> dict:
+    """Interleaved hybrid/bf16 vs int8 wall-clock at a radius ladder."""
+    import jax.numpy as jnp
+
+    from blur_algorithms_tpu.ops.plan import make_plan
+    from blur_algorithms_tpu.pallas_kernels import fused_dma
+    from blur_algorithms_tpu.utils.timing import time_fn_chained
+    from bench import make_frames
+
+    H, W = 2160, 3840
+    x = jnp.asarray(make_frames(1, H, W))
+    mp = H * W / 1e6
+    rows = {}
+    for rnd in range(2):
+        for r in radii:
+            sigma = r / 3.3267  # v5e width rule; actual radius recorded
+            for prec in ("int8", "hybrid", "bf16"):
+                plan = make_plan((H, W), sigma)
+                t = time_fn_chained(
+                    lambda pl_=plan, p=prec: (
+                        lambda v: fused_dma.blur_fused_u8_dma(
+                            v, pl_, precision=p
+                        )
+                    ),
+                    x, iters=16, reps=3, name=f"r{r}:{prec}",
+                    megapixels=mp,
+                )
+                e = rows.setdefault(r, {"radius": plan.row.support_radius})
+                e.setdefault(prec, []).append(t.median_ms)
+                print(f"route probe round {rnd} r={r} {prec}: "
+                      f"{t.median_ms:.3f} ms", flush=True)
+    for r in rows:
+        for prec in ("int8", "hybrid", "bf16"):
+            rows[r][prec] = min(rows[r][prec])
+    return rows
+
+
+def derive_route_floor(rows: dict, fast: str) -> int:
+    """Smallest measured radius from which ``fast`` beats int8 at every
+    radius upward (0 if it wins everywhere)."""
+    radii = sorted(rows)
+    floor = None
+    for r in reversed(radii):
+        if rows[r][fast] <= rows[r]["int8"]:
+            floor = r
+        else:
+            break
+    if floor is None:
+        return 10**9  # never wins: effectively disable via route floor
+    return 0 if floor == radii[0] else rows[floor]["radius"]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="trimmed sweeps (smoke test of the runbook)")
+    ap.add_argument("--outdir", default=os.path.join(HERE, "device_cert"))
+    args = ap.parse_args()
+
+    import jax
+
+    from blur_algorithms_tpu.utils.hw import device_kind, spec_for_kind
+
+    kind = device_kind() or "unknown"
+    if jax.default_backend() != "tpu":
+        print("certify-device must run on a TPU backend", file=sys.stderr)
+        return 2
+    os.makedirs(args.outdir, exist_ok=True)
+    slug = kind.lower().replace(" ", "_")
+
+    sig_quick = ["--sigmas", "2.0", "5.0", "16.0", "48.0"]
+    extra = sig_quick if args.quick else []
+
+    bf16 = run_sweep(
+        "default_prec_cert.py",
+        os.path.join(args.outdir, f"{slug}_bf16.json"),
+        ["--precision", "bf16", *extra],
+    )
+    hyb = run_sweep(
+        "default_prec_cert.py",
+        os.path.join(args.outdir, f"{slug}_hybrid.json"),
+        ["--precision", "hybrid", *extra],
+    )
+    box_extra = (["--sigmas", "2", "4", "16", "64"] if args.quick else
+                 ["--sigmas", "1", "2", "3", "4", "6", "8", "12", "16",
+                  "24", "48", "96", "150", "300"])
+    hyb_box = run_sweep(
+        "default_prec_cert.py",
+        os.path.join(args.outdir, f"{slug}_hybrid_box.json"),
+        ["--precision", "hybrid", "--kernel", "box_fast", *box_extra],
+    )
+    split = None
+    if not args.quick:
+        # the split sweep writes its fixed artifact path; rehome a copy
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "hybrid_split_cert.py")],
+            check=True,
+        )
+        with open(os.path.join(HERE, "hybrid_split_cert.json")) as f:
+            split = json.load(f)
+
+    probe_radii = [7, 17, 33, 105, 332] if not args.quick else [7, 33]
+    route = route_floor_probe(probe_radii)
+
+    spec0 = spec_for_kind(kind)  # capacities from the published table
+    entry = {
+        "kind": kind,
+        "hbm_bytes": spec0.hbm_bytes,
+        "vmem_bytes": spec0.vmem_bytes,
+        "hbm_gbps": spec0.hbm_gbps,
+        "peak_bf16_tflops": spec0.peak_bf16_tflops,
+        "bf16_cert_min_radius": bf16.get("certified_min_radius"),
+        "bf16_route_min_radius": derive_route_floor(route, "bf16"),
+        "hybrid_cert_min_radius": hyb.get("certified_min_radius"),
+        "hybrid_route_min_radius": derive_route_floor(route, "hybrid"),
+        "hybrid_cert_min_radius_box": hyb_box.get("certified_min_radius"),
+        "hybrid_split_cert_max_radius": (
+            split and split.get("hybrid_split_cert_max_radius")
+        ),
+    }
+    result = {"entry": entry, "route_probe": route,
+              "quick": bool(args.quick)}
+    out = os.path.join(args.outdir, f"{slug}.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+
+    snippet = (
+        f"DeviceSpec(\n"
+        f"    {kind!r}, {entry['hbm_bytes']}, {entry['vmem_bytes']}, "
+        f"{entry['hbm_gbps']}, {entry['peak_bf16_tflops']},\n"
+        f"    bf16_cert_min_radius={entry['bf16_cert_min_radius']}, "
+        f"bf16_route_min_radius={entry['bf16_route_min_radius']},\n"
+        f"    hybrid_cert_min_radius={entry['hybrid_cert_min_radius']}, "
+        f"hybrid_route_min_radius={entry['hybrid_route_min_radius']},\n"
+        f"    hybrid_cert_min_radius_box="
+        f"{entry['hybrid_cert_min_radius_box']},\n"
+        f"    hybrid_split_cert_max_radius="
+        f"{entry['hybrid_split_cert_max_radius']},\n"
+        f")"
+    )
+    print(f"\nwrote {out}\n\nready-to-paste utils/hw.py entry:\n{snippet}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

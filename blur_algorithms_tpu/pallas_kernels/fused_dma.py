@@ -127,6 +127,15 @@ _TRUNC_STORE = True
 # Kept off as the measured-honest record + for other device kinds.
 _ALIGNED_COMPUTE = False
 
+# ``_UNROLL_WINDOWS``: statically unroll the window loop in the windowed
+# kernels so the slot indices (j % n_slots) become trace-time constants.
+# Hypothesis (round-4 stage ladder, ``dma_stage_fetch.json``): the wall
+# time is the SUM of the fetch floor and the compute (0.515 + 0.41 =
+# 0.93 measured — zero DMA/compute overlap), possibly because the
+# dynamic ``win[slot]`` indices defeat Mosaic's memory disambiguation
+# and serialize the prefetch DMA against the compute's VMEM reads.
+_UNROLL_WINDOWS = False
+
 
 def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
                    th: int, tw: int, sh: int, sw: int, cw: int, ch: int,
@@ -143,6 +152,12 @@ def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
         tw=tw, th=th, rw=(sw - tw) // 2, rh=(sh - th) // 2, cw=cw, ch=ch,
         ro=ro, co=co,
     )
+    if precision == "ablate_fetch":
+        # probe only: fetch + loop + the out-block writeback, with the
+        # window slice and the per-window tile store reduced to an 8x128
+        # touch — isolates the DMA/loop floor from the store-side work.
+        out_ref[0, :8, pl.ds(j * tw, 128)] = x[:8, :128]
+        return
     if precision == "ablate_copy":
         # decomposition probe only (benchmarks/dma_stage_decompose.py):
         # window fetch + slice + a trivial u8 tile store — no band work.
@@ -175,6 +190,13 @@ def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
         outf = outf.astype(jnp.float32)
     if tl in (0, tw):
         out_ref[0, :, pl.ds(j * tw, tw)] = outf
+    elif isinstance(j, int):
+        # static window index (the strip form's unrolled loop): resolve
+        # the last-window partial store at trace time
+        if j < nbw - 1:
+            out_ref[0, :, pl.ds(j * tw, tw)] = outf
+        else:
+            out_ref[0, :, pl.ds(j * tw, tl)] = outf[:, :tl]
     else:
         # the out strip is ceil128(w) wide, NOT nbw*tw: the last
         # window writes only its tl valid lanes, so no full-frame
@@ -215,10 +237,17 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
 
     def body(j, _):
         slot = j % n_slots
-
-        @pl.when(j + n_slots - 1 < nbw)
-        def _():
-            get_dma((j + n_slots - 1) % n_slots, j + n_slots - 1).start()
+        nxt = j + n_slots - 1
+        if isinstance(j, int):
+            # statically unrolled loop: constant slot indices let Mosaic
+            # disambiguate the prefetch DMA's target buffer from the
+            # compute's source buffer (see _UNROLL_WINDOWS)
+            if nxt < nbw:
+                get_dma(nxt % n_slots, nxt).start()
+        else:
+            @pl.when(nxt < nbw)
+            def _():
+                get_dma(nxt % n_slots, nxt).start()
 
         get_dma(slot, j).wait()
 
@@ -236,7 +265,138 @@ def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
             in_u8=in_u8, ro=kro, co=kco,
         )
 
-    jax.lax.fori_loop(0, nbw, body, None, unroll=False)
+    if _UNROLL_WINDOWS:
+        for j in range(nbw):
+            body(j, None)
+    else:
+        jax.lax.fori_loop(0, nbw, body, None, unroll=False)
+
+
+def _kernel_strip(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
+                  buf, sem, *,
+                  sh: int, shp: int, sw: int, swp: int, th: int, tw: int,
+                  nbh: int, nbw: int, cw: int, ch: int, precision: str,
+                  rows_shift: int, cols_scale: int, out_u8: bool,
+                  ro: int, co: int, tl: int,
+                  orh: int, orw: int, h8: int, w128: int, wp: int,
+                  bc: int, n_slots: int = 2):
+    """Whole-strip splice form (round 4): fetch each row strip ONCE.
+
+    The stage decomposition (``benchmarks/dma_stage_decompose.json``)
+    showed the windowed direct kernel spends ~80% of its wall time just
+    MOVING windows: ~0.80 of 0.99 ms at the headline is fetch + slice +
+    store with all band compute ablated, of which only ~0.40 ms is the
+    raw DMA bytes (``dma_fetch_rate.json``) — the rest is the per-window
+    conditional splice-descriptor chains and the 1.57x horizontal
+    overlap re-read (each (shp, swp) window refetches its 2rw+pad halo).
+
+    This form splices the ENTIRE padded row strip ``(shp, wp)`` into
+    VMEM with <= 5 DMAs (top / bot full-width rows, then lb + frame +
+    rb for the frame rows — the same legs as the HBM assemble, clipped
+    to the strip), double-buffered ACROSS GRID STEPS (strip ``k+1``
+    prefetches while ``k`` computes; Pallas scratch persists across the
+    grid), and runs the column-window loop statically unrolled over the
+    in-VMEM strip. Each input byte is read exactly once per strip, the
+    splice runs once per strip instead of once per window, and the
+    compute slices are the same (ro, co)-offset views as the windowed
+    form — outputs are BIT-IDENTICAL (same band operands, same
+    accumulation order, same store).
+
+    VMEM cost is ``n_slots * shp * wp * in_b`` for the strips (the
+    windowed form held ``n_slots * shp * swp``), so applicability is
+    gated by ``_strip_vmem_bytes`` — wide/giant frames keep the windowed
+    direct form.
+    """
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    k = c * nbh + i  # linear grid step
+    nsteps = bc * nbh
+    row_tab, ilo, ihi = _row_splices(nbh, th, orh, shp, h8)
+    wr = wp - orw - w128
+
+    def legs(slot, c_, i_, gate):
+        """(cond, make-descriptor) DMA legs splicing strip (c_, i_) into
+        ``buf[slot]`` — construction deferred into the pl.when branch."""
+        ps = []
+
+        def seg(fr0, dr0, fh):
+            """Frame rows [fr0, fr0+fh) -> strip rows [dr0, ...): the
+            three column pieces lb | frame | rb (full padded width)."""
+            return [
+                lambda fr0=fr0, dr0=dr0, fh=fh: pltpu.make_async_copy(
+                    lb.at[c_, pl.ds(fr0, fh), pl.ds(0, orw)],
+                    buf.at[slot, pl.ds(dr0, fh), pl.ds(0, orw)],
+                    sem.at[slot, 2],
+                ),
+                lambda fr0=fr0, dr0=dr0, fh=fh: pltpu.make_async_copy(
+                    x_hbm.at[c_, pl.ds(fr0, fh), pl.ds(0, w128)],
+                    buf.at[slot, pl.ds(dr0, fh), pl.ds(orw, w128)],
+                    sem.at[slot, 3],
+                ),
+                lambda fr0=fr0, dr0=dr0, fh=fh: pltpu.make_async_copy(
+                    rb.at[c_, pl.ds(fr0, fh), pl.ds(0, wr)],
+                    buf.at[slot, pl.ds(dr0, fh), pl.ds(orw + w128, wr)],
+                    sem.at[slot, 4],
+                ),
+            ]
+
+        for i0, (topseg, frame_seg, botseg) in row_tab.items():
+            cond = gate & (i_ == i0)
+            if topseg is not None:
+                sr, hg = topseg
+                ps.append((cond, lambda sr=sr, hg=hg: pltpu.make_async_copy(
+                    top.at[c_, pl.ds(sr, hg), pl.ds(0, wp)],
+                    buf.at[slot, pl.ds(0, hg), pl.ds(0, wp)],
+                    sem.at[slot, 0],
+                )))
+            for mk in seg(*frame_seg):
+                ps.append((cond, mk))
+            if botseg is not None:
+                dr, hg = botseg
+                ps.append((cond, lambda dr=dr, hg=hg: pltpu.make_async_copy(
+                    bot.at[c_, pl.ds(0, hg), pl.ds(0, wp)],
+                    buf.at[slot, pl.ds(dr, hg), pl.ds(0, wp)],
+                    sem.at[slot, 1],
+                )))
+        if ihi > ilo:
+            # plain interior strips: full-height frame rows, start
+            # clamped in 8-sublane units so the descriptor stays legal
+            # when the branch is off
+            rsafe = jnp.clip(
+                i_ * (th // 8) - orh // 8, 0, max((h8 - shp) // 8, 0)
+            ) * 8
+            cond = gate & (i_ >= ilo) & (i_ < ihi)
+            for mk in seg(rsafe, 0, shp):
+                ps.append((cond, mk))
+        return ps
+
+    def start(slot, c_, i_, gate):
+        for cond, mk in legs(slot, c_, i_, gate):
+            pl.when(cond)(lambda mk=mk: mk().start())
+
+    def wait(slot, c_, i_, gate):
+        for cond, mk in legs(slot, c_, i_, gate):
+            pl.when(cond)(lambda mk=mk: mk().wait())
+
+    slot = k % n_slots
+    always = k >= 0
+    start(slot, c, i, always & (k == 0))  # prime the first strip
+    # prefetch the NEXT grid step's strip into the other slot
+    k1 = k + 1
+    c1 = jnp.minimum(k1 // nbh, bc - 1)
+    i1 = k1 % nbh
+    start((k + 1) % n_slots, c1, i1, k1 < nsteps)
+    wait(slot, c, i, always)
+
+    in_u8 = buf.dtype == jnp.uint8
+    for j in range(nbw):  # static unroll: every slice start is static
+        x = buf[slot][ro:ro + sh, j * tw + co : j * tw + co + sw]
+        _compute_store(
+            x, j, bw_ref, bh_ref, out_ref, th=th, tw=tw, sh=sh, sw=sw,
+            cw=cw, ch=ch, precision=precision, rows_shift=rows_shift,
+            cols_scale=cols_scale, out_u8=out_u8, nbw=nbw, tl=tl,
+            in_u8=in_u8,
+        )
 
 
 def _store_tile(out_ref, outf, j, *, tw: int, nbw: int, tl: int,
@@ -502,10 +662,15 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
 
     def body(j, _):
         slot = j % n_slots
-
-        @pl.when(j + n_slots - 1 < nbw)
-        def _():
-            start((j + n_slots - 1) % n_slots, j + n_slots - 1)
+        nxt = j + n_slots - 1
+        if isinstance(j, int):
+            # statically unrolled: constant slot indices (_UNROLL_WINDOWS)
+            if nxt < nbw:
+                start(nxt % n_slots, nxt)
+        else:
+            @pl.when(nxt < nbw)
+            def _():
+                start(nxt % n_slots, nxt)
 
         wait(slot, j)
 
@@ -524,7 +689,11 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
             in_u8=in_u8, ro=kro, co=kco,
         )
 
-    jax.lax.fori_loop(0, nbw, body, None, unroll=False)
+    if _UNROLL_WINDOWS:
+        for j in range(nbw):
+            body(j, None)
+    else:
+        jax.lax.fori_loop(0, nbw, body, None, unroll=False)
 
 
 def _rows_int8(x, bw_ref, *, tw: int, rw: int, cw: int,
@@ -872,6 +1041,59 @@ def _lr_borders(
     )
     right = jnp.pad(right, [(0, 0), (0, 0), (0, wr - right.shape[2])])
     return left, right
+
+
+# The strip form's window loop is statically unrolled (every in-VMEM
+# slice start must be a trace-time constant); cap the unroll so compile
+# time stays bounded — geometries past it keep the windowed direct form.
+_STRIP_MAX_NBW = 32
+
+
+def _strip_vmem_bytes(
+    h: int, w: int, th: int, tw: int, rh: int, rw: int,
+    in_b: int, mat_b: int, cw: int, ch: int, out_b: int,
+    n_slots: int = 2,
+) -> int:
+    """VMEM bytes for one grid step of the whole-strip kernel: like
+    ``_dma_vmem_bytes`` but the input buffers hold full (shp, wp) strips
+    (double-buffered across grid steps) instead of (shp, swp) windows."""
+    _, _, _, _, sh, _, shp, swp = _align_geometry(th, tw, rh, rw)
+    nbw = -(-w // tw)
+    wp = (nbw - 1) * tw + swp
+    return (
+        n_slots * shp * wp * in_b
+        + (cw + 2 * rw) * cw * mat_b
+        + (ch + 2 * rh) * ch * mat_b
+        + sh * tw * 10
+        + th * tw * 16
+        + 2 * th * min(nbw * tw, -(-w // 128) * 128) * out_b
+    )
+
+
+def _strip_applicable(
+    h: int, w: int, th: int, tw: int, rh: int, rw: int,
+    in_b: int, out_b: int, precision: str, rows_prepadded: bool,
+) -> bool:
+    """True when the whole-strip splice kernel serves this geometry:
+    tile-aligned tiles, every strip keeps a non-empty frame piece (the
+    ``_row_splices`` classes then cover it), a bounded static window
+    unroll, and the (shp, wp) strip buffers fitting the VMEM budget."""
+    if rows_prepadded or h < 8 or w < 128 or th % 8 or tw % 128:
+        return False
+    nbh, nbw = -(-h // th), -(-w // tw)
+    if nbw > _STRIP_MAX_NBW:
+        return False
+    orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
+    h8 = (h // 8) * 8
+    for i0 in range(nbh):
+        rs = i0 * th - orh
+        if min(rs + shp, h8) <= max(rs, 0):
+            return False  # degenerate: no frame rows in this strip
+    mat_b = 2 if precision == "int8" else 4
+    cwc, chc = _pick_chunks_dma(th, tw, rh, rw, precision)
+    return _strip_vmem_bytes(
+        h, w, th, tw, rh, rw, in_b, mat_b, cwc, chc, out_b
+    ) <= _hw().wide_vmem_budget
 
 
 def _direct_applicable(
@@ -1588,11 +1810,75 @@ def _dma_kernel_call_direct(
     return out
 
 
+def _dma_kernel_call_strip(
+    x: jnp.ndarray,
+    plan: BlurPlan,
+    precision: str,
+    out_u8: bool,
+    th: int,
+    tw: int,
+    cw: int,
+    ch: int,
+) -> jnp.ndarray:
+    """Whole-strip pallas_call on the ORIGINAL ``(bc, h, w)`` frame ->
+    uncropped ``(bc, nbh*th, wout)``: each padded row strip spliced into
+    VMEM once (<= 5 DMAs), prefetched across grid steps — see
+    ``_kernel_strip``."""
+    h, w = plan.shape
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(th, tw, rh, rw)
+    bc = x.shape[0]
+    nbh, nbw = -(-h // th), -(-w // tw)
+    h8, w128 = (h // 8) * 8, (w // 128) * 128
+    wout = min(nbw * tw, -(-w // 128) * 128)
+    tl = wout - (nbw - 1) * tw
+    hp = (nbh - 1) * th + shp
+    wp = (nbw - 1) * tw + swp
+    wr = wp - orw - w128
+
+    top, bot, hb = _topbot_strips(x, rh, rw, orh, orw, hp, wp)
+    lb, rb = _lr_borders(x, rw, orw, wr)
+    bw, bh, rows_shift, cols_scale = _band_operands(plan, precision, cw, ch)
+
+    mat = lambda shape: pl.BlockSpec(
+        shape, (lambda c, i: (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_strip, sh=sh, shp=shp, sw=sw, swp=swp, th=th, tw=tw,
+            nbh=nbh, nbw=nbw, cw=cw, ch=ch, precision=precision,
+            rows_shift=rows_shift, cols_scale=cols_scale, out_u8=out_u8,
+            ro=ro, co=co, tl=tl, orh=orh, orw=orw, h8=h8, w128=w128,
+            wp=wp, bc=bc,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_hw().kernel_vmem_limit
+        ),
+        grid=(bc, nbh),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5 + [
+            mat(bw.shape),
+            mat(bh.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, wout), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (bc, nbh * th, wout), jnp.uint8 if out_u8 else jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, shp, wp), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 5)),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(x, top, bot, lb, rb, bw, bh)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "plan", "precision", "out_u8", "tile", "chunks", "rows_prepadded",
-        "direct", "pipelined",
+        "direct", "pipelined", "strip",
     ),
 )
 def _blur_fused_dma_impl(
@@ -1605,6 +1891,7 @@ def _blur_fused_dma_impl(
     rows_prepadded: bool = False,
     direct: bool | None = None,
     pipelined: bool = False,
+    strip: bool | None = None,
 ) -> jnp.ndarray:
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
@@ -1621,6 +1908,21 @@ def _blur_fused_dma_impl(
     if x.dtype != jnp.uint8:
         x = x.astype(jnp.float32)
     nbh, nbw = -(-h // th), -(-w // tw)
+
+    if strip is None:
+        strip = (
+            not pipelined
+            and direct is None  # an explicit direct/assemble request wins
+            and _strip_applicable(
+                h, w, th, tw, rh, rw, in_b, out_b, precision,
+                rows_prepadded,
+            )
+        )
+    if strip:
+        out = _dma_kernel_call_strip(
+            x, plan, precision, out_u8, th, tw, cw, ch
+        )
+        return out[:, :h, :w].reshape(lead + (h, w))
 
     if direct is None:
         direct = (

@@ -231,6 +231,67 @@ class TestBf16CertRouting:
         plan = make_plan((1024, 1024), 64, kernel="box_fast", box_passes=2)
         assert api._u8_dma_precision(plan) == "hybrid"
 
+    def test_certify_device_entry_routes(self, monkeypatch):
+        """The certify-device runbook's emitted entry drives routing: a
+        generated spec (e.g. for a freshly measured v6e) makes AUTO use
+        the measured rungs instead of silently running int8-only."""
+        import importlib.util
+        import os
+
+        from blur_algorithms_tpu import api
+        from blur_algorithms_tpu.pallas_kernels import fused_dma
+
+        spec_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks", "certify_device.py",
+        )
+        mod_spec = importlib.util.spec_from_file_location(
+            "certify_device", spec_path
+        )
+        cd = importlib.util.module_from_spec(mod_spec)
+        mod_spec.loader.exec_module(cd)
+
+        # route-floor derivation from a canned interleaved probe
+        rows = {
+            7: {"radius": 7, "int8": 1.0, "hybrid": 0.9, "bf16": 1.4},
+            33: {"radius": 33, "int8": 1.0, "hybrid": 0.8, "bf16": 1.1},
+            105: {"radius": 105, "int8": 1.0, "hybrid": 0.7, "bf16": 0.9},
+        }
+        assert cd.derive_route_floor(rows, "hybrid") == 0  # wins everywhere
+        assert cd.derive_route_floor(rows, "bf16") == 105  # wins from 105
+        never = {r: dict(v, bf16=9.9) for r, v in rows.items()}
+        assert cd.derive_route_floor(never, "bf16") >= 10**8
+
+        # a runbook-shaped entry constructs a spec that routes
+        entry = {
+            "kind": "TPU v6e", "hbm_bytes": 32 << 30,
+            "vmem_bytes": 128 << 20, "hbm_gbps": 1640.0,
+            "peak_bf16_tflops": 918.0,
+            "bf16_cert_min_radius": 14, "bf16_route_min_radius": 105,
+            "hybrid_cert_min_radius": 4, "hybrid_route_min_radius": 0,
+            "hybrid_cert_min_radius_box": 9,
+            "hybrid_split_cert_max_radius": 3000,
+        }
+        spec = hw.DeviceSpec(
+            entry["kind"], entry["hbm_bytes"], entry["vmem_bytes"],
+            entry["hbm_gbps"], entry["peak_bf16_tflops"],
+            bf16_cert_min_radius=entry["bf16_cert_min_radius"],
+            bf16_route_min_radius=entry["bf16_route_min_radius"],
+            hybrid_cert_min_radius=entry["hybrid_cert_min_radius"],
+            hybrid_route_min_radius=entry["hybrid_route_min_radius"],
+            hybrid_cert_min_radius_box=entry["hybrid_cert_min_radius_box"],
+            hybrid_split_cert_max_radius=(
+                entry["hybrid_split_cert_max_radius"]
+            ),
+        )
+        monkeypatch.setattr(hw, "budgets", lambda: spec)
+        monkeypatch.setattr(
+            fused_dma, "dma_form_applicable", lambda *a, **k: True
+        )
+        assert api._u8_dma_precision(self._plan(10.0)) == "hybrid"
+        assert spec.hybrid_min_radius_for("box_fast") == 9
+        assert spec.hybrid_split_cert_max_radius == 3000
+
     def test_box_taps_below_their_cert_floor_stay_int8(self, monkeypatch):
         """Round-3 advisor: hybrid_cert_box.json certifies box_fast only
         from support radius 8 — box plans under the family floor must not
