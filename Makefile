@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test certify certify-device bench native clean
+.PHONY: test certify certify-split certify-device bench native clean
 
 # CPU test suite (tests/conftest.py forces an 8-device virtual CPU mesh)
 test:
@@ -16,6 +16,15 @@ test:
 # real chip in production); records benchmarks/certify.json.
 certify:
 	$(PY) benchmarks/parity_grid.py --fuzz 24 --multichip 8 --out benchmarks/certify.json
+	$(MAKE) certify-split
+
+# split-regime certification (round-4 verdict item 1): the 9-pattern x
+# radius-grid sweep over the blocked split regime (gaussian r~665..3451
+# on the cols axis + box/tent 600..1022 + the haloed per-shard form),
+# int8-e32 AND hybrid pass 2 — the measured boundary behind
+# DeviceSpec.hybrid_split_cert_max_radius. ~45 min on the real chip.
+certify-split:
+	$(PY) benchmarks/hybrid_split_cert.py
 
 # device-certification runbook: run the bf16/hybrid/split cert sweeps +
 # the route-floor microbench on whatever TPU kind jax finds and emit a

@@ -1178,6 +1178,33 @@ def test_aligned_compute_bit_identical(rng):
         np.testing.assert_array_equal(outs[False][p], outs[True][p])
 
 
+def test_strip_dma_kernel_bit_identical(rng):
+    """The whole-strip splice kernel (round 4: each padded row strip
+    fetched once, windows unrolled from VMEM; perf-neutral on v5e, kept
+    via strip=True) reproduces the windowed direct kernel bit for bit."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from blur_algorithms_tpu.ops.plan import make_plan
+    from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+        _blur_fused_dma_impl,
+    )
+
+    img = (rng.random((3, 96, 1024)) * 255).astype(np.uint8)
+    x = jnp.asarray(img)
+    for prec in ("int8", "hybrid"):
+        direct = np.asarray(
+            _blur_fused_dma_impl(x, make_plan((96, 1024), 4.0), prec, True,
+                                 direct=True, strip=False)
+        )
+        strip = np.asarray(
+            _blur_fused_dma_impl(x, make_plan((96, 1024), 4.0), prec, True,
+                                 strip=True)
+        )
+        np.testing.assert_array_equal(direct, strip)
+
+
 def test_pipelined_dma_kernel_bit_identical(rng):
     """The software-pipelined int8 DMA kernel (rows(j) grouped with
     cols(j-1); measured perf-neutral, kept as an in-tree experiment) must
