@@ -214,11 +214,21 @@ _MIB = 1 << 20
 # remove bf16's small-sigma failures) — and the perf probe shows hybrid
 # beats int8 at every radius down to r=4 (hybrid_small_radius.json,
 # hybrid_probe.json: 1.2-1.4x), so its route floor is its cert floor.
+# v5e split-regime certification (benchmarks/hybrid_split_cert.json,
+# round 4, 2026-08-20): 9 adversarial patterns x the blocked split
+# regime — gaussian cols radius 664..3451 (tall-narrow frames so the
+# cols axis, the one the hybrid pass-2 bf16 dot runs on, sweeps to the
+# fft crossover incl. the previously unmeasured 2400-3451 band), box
+# support 600..1022, plus the haloed per-shard form — int8-e32 AND
+# hybrid pass 2 both worst err 1 at EVERY point, so the certified
+# ceiling is the sweep's top radius 3451 (~ the fused-vs-fft crossover;
+# past it the split regime ends anyway).
 _V5E = DeviceSpec(
     "TPU v5e", 16 * _GIB, 128 * _MIB, 819.0, 197.0,
     bf16_cert_min_radius=16, bf16_route_min_radius=96,
     hybrid_cert_min_radius=3, hybrid_route_min_radius=0,
     hybrid_cert_min_radius_box=8,
+    hybrid_split_cert_max_radius=3451,
 )
 _TABLE: tuple[tuple[tuple[str, ...], DeviceSpec], ...] = (
     (("v5 lite", "v5e", "v5litepod"), _V5E),

@@ -231,6 +231,34 @@ class TestBf16CertRouting:
         plan = make_plan((1024, 1024), 64, kernel="box_fast", box_passes=2)
         assert api._u8_dma_precision(plan) == "hybrid"
 
+    def test_hybrid_split_gate_uses_measured_ceiling(self, monkeypatch):
+        """Round-4 item 1: the split's hybrid pass 2 routes from the
+        MEASURED certification (hybrid_split_cert.json -> DeviceSpec),
+        not the round-3 tightness argument — and off where unmeasured."""
+        import dataclasses as dc
+
+        import jax
+
+        from blur_algorithms_tpu.ops.plan import make_plan
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        spec = hw.spec_for_kind("TPU v5 lite")
+        assert spec.hybrid_split_cert_max_radius == 3451
+        monkeypatch.setattr(hw, "budgets", lambda: spec)
+        wide = make_plan((7424, 256), (900.0, 10.0))  # rh ~ 2995
+        assert 2400 < wide.col.support_radius <= 3451
+        assert fused_blur._hybrid_cols_ok(wide)
+        # a kind without the split sweep keeps the exact e32 pass 2
+        nosweep = dc.replace(spec, hybrid_split_cert_max_radius=None)
+        monkeypatch.setattr(hw, "budgets", lambda: nosweep)
+        assert not fused_blur._hybrid_cols_ok(wide)
+        # a measured FAILURE boundary is respected
+        low = dc.replace(spec, hybrid_split_cert_max_radius=1000)
+        monkeypatch.setattr(hw, "budgets", lambda: low)
+        assert not fused_blur._hybrid_cols_ok(wide)
+        assert fused_blur._hybrid_cols_ok(make_plan((2048, 256), (200.0, 10.0)))
+
     def test_certify_device_entry_routes(self, monkeypatch):
         """The certify-device runbook's emitted entry drives routing: a
         generated spec (e.g. for a freshly measured v6e) makes AUTO use
