@@ -1910,15 +1910,18 @@ def _blur_fused_dma_impl(
     nbh, nbw = -(-h // th), -(-w // tw)
 
     if strip is None:
-        strip = (
-            not pipelined
-            and direct is None  # an explicit direct/assemble request wins
-            and _strip_applicable(
-                h, w, th, tw, rh, rw, in_b, out_b, precision,
-                rows_prepadded,
-            )
-        )
+        # NOT auto-routed: the interleaved A/B (dma_strip_ab.json)
+        # measured the strip form neutral at batch-4 and slower for
+        # single frames, so it stays an explicit opt-in experiment
+        strip = False
     if strip:
+        if not _strip_applicable(
+            h, w, th, tw, rh, rw, in_b, out_b, precision, rows_prepadded
+        ):
+            raise ValueError(
+                "strip=True: the whole-strip kernel does not serve this "
+                f"geometry (shape {plan.shape}, tile {(th, tw)})"
+            )
         out = _dma_kernel_call_strip(
             x, plan, precision, out_u8, th, tw, cw, ch
         )

@@ -227,7 +227,11 @@ _V5E = DeviceSpec(
     "TPU v5e", 16 * _GIB, 128 * _MIB, 819.0, 197.0,
     bf16_cert_min_radius=16, bf16_route_min_radius=96,
     hybrid_cert_min_radius=3, hybrid_route_min_radius=0,
-    hybrid_cert_min_radius_box=8,
+    # round-4 re-anchor on the fold-variant kernels: the box sweep now
+    # measures support radii 2..600 and ALL pass (the round-3 floor of 8
+    # was the old sweep's smallest measured radius, not a failure
+    # boundary) — hybrid_cert_box.json, 2026-08-20
+    hybrid_cert_min_radius_box=2,
     hybrid_split_cert_max_radius=3451,
 )
 _TABLE: tuple[tuple[tuple[str, ...], DeviceSpec], ...] = (

@@ -320,24 +320,34 @@ class TestBf16CertRouting:
         assert spec.hybrid_min_radius_for("box_fast") == 9
         assert spec.hybrid_split_cert_max_radius == 3000
 
-    def test_box_taps_below_their_cert_floor_stay_int8(self, monkeypatch):
-        """Round-3 advisor: hybrid_cert_box.json certifies box_fast only
-        from support radius 8 — box plans under the family floor must not
-        ride the gaussian sweep's r=3 floor."""
+    def test_box_taps_use_their_own_cert_floor(self, monkeypatch):
+        """Round-3 advisor: box_fast routes from ITS measured hybrid cert
+        floor, never the gaussian sweep's — a kind whose box sweep
+        certifies only from radius 8 must keep r<8 box plans on int8
+        (the v5e round-4 re-anchor measured the box floor down to 2, so
+        the boundary case uses a synthetic spec)."""
+        import dataclasses as dc
+
         from blur_algorithms_tpu import api
         from blur_algorithms_tpu.ops.plan import make_plan
         from blur_algorithms_tpu.pallas_kernels import fused_dma
 
         spec = hw.spec_for_kind("TPU v5 lite")
-        assert spec.hybrid_cert_min_radius_box == 8
-        assert spec.hybrid_min_radius_for("box_fast") == 8
+        assert spec.hybrid_cert_min_radius_box == 2
+        assert spec.hybrid_min_radius_for("box_fast") == 3  # max(base, 2)
         assert spec.hybrid_min_radius_for("gaussian") == 3
-        monkeypatch.setattr(hw, "budgets", lambda: spec)
+        box8 = dc.replace(spec, hybrid_cert_min_radius_box=8)
+        assert box8.hybrid_min_radius_for("box_fast") == 8
+        monkeypatch.setattr(hw, "budgets", lambda: box8)
         monkeypatch.setattr(
             fused_dma, "dma_form_applicable", lambda *a, **k: True
         )
         # box radius 2, 2 passes -> support radius 4: inside the gaussian
-        # floor but below the box family's measured floor
+        # floor but below this kind's box-family floor
         plan = make_plan((256, 256), 2, kernel="box_fast", box_passes=2)
         assert 3 <= min(plan.col.support_radius, plan.row.support_radius) < 8
+        assert api._u8_dma_precision(plan) == "int8"
+        # a kind with no box sweep at all keeps box off hybrid entirely
+        nobox = dc.replace(spec, hybrid_cert_min_radius_box=None)
+        monkeypatch.setattr(hw, "budgets", lambda: nobox)
         assert api._u8_dma_precision(plan) == "int8"
