@@ -1995,6 +1995,11 @@ def blur_fused_u8_dma(
     serves signed/asymmetric custom taps (int8 needs non-negative
     unit-sum taps).
     """
+    if precision.startswith("ablate"):
+        raise ValueError(
+            "ablate_* precisions are decomposition probes (their output "
+            "is not a blur); call _blur_fused_dma_impl directly"
+        )
     return _blur_fused_dma_impl(planar_u8, plan, precision, True, tile)
 
 

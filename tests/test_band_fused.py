@@ -1257,6 +1257,18 @@ def test_hybrid_split_pass2_interpret(rng, monkeypatch):
         assert (c == level).all(), level
 
 
+def test_ablate_precisions_rejected_at_public_entry():
+    """The ablate_* decomposition probes (fetch/copy/rows ladders) never
+    masquerade as blurs through the public DMA entry point."""
+    from blur_algorithms_tpu.pallas_kernels import fused_dma
+
+    plan = make_plan((64, 256), 2.0)
+    x8 = jnp.zeros((1, 64, 256), jnp.uint8)
+    for p in ("ablate_fetch", "ablate_copy", "ablate_rows"):
+        with pytest.raises(ValueError, match="probe"):
+            fused_dma.blur_fused_u8_dma(x8, plan, precision=p)
+
+
 def test_hybrid_precision_validation():
     from blur_algorithms_tpu.pallas_kernels import fused_blur
 
