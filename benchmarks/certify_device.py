@@ -186,6 +186,13 @@ def main() -> int:
         f")"
     )
     print(f"\nwrote {out}\n\nready-to-paste utils/hw.py entry:\n{snippet}")
+    if args.quick:
+        print(
+            "\nNOTE: --quick floors come from trimmed grids (a smoke run "
+            "of the runbook) — run the FULL ladder before deploying the "
+            "entry; in particular a route floor of 10^9 only means the "
+            "fast rung did not win inside the trimmed radius set."
+        )
     return 0
 
 
