@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test certify certify-split certify-device bench native clean
+.PHONY: test certify certify-split certify-device bench bench-gate headline native clean
 
 # CPU test suite (tests/conftest.py forces an 8-device virtual CPU mesh)
 test:
@@ -16,7 +16,16 @@ test:
 # real chip in production); records benchmarks/certify.json.
 certify:
 	$(PY) benchmarks/parity_grid.py --fuzz 24 --multichip 8 --out benchmarks/certify.json
+	$(MAKE) bench-gate
 	$(MAKE) certify-split
+
+# perf-regression gate (round-4 verdict item 8): the headline bench with
+# a conservative 20 GP/s floor — ~38% under the canonical capture,
+# outside the ±15% tunnel variance band — so a silent kernel slowdown
+# fails certification the way a numeric regression fails the grid.
+# No-op off-TPU.
+bench-gate:
+	$(PY) bench.py --gate
 
 # split-regime certification (round-4 verdict item 1): the 9-pattern x
 # radius-grid sweep over the blocked split regime (gaussian r~665..3451
@@ -36,6 +45,11 @@ certify-device:
 # headline benchmark (one JSON line; real TPU)
 bench:
 	$(PY) bench.py
+
+# re-point the docs' canonical headline at the latest BENCH_r*.json
+# (round-4 verdict item 6; tests/test_docs_headline.py guards it)
+headline:
+	$(PY) benchmarks/update_headline.py
 
 # native host runtime (reflect-101 / de+interleave / crc32)
 native:

@@ -46,7 +46,7 @@ def make_frames(batch: int, h: int, w: int) -> np.ndarray:
     return np.stack(frames)  # (B, C, H, W) planar uint8
 
 
-def main() -> int:
+def main(gate_floor: float | None = None) -> int:
     import jax
     import jax.numpy as jnp
 
@@ -133,8 +133,36 @@ def main() -> int:
             }
         )
     )
+    if gate_floor is not None and on_tpu:
+        # perf-regression gate (round-4 verdict item 8): the accuracy
+        # grid catches numeric regressions; this catches a silent kernel
+        # slowdown. The floor is deliberately conservative — 20 GP/s is
+        # ~38% under the 32.2 GP/s canonical capture, safely outside the
+        # ±15% tunnel variance band (PERF.md "Headline").
+        if value < gate_floor:
+            print(
+                f"# PERF GATE FAILED: {value:.1f} MP/s < floor "
+                f"{gate_floor:.0f} MP/s",
+                file=sys.stderr,
+            )
+            return 1
+        print(
+            f"# perf gate ok: {value:.1f} >= {gate_floor:.0f} MP/s",
+            file=sys.stderr,
+        )
+    elif gate_floor is not None:
+        print("# perf gate skipped (not a TPU backend)", file=sys.stderr)
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--gate", nargs="?", const=20000.0, default=None, type=float,
+        metavar="MP_S_FLOOR",
+        help="fail (exit 1) if the TPU headline lands under this floor "
+        "(default floor when given bare: 20000 MP/s)",
+    )
+    sys.exit(main(ap.parse_args().gate))

@@ -164,9 +164,35 @@ def main() -> int:
         "hybrid_split_cert_max_radius": (
             split and split.get("hybrid_split_cert_max_radius")
         ),
+        "hybrid_split_cert_max_radius_box": (
+            split and split.get("hybrid_split_cert_max_radius_box")
+        ),
     }
-    result = {"entry": entry, "route_probe": route,
-              "quick": bool(args.quick)}
+    if args.quick:
+        # round-4 verdict item 7: trimmed-grid floors are a smoke test of
+        # the RUNBOOK, not a certification — they disagree with full
+        # calibration (e.g. bf16 15 vs 16, hybrid 5 vs 3 on v5e), so a
+        # quick run must not produce a deployable DeviceSpec. Emit the
+        # route probe only; the JSON carries no "entry" key at all, so
+        # nothing downstream can load quick floors by accident.
+        result = {
+            "entry": None,
+            "quick_uncertified_floors": entry,
+            "route_probe": route,
+            "quick": True,
+        }
+        out = os.path.join(args.outdir, f"{slug}_quick.json")
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"\nwrote {out} (route probe only)")
+        print(
+            "\n--quick is a smoke run of the runbook: its trimmed-grid "
+            "floors are NOT a certification and no DeviceSpec entry is "
+            "emitted. Run the FULL ladder (make certify-device) to "
+            "produce a deployable entry."
+        )
+        return 0
+    result = {"entry": entry, "route_probe": route, "quick": False}
     out = os.path.join(args.outdir, f"{slug}.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
@@ -183,16 +209,11 @@ def main() -> int:
         f"{entry['hybrid_cert_min_radius_box']},\n"
         f"    hybrid_split_cert_max_radius="
         f"{entry['hybrid_split_cert_max_radius']},\n"
+        f"    hybrid_split_cert_max_radius_box="
+        f"{entry['hybrid_split_cert_max_radius_box']},\n"
         f")"
     )
     print(f"\nwrote {out}\n\nready-to-paste utils/hw.py entry:\n{snippet}")
-    if args.quick:
-        print(
-            "\nNOTE: --quick floors come from trimmed grids (a smoke run "
-            "of the runbook) — run the FULL ladder before deploying the "
-            "entry; in particular a route floor of 10^9 only means the "
-            "fast rung did not win inside the trimmed radius set."
-        )
     return 0
 
 

@@ -79,12 +79,20 @@ def _flush(rows, pats_g, extra=None):
     from blur_algorithms_tpu.utils.hw import device_kind
 
     swept = [r for r in rows if "per_pattern" in r]
-    ceil_ok = None
-    for row in sorted(swept, key=lambda r: r["radius"]):
-        if row["max"]["hybrid"] <= 1:
-            ceil_ok = row["radius"]
-        else:
-            break  # first failing radius caps the certified ceiling
+
+    def ceiling(family_rows):
+        ok = None
+        for row in sorted(family_rows, key=lambda r: r["radius"]):
+            if row["max"]["hybrid"] <= 1:
+                ok = row["radius"]
+            else:
+                break  # first failing radius caps the certified ceiling
+        return ok
+
+    # per tap family (round-4 advisor finding): the box leg only sweeps
+    # to support 1022, so its ceiling must not be pooled with gaussian's
+    box_rows = [r for r in swept if r.get("kernel") == "box_fast"]
+    gauss_rows = [r for r in swept if r.get("kernel") != "box_fast"]
     summary = {
         "backend": jax.default_backend(),
         "device_kind": device_kind(),
@@ -92,7 +100,8 @@ def _flush(rows, pats_g, extra=None):
         "patterns": sorted(pats_g),
         "cases": rows,
         "e32_worst": max((r["max"]["e32"] for r in swept), default=None),
-        "hybrid_split_cert_max_radius": ceil_ok,
+        "hybrid_split_cert_max_radius": ceiling(gauss_rows),
+        "hybrid_split_cert_max_radius_box": ceiling(box_rows),
     }
     with open("benchmarks/hybrid_split_cert.json", "w") as f:
         json.dump(summary, f, indent=1)

@@ -258,7 +258,8 @@ def _u8_dma_precision(plan: BlurPlan) -> str:
     # strict accuracy superset of bf16, measured 1.2-1.4x int8 at every
     # radius it serves — benchmarks/hybrid_probe.json). The floor is
     # per tap family: box/tent taps carry their own measured cert floor
-    # (hybrid_cert_box.json certifies box_fast from r=8 on v5e).
+    # (hybrid_cert_box.json certifies box_fast from support radius 2 on
+    # v5e after the round-4 re-anchor).
     hmr = b.hybrid_min_radius_for(plan.kernel)
     if (
         hmr is not None
@@ -509,7 +510,13 @@ def _compiled_u8(
         # explicit exactness-ladder request (PERF.md "Exactness ladder"):
         # pin the fused family on one chip at the named rung — int8 is
         # ~99.9% bit-exact vs hybrid's ~98.9% at the headline config
-        # (both max err <= 1)
+        # (both max err <= 1). Validated here so a typo can't silently
+        # downgrade to another rung (round-4 advisor finding).
+        if precision not in ("int8", "hybrid", "bf16x3"):
+            raise ValueError(
+                "precision= must be 'int8', 'hybrid' or 'bf16x3'; "
+                f"got {precision!r}"
+            )
         if Engine(engine) not in (Engine.AUTO, Engine.FUSED):
             raise ValueError(
                 "precision= applies to the fused engine (AUTO/FUSED), "
@@ -518,6 +525,21 @@ def _compiled_u8(
         plan, _ = _plan_for(
             shape[-3], shape[-2], nsmooth, Engine.FUSED, kernel, size_mode
         )
+        if precision == "hybrid":
+            from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+                dma_form_applicable,
+            )
+
+            if not dma_form_applicable(jnp.uint8, plan, "hybrid"):
+                # the hybrid rung exists only in the exact-window DMA
+                # form; honoring the pin is impossible here, so raise
+                # instead of silently substituting blocked int8
+                raise ValueError(
+                    "precision='hybrid' cannot be honored: the "
+                    "exact-window DMA form does not serve this "
+                    "shape/kernel/backend (hybrid exists only in that "
+                    "form) — use precision='int8' or let AUTO route"
+                )
         return jax.jit(_fused_u8_interleaved(plan, precision))
     if Engine(engine) is Engine.CASCADE:
         if isinstance(nsmooth, tuple):
@@ -654,10 +676,17 @@ def blur_u8(
     ``Source.cpp:459-567``) as one fused jit program.
 
     ``precision`` picks a rung of the exactness ladder explicitly
-    (``"int8"`` ~99.9% bit-exact / ``"hybrid"`` ~98.9%, both certified
-    max err <= 1 — PERF.md "Exactness ladder"); it pins the fused engine
-    family on one chip. ``None`` (default) lets AUTO route the fastest
-    certified rung.
+    (``"int8"`` ~99.9% bit-exact / ``"hybrid"`` ~98.9% / ``"bf16x3"``,
+    all max err <= 1 where AUTO routes them — PERF.md "Exactness
+    ladder"); it pins the fused engine family on one chip. Unknown rung
+    names raise; a ``"hybrid"`` pin raises when the exact-window DMA
+    form cannot serve the geometry (hybrid exists only in that form).
+    NOTE: an explicit pin bypasses AUTO's device-certification gates —
+    pinning hybrid below the device's certified radius floor, or on an
+    uncertified device kind, is an expert override outside the measured
+    <=1-count certificate (inside AUTO's routed region the certificate
+    applies). ``None`` (default) lets AUTO route the fastest certified
+    rung.
     """
     img = jnp.asarray(img)
     if img.dtype != jnp.uint8:

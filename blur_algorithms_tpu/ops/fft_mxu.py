@@ -56,9 +56,15 @@ def _factor(n: int) -> tuple[int, int]:
 
 
 @functools.lru_cache(maxsize=64)
-def _stage_consts(n: int):
-    """Trace-time DFT matrices and twiddles for length ``n`` (pow2)."""
-    n1, n2 = _factor(n)
+def _stage_consts(n: int, factors: tuple[int, int] | None = None):
+    """Trace-time DFT matrices and twiddles for length ``n``.
+
+    ``factors`` overrides ``_factor(n)`` — the in-kernel-framing Pallas
+    form uses ``(n // 128, 128)`` so its lane chunking is 128-aligned
+    (any factorization is mathematically legal; the stages are dense
+    matmuls).
+    """
+    n1, n2 = factors or _factor(n)
 
     def dft(m: int):
         k = np.arange(m)[:, None].astype(np.float64)
@@ -131,10 +137,10 @@ def _fft4step(xre, xim, consts, precision, inverse: bool):
 
 
 @functools.lru_cache(maxsize=256)
-def _perm_spectrum_c(plan_axis, n: int):
+def _perm_spectrum_c(plan_axis, n: int, factors: tuple[int, int] | None = None):
     """(hre, him) correlation spectrum in (k1, k2) layout; him None when
     the taps are symmetric (purely real spectrum — the fast path)."""
-    n1, n2 = _factor(n)
+    n1, n2 = factors or _factor(n)
     # conj: engines implement circular convolution; plan semantics are
     # correlation (see kernels.complex_spectrum). Re is conj-invariant, so
     # the symmetric path is unchanged.

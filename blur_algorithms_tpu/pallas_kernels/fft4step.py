@@ -62,12 +62,16 @@ def _c2r_mat(re: np.ndarray, im: np.ndarray, conj: bool = False,
     return np.block([[re, im], [-im, re]]).astype(np.float64)
 
 
-def _kernel(xre_ref, xim_ref,
-            f1f, f2f, f2i, f1i,
-            tw_re, tw_im, twt_re, twt_im, *h_and_out,
-            n1: int, n2: int, rb: int, complex_h: bool = False):
-    ore_ref, oim_ref = h_and_out[-2:]
-    h_refs = h_and_out[:-2]
+def _pipeline(xre, xim, f1f, f2f, f2i, f1i,
+              tw_re, tw_im, twt_re, twt_im, h_refs,
+              n1: int, n2: int, rb: int, complex_h: bool):
+    """The full per-block transform pipeline on pre-rotated data.
+
+    Takes ``(rb*n2, n1)`` f32 re/im planes (stage-1 contraction already in
+    lanes), returns the convolved planes in the same pre-rotated
+    ``(rb, n2, n1)`` layout. Shared by the pre-rotated-HBM kernel
+    (``_kernel``) and the in-kernel-framing kernel (``_kernel_framed``).
+    """
     f32 = jnp.float32
 
     def dot3(x, mref):
@@ -100,10 +104,6 @@ def _kernel(xre_ref, xim_ref,
             (re3 * wim + im3 * wre).reshape(rb * a_len, b_len),
         )
 
-    # blocks arrive pre-rotated (rb, n2, n1) from an XLA-side transpose, so
-    # stage 1 contracts n1 in lanes after a free sublane-merge reshape
-    xre = xre_ref[...].reshape(rb * n2, n1)
-    xim = xim_ref[...].reshape(rb * n2, n1)
     are, aim = cdot(xre, xim, f1f, n1)
     are, aim = ctw(are, aim, twt_re, twt_im, n2, n1)       # twiddle^T layout
 
@@ -132,10 +132,113 @@ def _kernel(xre_ref, xim_ref,
 
     cre, cim = rot(cre, cim, n1, n2)                        # (rb*n2, n1)
     yre, yim = cdot(cre, cim, f1i, n1)  # undo stage 1 (1/N folded into f1i)
+    return yre.reshape(rb, n2, n1), yim.reshape(rb, n2, n1)
 
+
+def _kernel(xre_ref, xim_ref,
+            f1f, f2f, f2i, f1i,
+            tw_re, tw_im, twt_re, twt_im, *h_and_out,
+            n1: int, n2: int, rb: int, complex_h: bool = False):
+    ore_ref, oim_ref = h_and_out[-2:]
+    h_refs = h_and_out[:-2]
+    # blocks arrive pre-rotated (rb, n2, n1) from an XLA-side transpose, so
+    # stage 1 contracts n1 in lanes after a free sublane-merge reshape
+    xre = xre_ref[...].reshape(rb * n2, n1)
+    xim = xim_ref[...].reshape(rb * n2, n1)
+    yre, yim = _pipeline(
+        xre, xim, f1f, f2f, f2i, f1i, tw_re, tw_im, twt_re, twt_im,
+        h_refs, n1, n2, rb, complex_h,
+    )
     # store in the pre-rotated (rb, n2, n1) layout — the XLA side undoes it
-    ore_ref[...] = yre.reshape(rb, n2, n1)
-    oim_ref[...] = yim.reshape(rb, n2, n1)
+    ore_ref[...] = yre
+    oim_ref[...] = yim
+
+
+def _kernel_framed(*refs,
+                   n1: int, n2: int, rb: int, dim: int, pad: int,
+                   complex_h: bool = False):
+    """In-kernel framing variant (round-5 wide-radius lever, verdict item 1).
+
+    Reads UNPADDED ``(rb, dim)`` row blocks straight from the frame and
+    performs the per-axis framing in VMEM: reflect-101 pad (clamped
+    ``pad <= dim - 1`` by plan construction, ``ops/plan.py:116``; the
+    reversed edge strips arrive pre-flipped as thin ``(rb, pad)`` inputs
+    because Mosaic has no lane-reverse primitive), zero extension to the
+    transform length, the four-step rotation, the transform pipeline, the
+    un-rotation, and the interior crop on store. HBM traffic per axis
+    falls from three round trips of ``R x n`` f32 (pad+pre-rotate copy,
+    kernel in/out, un-rotate+crop copy) to one round trip of ``R x dim``
+    plus the thin edge strips — the regime is HBM-bound (PERF.md
+    "fft_mxu"), so the saved copies buy wall time even though VMEM
+    rotations were measured slightly more expensive than riding an XLA
+    copy when copies must happen anyway (the round-2 rejection note; here
+    they no longer happen at all). Reference anchor: the framing of
+    ``Source.cpp:297-306`` (reflect pad + trailing zeros) fused into the
+    transform kernel.
+    """
+    n = n1 * n2
+    if pad:
+        xre_ref, xim_ref, ere_ref, eim_ref = refs[:4]
+        rest = refs[4:]
+    else:
+        xre_ref, xim_ref = refs[:2]
+        ere_ref = eim_ref = None
+        rest = refs[2:]
+    # trailing scratch refs: (rb, n) row buffers + (rb, n1, n2) cubes
+    row_re, row_im, cube_re, cube_im = rest[-4:]
+    rest = rest[:-4]
+    ore_ref, oim_ref = rest[-2:]
+    f1f, f2f, f2i, f1i, tw_re, tw_im, twt_re, twt_im = rest[:8]
+    h_refs = rest[8:-2]  # 1 (real spectrum) or 2 (complex) refs
+
+    def frame(ref, eref, row_s, cube_s):
+        # 1) assemble the padded row in a (rb, n) scratch: reflect edges
+        # (pre-flipped XLA-side — Mosaic has no lane reverse), interior,
+        # trailing zeros
+        if pad:
+            e = eref[...]  # (rb, 2*pad): [reversed-left | reversed-right]
+            row_s[:, :pad] = e[:, :pad]
+            row_s[:, pad:pad + dim] = ref[...]
+            row_s[:, pad + dim:2 * pad + dim] = e[:, pad:2 * pad]
+        else:
+            row_s[:, :dim] = ref[...]
+        tail = n - dim - 2 * pad
+        if tail:
+            row_s[:, 2 * pad + dim:] = jnp.zeros((rb, tail), jnp.float32)
+        # 2) lane->sublane unfold (rb, n) -> (rb, n1, n2). Mosaic supports
+        # neither the lane-split shape cast nor a lane-offset-mixed
+        # concat, and a statically unrolled chunk-store form compiled in
+        # ~8 min — a fori_loop of ref-to-ref chunk copies keeps the IR
+        # small (compile ~40 s) and runs at VMEM bandwidth.
+        def body(k, _):
+            cube_s[:, k, :] = row_s[:, pl.ds(k * n2, n2)]
+            return 0
+
+        jax.lax.fori_loop(0, n1, body, 0)
+        # 3) the same swapaxes relayout the pipeline uses between stages
+        return jnp.swapaxes(cube_s[...], 1, 2).reshape(rb * n2, n1)
+
+    yre, yim = _pipeline(
+        frame(xre_ref, ere_ref, row_re, cube_re),
+        frame(xim_ref, eim_ref, row_im, cube_im),
+        f1f, f2f, f2i, f1i, tw_re, tw_im, twt_re, twt_im,
+        h_refs, n1, n2, rb, complex_h,
+    )
+
+    def unframe(y, row_s, cube_s, out_ref):
+        # (rb, n2, n1) -> natural cube -> fold back to (rb, n) rows ->
+        # crop the interior [pad, pad + dim) on store
+        cube_s[...] = jnp.swapaxes(y, 1, 2)
+
+        def body(k, _):
+            row_s[:, pl.ds(k * n2, n2)] = cube_s[:, k, :]
+            return 0
+
+        jax.lax.fori_loop(0, n1, body, 0)
+        out_ref[...] = row_s[:, pad:pad + dim]
+
+    unframe(yre, row_re, cube_re, ore_ref)
+    unframe(yim, row_im, cube_im, oim_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "axis_plan"))
@@ -210,10 +313,152 @@ def fft_conv_rows(rows: jnp.ndarray, n: int, axis_plan) -> jnp.ndarray:
     return _conv_rows_pallas(rows, n, axis_plan)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "axis_plan"))
+def _conv_rows_pallas_framed(rows: jnp.ndarray, n: int, axis_plan):
+    """Blur UNPADDED length-``dim`` rows: framing happens in the kernel.
+
+    Input/output are ``(R, dim)``; reflect-101 pad, zero extension to
+    ``n``, rotation, transform, un-rotation and interior crop all run in
+    VMEM (``_kernel_framed``), so the only HBM traffic is one read and
+    one write of the unpadded rows.
+    """
+    r, dim = rows.shape
+    pad = axis_plan.pad
+    # swapped factors (n // 128, 128): the kernel's lane->sublane unfold
+    # slices the padded row in 128-lane chunks, which is the alignment
+    # Mosaic can statically prove for dynamic lane offsets (k * 128)
+    n1, n2 = n // 128, 128
+    _, _, (f1re_, f1im_), (f2re_, f2im_), (twre_, twim_) = _stage_consts(
+        n, (n1, n2)
+    )
+
+    # same working-set budget as the pre-rotated form (the framed padded
+    # planes are built transiently in VMEM at the same (rb, n) size)
+    rb = max(8, min(128, (2 << 20) // (4 * n)))
+    r2 = (r + 1) // 2
+    r2p = -(-r2 // rb) * rb
+    x = rows if 2 * r2p == r else jnp.pad(rows, [(0, 2 * r2p - r), (0, 0)])
+    if pad:
+        # Mosaic has no lane-reverse: XLA builds the thin pre-reversed
+        # reflect-101 edge strips [left | right], (R, 2*pad) — the only
+        # padded intermediate left in HBM (2*pad/dim of a frame copy)
+        edges = jnp.concatenate(
+            [
+                jnp.flip(x[:, 1:pad + 1], axis=-1),
+                jnp.flip(x[:, dim - 1 - pad:dim - 1], axis=-1),
+            ],
+            axis=-1,
+        )
+
+    hre, him = _perm_spectrum_c(axis_plan, n, (n1, n2))
+    consts = [
+        _stack_bf16(_c2r_mat(f1re_, f1im_)),
+        _stack_bf16(_c2r_mat(f2re_, f2im_)),
+        _stack_bf16(_c2r_mat(f2re_, f2im_, conj=True)),
+        _stack_bf16(_c2r_mat(f1re_, f1im_, conj=True, scale=1.0 / n)),
+        jnp.asarray(twre_), jnp.asarray(twim_),
+        jnp.asarray(twre_.T), jnp.asarray(twim_.T),
+    ]
+    if him is None:
+        consts.append(jnp.asarray(np.concatenate([hre, hre], axis=-1)))
+    else:
+        consts.extend([jnp.asarray(hre), jnp.asarray(him)])
+
+    blk = lambda off, lanes: pl.BlockSpec(
+        (rb, lanes), lambda i, off=off: (i + off, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cmat = lambda shape: pl.BlockSpec(
+        shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    steps = r2p // rb
+
+    operands = [x, x]
+    in_specs = [blk(0, dim), blk(steps, dim)]
+    if pad:
+        operands += [edges, edges]
+        in_specs += [blk(0, 2 * pad), blk(steps, 2 * pad)]
+    operands += consts
+    in_specs += [cmat(c.shape) for c in consts]
+
+    ore, oim = pl.pallas_call(
+        functools.partial(
+            _kernel_framed, n1=n1, n2=n2, rb=rb, dim=dim, pad=pad,
+            complex_h=him is not None,
+        ),
+        interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        grid=(steps,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((rb, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r2p, dim), jnp.float32),
+            jax.ShapeDtypeStruct((r2p, dim), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rb, n1 * n2), jnp.float32),  # row_re
+            pltpu.VMEM((rb, n1 * n2), jnp.float32),  # row_im
+            pltpu.VMEM((rb, n1, n2), jnp.float32),   # cube_re
+            pltpu.VMEM((rb, n1, n2), jnp.float32),   # cube_im
+        ],
+    )(*operands)
+
+    return jnp.concatenate([ore, oim], axis=0)[:r]
+
+
+def conv_axis_framed(x: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
+    """Per-axis blur through the in-kernel-framing form (TPU fast path).
+
+    Mirrors ``ops/fft_mxu.conv_axis`` semantics exactly (same reflect-101
+    + trailing-zero framing, same transform length) but materializes no
+    padded intermediate in HBM.
+    """
+    if axis_plan.support_radius == 0:
+        return x
+    from blur_algorithms_tpu.ops.fft_mxu import conv_axis, transform_length
+
+    n = transform_length(axis_plan)
+    if not framed_applicable(n):
+        # small transforms: Mosaic's shape-cast inference rejects the
+        # in-kernel lane-split reshape when n1 < a full 128-lane vreg;
+        # the pre-rotated-HBM form serves (these are fast anyway)
+        return conv_axis(x, axis_plan, axis, _conv_rows_pallas)
+    dim = axis_plan.dim
+    x = jnp.moveaxis(x, axis, -1)
+    lead = x.shape[:-1]
+    out = _conv_rows_pallas_framed(x.reshape(-1, dim), n, axis_plan)
+    return jnp.moveaxis(out.reshape(lead + (dim,)), -1, axis)
+
+
+def framed_applicable(n: int) -> bool:
+    """The in-kernel-framing form factorizes ``n = (n // 128) * 128`` so
+    its lane->sublane unfold runs on provably-128-aligned dynamic lane
+    offsets (a Mosaic requirement). It serves every wide-radius
+    production length (all are multiples of 128 past 4096 —
+    ``transform_length``); shorter transforms keep the pre-rotated-HBM
+    form, whose stage-1 factor stays near sqrt(n)."""
+    return n % 128 == 0 and n // 128 >= 32
+
+
+# In-kernel framing (round-5): bit-identical values through less HBM
+# traffic per axis. Off until the Mosaic-compatible assembly lands and the
+# interleaved A/B at the wide-radius geometries decides the route; the
+# conv_axis form stays the measured baseline and the off-TPU einsum twin.
+_FRAMED = False
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _blur_fft_mxu_pallas_diff(planar, plan):
     from blur_algorithms_tpu.ops.fft_mxu import conv_axis
 
+    if _FRAMED:
+        out = conv_axis_framed(planar, plan.row, -1)
+        return conv_axis_framed(out, plan.col, -2)
     out = conv_axis(planar, plan.row, -1, _conv_rows_pallas)
     return conv_axis(out, plan.col, -2, _conv_rows_pallas)
 

@@ -882,7 +882,12 @@ def _hybrid_cols_ok(plan: BlurPlan) -> bool:
     device kind as ``DeviceSpec.hybrid_split_cert_max_radius``. The
     hybrid pass 2 routes only for tap families with a measured floor AND
     max-axis radii inside that measured ceiling; outside it the split
-    keeps its exact int8-e32 pass 2.
+    keeps its exact int8-e32 pass 2. The ceiling is PER TAP FAMILY
+    (round-4 advisor finding): the box leg of the sweep only measured
+    support 600..1022 on v5e, so a box plan pinned into the split past
+    1022 (reachable via an explicit engine pin, which bypasses AUTO's
+    box_scan rerouting) keeps the exact pass 2 instead of running hybrid
+    in an unmeasured band.
     """
     if jax.default_backend() != "tpu":
         return False
@@ -890,13 +895,14 @@ def _hybrid_cols_ok(plan: BlurPlan) -> bool:
 
     b = budgets()
     hmr = b.hybrid_min_radius_for(plan.kernel)
+    ceiling = b.hybrid_split_cert_max_radius_for(plan.kernel)
     return (
         hmr is not None
-        and b.hybrid_split_cert_max_radius is not None
+        and ceiling is not None
         and plan.kernel in ("gaussian", "box_fast")
         and min(plan.col.support_radius, plan.row.support_radius) >= hmr
         and max(plan.col.support_radius, plan.row.support_radius)
-        <= b.hybrid_split_cert_max_radius
+        <= ceiling
     )
 
 

@@ -1350,8 +1350,14 @@ def _dma_vmem_bytes(
         n_slots = _N_WIN_SLOTS
     return (
         n_slots * shp * swp * in_b
-        # aligned-compute mode (the u8 default) prepends (co, ro) zero
-        # rows to the bands and runs the rows pass on all shp sublanes
+        # the (co, ro) band terms and shp-tall intermediates below model
+        # the ALIGNED-compute layout (zero-prepended bands, rows pass on
+        # all shp sublanes). That mode is OFF (``_ALIGNED_COMPUTE`` —
+        # measured 10-25% slower and refuted), so with the default
+        # sliced layout these terms over-count by the co/ro/(shp-sh)
+        # rows — kept deliberately as a safety margin so the routing
+        # model stays valid for either compute layout and tile
+        # admission errs toward fitting (round-4 advisor note).
         + (co + cw + 2 * rw) * cw * mat_b
         + (ro + ch + 2 * rh) * ch * mat_b
         + shp * tw * 10  # r + e (int32) + e1/e0 (int8)

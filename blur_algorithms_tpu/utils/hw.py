@@ -74,8 +74,9 @@ class DeviceSpec:
     # (``benchmarks/hybrid_cert*.json``). None = uncertified.
     # ``hybrid_cert_min_radius_box`` is the BOX/TENT tap family's own
     # measured floor (``hybrid_cert_box.json`` certifies box_fast from
-    # support radius 8 on v5e; the gaussian sweep's floor of 3 must not
-    # be applied to taps it never measured — round-3 advisor finding).
+    # support radius 2 on v5e after the round-4 re-anchor; the gaussian
+    # sweep's floor must not be applied to taps it never measured —
+    # round-3 advisor finding).
     hybrid_cert_min_radius: int | None = None
     hybrid_route_min_radius: int = 0
     hybrid_cert_min_radius_box: int | None = None
@@ -87,12 +88,26 @@ class DeviceSpec:
     # None = no wide-regime certification -> the split keeps its exact
     # int8-e32 pass 2. A measurement, not a model — NOT scaled.
     hybrid_split_cert_max_radius: int | None = None
+    # The BOX/TENT tap family's OWN measured split ceiling: the split
+    # sweep's box leg only measured support 600..1022 on v5e (the
+    # box_scan crossover caps box's split regime there in AUTO), so the
+    # gaussian ceiling must not be applied to box taps it never measured
+    # — a box plan reaching the split through an explicit engine pin
+    # would otherwise run hybrid pass 2 in an uncertified band
+    # (round-4 advisor finding). None = box keeps exact int8-e32 pass 2.
+    hybrid_split_cert_max_radius_box: int | None = None
 
     @property
     def hybrid_min_radius(self) -> int | None:
         if self.hybrid_cert_min_radius is None:
             return None
         return max(self.hybrid_cert_min_radius, self.hybrid_route_min_radius)
+
+    def hybrid_split_cert_max_radius_for(self, kernel: str) -> int | None:
+        """Per-tap-family split-form hybrid ceiling (a measurement)."""
+        if kernel == "box_fast":
+            return self.hybrid_split_cert_max_radius_box
+        return self.hybrid_split_cert_max_radius
 
     def hybrid_min_radius_for(self, kernel: str) -> int | None:
         """Per-tap-family hybrid floor: box/tent taps use their own
@@ -233,6 +248,27 @@ _V5E = DeviceSpec(
     # boundary) — hybrid_cert_box.json, 2026-08-20
     hybrid_cert_min_radius_box=2,
     hybrid_split_cert_max_radius=3451,
+    # box leg of the same sweep: support 600..1022 all pass (1022 is the
+    # sweep's top box point — past it AUTO's box_scan crossover ends the
+    # box split regime, so the certified ceiling IS the measured ceiling)
+    hybrid_split_cert_max_radius_box=1022,
+)
+
+# Unknown device kinds (and CPU/GPU test runs) get v5e's BUDGET numbers —
+# VMEM/HBM caps, crossover scaling, tile-search weights, which round 1
+# exercised on CPU — but NOT its measured certification boundaries: the
+# cert fields are per-kind MEASUREMENTS ("a measurement, not a model"),
+# and an unrecognized future chip must run the always-exact int8 rung
+# until ``make certify-device`` certifies it, exactly like the known
+# non-v5e kinds above (round-4 verdict item 5). CPU test runs never
+# route the fast rungs anyway (``dma_form_applicable`` is TPU-only).
+_UNKNOWN = dataclasses.replace(
+    _V5E,
+    bf16_cert_min_radius=None,
+    hybrid_cert_min_radius=None,
+    hybrid_cert_min_radius_box=None,
+    hybrid_split_cert_max_radius=None,
+    hybrid_split_cert_max_radius_box=None,
 )
 _TABLE: tuple[tuple[tuple[str, ...], DeviceSpec], ...] = (
     (("v5 lite", "v5e", "v5litepod"), _V5E),
@@ -263,7 +299,9 @@ def spec_for_kind(kind: str) -> DeviceSpec:
         for needles, spec in _TABLE:
             if any(n in k for n in needles):
                 return spec
-    return _V5E  # unknown TPU, CPU/GPU test runs: round 1's constants
+    # unknown TPU, CPU/GPU test runs: round 1's budget constants with the
+    # measured certification rungs stripped (int8-only until certified)
+    return _UNKNOWN
 
 
 @functools.lru_cache(maxsize=1)

@@ -14,9 +14,33 @@ class TestSpecResolution:
         assert spec.split_hbm_budget == 11 << 30
         assert spec.macs_per_hbm_byte == 37
 
-    def test_unknown_kind_falls_back_to_v5e(self):
-        for kind in ("", "cpu", "Host CPU", "NVIDIA H100"):
-            assert hw.spec_for_kind(kind).kind == "TPU v5e"
+    def test_unknown_kind_falls_back_to_v5e_budgets(self):
+        v5e = hw.spec_for_kind("TPU v5 lite")
+        for kind in ("", "cpu", "Host CPU", "NVIDIA H100", "TPU v9x"):
+            spec = hw.spec_for_kind(kind)
+            assert spec.kind == "TPU v5e"
+            # budget numbers carry over (round 1 exercised them on CPU)
+            assert spec.vmem_bytes == v5e.vmem_bytes
+            assert spec.hbm_bytes == v5e.hbm_bytes
+            assert spec.macs_per_hbm_byte == v5e.macs_per_hbm_byte
+
+    def test_unknown_kind_gets_no_measured_certification(self):
+        """Round-4 verdict item 5: cert rungs are per-kind MEASUREMENTS;
+        unrecognized silicon (and CPU/GPU test runs) must run int8-only
+        until ``make certify-device`` certifies it — like v6e/v5p/v4."""
+        for kind in ("", "cpu", "NVIDIA H100", "TPU v9x"):
+            spec = hw.spec_for_kind(kind)
+            assert spec.bf16_cert_min_radius is None
+            assert spec.hybrid_cert_min_radius is None
+            assert spec.hybrid_cert_min_radius_box is None
+            assert spec.hybrid_split_cert_max_radius is None
+            assert spec.hybrid_split_cert_max_radius_box is None
+            assert spec.bf16_min_radius is None
+            assert spec.hybrid_min_radius is None
+        # the RECOGNIZED v5e keeps its measured certificate
+        v5e = hw.spec_for_kind("TPU v5 lite")
+        assert v5e.hybrid_cert_min_radius == 3
+        assert v5e.hybrid_split_cert_max_radius == 3451
 
     def test_kind_routing(self):
         assert hw.spec_for_kind("TPU v4").kind == "TPU v4"
@@ -259,6 +283,41 @@ class TestBf16CertRouting:
         assert not fused_blur._hybrid_cols_ok(wide)
         assert fused_blur._hybrid_cols_ok(make_plan((2048, 256), (200.0, 10.0)))
 
+    def test_box_split_ceiling_is_per_tap_family(self, monkeypatch):
+        """Round-4 advisor: the split sweep's box leg only measured
+        support 600..1022 on v5e, so a box plan pinned into the split
+        past 1022 must keep the exact int8-e32 pass 2 — the gaussian
+        ceiling (3451) never applies to box taps."""
+        import dataclasses as dc
+
+        import jax
+
+        from blur_algorithms_tpu.ops.plan import make_plan
+        from blur_algorithms_tpu.pallas_kernels import fused_blur
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        spec = hw.spec_for_kind("TPU v5 lite")
+        assert spec.hybrid_split_cert_max_radius_box == 1022
+        assert spec.hybrid_split_cert_max_radius_for("box_fast") == 1022
+        assert spec.hybrid_split_cert_max_radius_for("gaussian") == 3451
+        monkeypatch.setattr(hw, "budgets", lambda: spec)
+        # box support radius 1200: inside the gaussian ceiling, OUTSIDE
+        # the measured box band -> exact pass 2
+        over = make_plan((4096, 4096), 600, kernel="box_fast", box_passes=2)
+        assert 1022 < max(over.col.support_radius,
+                          over.row.support_radius) <= 3451
+        assert not fused_blur._hybrid_cols_ok(over)
+        # inside the measured box band -> hybrid pass 2 allowed
+        inside = make_plan((4096, 4096), 400, kernel="box_fast",
+                           box_passes=2)
+        assert max(inside.col.support_radius,
+                   inside.row.support_radius) <= 1022
+        assert fused_blur._hybrid_cols_ok(inside)
+        # a kind without the box split leg keeps box exact everywhere
+        nobox = dc.replace(spec, hybrid_split_cert_max_radius_box=None)
+        monkeypatch.setattr(hw, "budgets", lambda: nobox)
+        assert not fused_blur._hybrid_cols_ok(inside)
+
     def test_certify_device_entry_routes(self, monkeypatch):
         """The certify-device runbook's emitted entry drives routing: a
         generated spec (e.g. for a freshly measured v6e) makes AUTO use
@@ -319,6 +378,33 @@ class TestBf16CertRouting:
         assert api._u8_dma_precision(self._plan(10.0)) == "hybrid"
         assert spec.hybrid_min_radius_for("box_fast") == 9
         assert spec.hybrid_split_cert_max_radius == 3000
+
+    def test_quick_runbook_artifacts_are_not_deployable(self):
+        """Round-4 verdict item 7: ``certify-device --quick`` is a smoke
+        run of the runbook — its trimmed-grid floors disagree with full
+        calibration, so no quick artifact may carry a loadable DeviceSpec
+        entry (``entry`` must be null; the floors live under an
+        explicitly-named ``quick_uncertified_floors`` key)."""
+        import glob
+        import json
+        import os
+
+        cert_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks", "device_cert",
+        )
+        seen_quick = False
+        for p in glob.glob(os.path.join(cert_dir, "*.json")):
+            with open(p) as f:
+                d = json.load(f)
+            if not isinstance(d, dict) or "quick" not in d:
+                continue  # raw sweep artifacts, not runbook outputs
+            if d["quick"]:
+                seen_quick = True
+                assert d.get("entry") is None, p
+            else:
+                assert isinstance(d.get("entry"), dict), p
+        assert seen_quick  # the round-4 chip smoke run is committed
 
     def test_box_taps_use_their_own_cert_floor(self, monkeypatch):
         """Round-3 advisor: box_fast routes from ITS measured hybrid cert
