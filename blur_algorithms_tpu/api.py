@@ -22,9 +22,10 @@ TPU-native engines beyond the parity set:
 * ``band``    — banded-block matmul on the MXU in plain XLA;
 * ``fft_mxu`` — Bailey four-step FFT as MXU matmuls (fused Pallas pipeline
   on TPU): radius-independent, the exact path for giant kernels;
-* ``auto``    — the fused family to radius ~3500 (exact-window DMA with
+* ``auto``    — the fused family to radius ~1550 (exact-window DMA with
   the certified hybrid/int8/bf16 precision ladder to r<=600, then the
-  int8-e32 two-pass split), fft_mxu past the crossover, strip-streamed
+  int8-e32 two-pass split), the framed fft_mxu past the crossover
+  (~3500 when the FFT side would have to strip-stream), strip-streamed
   FFT when frames outgrow HBM budgets; multi-chip sharding engages
   transparently when more than one device is visible
   (``_auto_sharded_fn``).
@@ -87,19 +88,29 @@ FLAG_TO_ENGINE = {
 }
 
 # AUTO: the multi-block-halo fused kernel owns the MXU while its O(radius)
-# banded matmuls beat the radius-independent four-step MXU FFT (~0.8 GP/s);
-# measured on a 67 MP frame with the int8-e32 split: 1056 vs 720 MP/s at
-# r=2046 and 684 vs 642 at r=3328 (benchmarks/wide_radius.json), putting
-# the u8 crossover near r~3500 on v5e (floats: bf16x3 pass 2, ~2560).
-# Both crossovers — like the box-scan one below — are device-keyed
-# through utils/hw.DeviceSpec (v5e entries reproduce the measured values;
-# other kinds scale by flops-per-HBM-byte, see hw._scale_by_flops_per_byte).
+# banded matmuls beat the radius-independent four-step MXU FFT. Round-5
+# re-measurement after the in-kernel-framing fft form landed (1.44-1.56x,
+# benchmarks/wide_radius_r5.json + f32_crossover_r5.json, 67 MP frame):
+# u8 dead heat at r=1537 (59.8 vs 60.4 ms), fft ahead at r=2046 (74.0 vs
+# 63.0) -> crossover ~1550 on v5e; floats (bf16x3 pass 2) ~1400. When the
+# FFT side would have to STRIP-STREAM (whole-frame intermediates over the
+# HBM budget) the banded path stays profitable much longer (348 MP r=2995:
+# split 341 ms vs streamed FFT ~500) — that regime keeps the pre-framing
+# crossover (hw.auto_fused_max_radius_*_streamed). All crossovers — like
+# the box-scan one below — are device-keyed through utils/hw.DeviceSpec
+# (v5e entries reproduce the measured values; other kinds scale by
+# flops-per-HBM-byte, see hw._scale_by_flops_per_byte).
 
 
-def _auto_fused_max_radius(in_bytes: int) -> int:
+def _auto_fused_max_radius(in_bytes: int, streamed: bool = False) -> int:
     from blur_algorithms_tpu.utils.hw import budgets
 
     b = budgets()
+    if streamed:
+        return (
+            b.auto_fused_max_radius_u8_streamed if in_bytes == 1
+            else b.auto_fused_max_radius_f32_streamed
+        )
     return (
         b.auto_fused_max_radius_u8 if in_bytes == 1
         else b.auto_fused_max_radius_f32
@@ -114,10 +125,9 @@ def _box_scan_crossover() -> int:
 # The Deriche recursive engine (sigma-independent cost) never wins AUTO on
 # this hardware: measured v5e u8 3x2160x3840 r=498..1464 deriche 0.99-1.6
 # GP/s vs fused int8/DMA 4.3-8.0; 3x5120x5120 r=2029-2560 deriche 0.89-1.17
-# vs fused 3.4 and fft_mxu 1.6-1.7. Radii past the fused crossover (r>3500)
-# exist only on frames >7000 px wide (width clamps to the largest dim,
-# Source.cpp:66), where fft_mxu still beats it — so AUTO ignores it and it
-# remains an explicit engine (see ops/deriche.py for when it's useful).
+# vs fused 3.4 and fft_mxu 1.6-1.7 (round 5: the framed fft form widened
+# that gap another 1.44-1.56x) — so AUTO ignores it and it remains an
+# explicit engine (see ops/deriche.py for when it's useful).
 
 
 def _fused_tile_ok(plan: BlurPlan, in_bytes: int = 1) -> bool:
@@ -155,7 +165,17 @@ def _resolve_engine(
     if engine is not Engine.AUTO:
         return engine
     r = max(plan.col.support_radius, plan.row.support_radius)
-    if r <= _auto_fused_max_radius(in_bytes) and _fused_tile_ok(plan, in_bytes):
+    crossover = _auto_fused_max_radius(in_bytes)
+    if r > crossover:
+        # the whole-frame crossover assumed the FFT side runs its fused
+        # whole-frame kernel; when the frame is so large the FFT must
+        # strip-stream, the banded path stays profitable to the (higher)
+        # streamed crossover
+        from blur_algorithms_tpu.ops.fft_mxu import estimate_bytes
+
+        if estimate_bytes(plan) > _fft_mxu_byte_budget():
+            crossover = _auto_fused_max_radius(in_bytes, streamed=True)
+    if r <= crossover and _fused_tile_ok(plan, in_bytes):
         return Engine.FUSED
     # beyond the banded-matmul crossover: the radius-independent MXU FFT
     # (it strip-streams internally when whole-batch intermediates outgrow

@@ -64,10 +64,21 @@ def _fft_blur_chunk(chunk: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
 
 
 def _mxu_blur_chunk(chunk: jnp.ndarray, axis_plan, axis: int) -> jnp.ndarray:
-    """Per-strip conv via the fused four-step MXU FFT kernel."""
-    from blur_algorithms_tpu.ops.fft_mxu import conv_axis
-    from blur_algorithms_tpu.pallas_kernels.fft4step import fft_conv_rows
+    """Per-strip conv via the fused four-step MXU FFT kernel.
 
+    Routes the round-5 in-kernel-framing form where it serves (the same
+    1.44-1.56x measured for whole-frame wide radii applies to the
+    streamed strips — identical per-axis pipeline); small transforms
+    keep the pre-rotated form via ``conv_axis``."""
+    from blur_algorithms_tpu.ops.fft_mxu import conv_axis
+    from blur_algorithms_tpu.pallas_kernels.fft4step import (
+        _FRAMED,
+        conv_axis_framed,
+        fft_conv_rows,
+    )
+
+    if _FRAMED:
+        return conv_axis_framed(chunk, axis_plan, axis)
     return conv_axis(chunk, axis_plan, axis, fft_conv_rows)
 
 

@@ -333,8 +333,10 @@ def _conv_rows_pallas_framed(rows: jnp.ndarray, n: int, axis_plan):
     )
 
     # same working-set budget as the pre-rotated form (the framed padded
-    # planes are built transiently in VMEM at the same (rb, n) size)
-    rb = max(8, min(128, (2 << 20) // (4 * n)))
+    # planes are built transiently in VMEM at the same (rb, n) size);
+    # rounded to a multiple of 8 — the framed form's blocks are 2-D
+    # (rb, dim), so rb is a sublane dim under the (8, 128) tiling rule
+    rb = max(8, min(128, ((2 << 20) // (4 * n)) // 8 * 8))
     r2 = (r + 1) // 2
     r2p = -(-r2 // rb) * rb
     x = rows if 2 * r2p == r else jnp.pad(rows, [(0, 2 * r2p - r), (0, 0)])
@@ -445,11 +447,14 @@ def framed_applicable(n: int) -> bool:
     return n % 128 == 0 and n // 128 >= 32
 
 
-# In-kernel framing (round-5): bit-identical values through less HBM
-# traffic per axis. Off until the Mosaic-compatible assembly lands and the
-# interleaved A/B at the wide-radius geometries decides the route; the
-# conv_axis form stays the measured baseline and the off-TPU einsum twin.
-_FRAMED = False
+# In-kernel framing (round-5): the wide-radius lever, ROUTED ON by the
+# interleaved A/B (benchmarks/fft_mxu_framing_ab.json, 67 MP frame):
+# r=531 80.1 -> 55.6 ms, r=2046 97.7 -> 67.7, r=3328 109.4 -> 70.2
+# (1.44-1.56x; 1.84 -> 2.87 GP/s at the old regime floor), u8 gate max
+# err 0 vs the pocketfft oracle at the smallest framed geometry. Small
+# transforms (framed_applicable False) keep the pre-rotated-HBM form;
+# off-TPU the einsum twin remains the portable fallback.
+_FRAMED = True
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

@@ -141,7 +141,7 @@ def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
                    th: int, tw: int, sh: int, sw: int, cw: int, ch: int,
                    precision: str, rows_shift: int, cols_scale: int,
                    out_u8: bool, nbw: int, tl: int, in_u8: bool,
-                   ro: int = 0, co: int = 0):
+                   ro: int = 0, co: int = 0, oc: int = 0):
     """Band-matmul one ``(sh, sw)`` window ``j`` and store its tile.
 
     ``(ro, co) != (0, 0)`` is the aligned-compute mode: ``x`` is the
@@ -156,7 +156,7 @@ def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
         # probe only: fetch + loop + the out-block writeback, with the
         # window slice and the per-window tile store reduced to an 8x128
         # touch — isolates the DMA/loop floor from the store-side work.
-        out_ref[0, :8, pl.ds(j * tw, 128)] = x[:8, :128]
+        out_ref[oc, :8, pl.ds(j * tw, 128)] = x[:8, :128]
         return
     if precision == "ablate_copy":
         # decomposition probe only (benchmarks/dma_stage_decompose.py):
@@ -189,25 +189,25 @@ def _compute_store(x, j, bw_ref, bh_ref, out_ref, *,
     else:
         outf = outf.astype(jnp.float32)
     if tl in (0, tw):
-        out_ref[0, :, pl.ds(j * tw, tw)] = outf
+        out_ref[oc, :, pl.ds(j * tw, tw)] = outf
     elif isinstance(j, int):
         # static window index (the strip form's unrolled loop): resolve
         # the last-window partial store at trace time
         if j < nbw - 1:
-            out_ref[0, :, pl.ds(j * tw, tw)] = outf
+            out_ref[oc, :, pl.ds(j * tw, tw)] = outf
         else:
-            out_ref[0, :, pl.ds(j * tw, tl)] = outf[:, :tl]
+            out_ref[oc, :, pl.ds(j * tw, tl)] = outf[:, :tl]
     else:
         # the out strip is ceil128(w) wide, NOT nbw*tw: the last
         # window writes only its tl valid lanes, so no full-frame
         # crop copy is needed after the kernel
         @pl.when(j < nbw - 1)
         def _():
-            out_ref[0, :, pl.ds(j * tw, tw)] = outf
+            out_ref[oc, :, pl.ds(j * tw, tw)] = outf
 
         @pl.when(j == nbw - 1)
         def _():
-            out_ref[0, :, pl.ds(j * tw, tl)] = outf[:, :tl]
+            out_ref[oc, :, pl.ds(j * tw, tl)] = outf[:, :tl]
 
 
 def _kernel(x_hbm, bw_ref, bh_ref, out_ref, win, sem, *,
@@ -553,7 +553,7 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
                    rows_shift: int, cols_scale: int, out_u8: bool,
                    ro: int, co: int, tl: int,
                    orh: int, orw: int, h8: int, w128: int,
-                   n_slots: int = 2, aligned: bool = False):
+                   n_slots: int = 2, aligned: bool = False, nch: int = 1):
     """No-assemble form: every window is spliced in VMEM.
 
     Instead of fetching from a pre-assembled padded frame (a full-frame
@@ -571,11 +571,30 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
     of each frame piece sems 2/3 — a window needing lb AND rb at once is
     gated to the assemble form (``_direct_applicable``). All splice
     starts/extents are multiples of the (8, 128) tiling by construction.
+
+    ``nch > 1`` is the CHANNEL-FOLDED variant (round-5 verdict item 2):
+    the grid's first axis walks frames instead of planes and every DMA
+    leg carries a leading ``pl.ds(c * nch, nch)`` channel extent — one
+    descriptor moves the window across all ``nch`` contiguous channel
+    planes (same bytes, 1/nch the descriptor chain against the measured
+    81% window-movement floor, ``dma_stage_ladder_r4.json``). The window
+    buffer gains a channel dim and the compute loops the planes
+    statically, storing into a ``(nch, th, wout)`` out block.
     """
     c = pl.program_id(0)
     i = pl.program_id(1)
     col_tab, jlo, jhi = _col_splices(nbw, tw, orw, swp, w128)
     row_tab, ilo, ihi = _row_splices(nbh, th, orh, shp, h8)
+
+    def _src_at(src, rows, cols):
+        if nch > 1:
+            return src.at[pl.ds(c * nch, nch), rows, cols]
+        return src.at[c, rows, cols]
+
+    def _win_at(slot, rows, cols):
+        if nch > 1:
+            return win.at[slot, pl.ds(0, nch), rows, cols]
+        return win.at[slot, rows, cols]
 
     def copies(slot, j):
         # (cond, make-descriptor) pairs — construction is deferred into
@@ -590,8 +609,8 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
             def seg_copy(kind, sc, dc, wd, semk):
                 src = {"lb": lb, "rb": rb, "frame": x_hbm}[kind]
                 return lambda: pltpu.make_async_copy(
-                    src.at[c, pl.ds(fr0, fh), pl.ds(sc, wd)],
-                    win.at[slot, pl.ds(dr0, fh), pl.ds(dc, wd)],
+                    _src_at(src, pl.ds(fr0, fh), pl.ds(sc, wd)),
+                    _win_at(slot, pl.ds(dr0, fh), pl.ds(dc, wd)),
                     sem.at[slot, semk],
                 )
 
@@ -610,8 +629,8 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
                 ) * 128
                 ps.append(
                     ((j >= jlo) & (j < jhi), lambda: pltpu.make_async_copy(
-                        x_hbm.at[c, pl.ds(fr0, fh), pl.ds(jsafe, swp)],
-                        win.at[slot, pl.ds(dr0, fh), pl.ds(0, swp)],
+                        _src_at(x_hbm, pl.ds(fr0, fh), pl.ds(jsafe, swp)),
+                        _win_at(slot, pl.ds(dr0, fh), pl.ds(0, swp)),
                         sem.at[slot, 2],
                     ))
                 )
@@ -623,8 +642,9 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
                 sr, hg = topseg
                 cps.append((i == i0, lambda sr=sr, hg=hg:
                             pltpu.make_async_copy(
-                                top.at[c, pl.ds(sr, hg), pl.ds(j * tw, swp)],
-                                win.at[slot, pl.ds(0, hg), pl.ds(0, swp)],
+                                _src_at(top, pl.ds(sr, hg),
+                                        pl.ds(j * tw, swp)),
+                                _win_at(slot, pl.ds(0, hg), pl.ds(0, swp)),
                                 sem.at[slot, 0],
                             )))
             for cond, mk in pieces(*frame_seg):
@@ -633,8 +653,9 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
                 dr, hg = botseg
                 cps.append((i == i0, lambda dr=dr, hg=hg:
                             pltpu.make_async_copy(
-                                bot.at[c, pl.ds(0, hg), pl.ds(j * tw, swp)],
-                                win.at[slot, pl.ds(dr, hg), pl.ds(0, swp)],
+                                _src_at(bot, pl.ds(0, hg),
+                                        pl.ds(j * tw, swp)),
+                                _win_at(slot, pl.ds(dr, hg), pl.ds(0, swp)),
                                 sem.at[slot, 1],
                             )))
         if ihi > ilo:
@@ -674,20 +695,26 @@ def _kernel_direct(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
 
         wait(slot, j)
 
-        if aligned:
-            # whole aligned buffer + zero-padded band rows: bit-identical,
-            # no per-window slice relayout (see _ALIGNED_COMPUTE; stale
-            # slack lanes are u8-finite and killed by the zero taps)
-            x, kro, kco = win[slot][:, :], ro, co
-        else:
-            x = win[slot][ro:ro + sh, co:co + sw]
-            kro = kco = 0
-        _compute_store(
-            x, j, bw_ref, bh_ref, out_ref, th=th, tw=tw, sh=sh, sw=sw,
-            cw=cw, ch=ch, precision=precision, rows_shift=rows_shift,
-            cols_scale=cols_scale, out_u8=out_u8, nbw=nbw, tl=tl,
-            in_u8=in_u8, ro=kro, co=kco,
-        )
+        for cc in range(nch):
+            if aligned:
+                # whole aligned buffer + zero-padded band rows:
+                # bit-identical, no per-window slice relayout (see
+                # _ALIGNED_COMPUTE; stale slack lanes are u8-finite and
+                # killed by the zero taps)
+                x = (win[slot, cc][:, :] if nch > 1
+                     else win[slot][:, :])
+                kro, kco = ro, co
+            else:
+                x = (win[slot, cc][ro:ro + sh, co:co + sw] if nch > 1
+                     else win[slot][ro:ro + sh, co:co + sw])
+                kro = kco = 0
+            _compute_store(
+                x, j, bw_ref, bh_ref, out_ref, th=th, tw=tw, sh=sh,
+                sw=sw, cw=cw, ch=ch, precision=precision,
+                rows_shift=rows_shift, cols_scale=cols_scale,
+                out_u8=out_u8, nbw=nbw, tl=tl, in_u8=in_u8, ro=kro,
+                co=kco, oc=cc,
+            )
 
     if _UNROLL_WINDOWS:
         for j in range(nbw):
@@ -1753,11 +1780,15 @@ def _dma_kernel_call_direct(
     cw: int,
     ch: int,
     n_slots: int | None = None,
+    nch: int = 1,
 ) -> jnp.ndarray:
     """No-assemble pallas_call on the ORIGINAL ``(bc, h, w)`` frame ->
     uncropped ``(bc, nbh*th, wout)``. The in-VMEM window splice
     (``_kernel_direct``) replaces the padded-frame assemble stage — the
-    only XLA-built inputs are the four thin edge strips."""
+    only XLA-built inputs are the four thin edge strips. ``nch > 1``
+    folds that many contiguous channel planes into each DMA descriptor
+    (grid walks frames; see ``_kernel_direct``); requires
+    ``bc % nch == 0``."""
     if n_slots is None:
         n_slots = _N_WIN_SLOTS
     h, w = plan.shape
@@ -1782,8 +1813,13 @@ def _dma_kernel_call_direct(
         co if aligned else 0, ro if aligned else 0,
     )
 
+    if nch > 1 and bc % nch:
+        raise ValueError(f"nch={nch} requires bc % nch == 0, got bc={bc}")
     mat = lambda shape: pl.BlockSpec(
         shape, (lambda c, i: (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    win_shape = (
+        (n_slots, nch, shp, swp) if nch > 1 else (n_slots, shp, swp)
     )
     out = pl.pallas_call(
         functools.partial(
@@ -1791,24 +1827,25 @@ def _dma_kernel_call_direct(
             nbh=nbh, nbw=nbw, cw=cw, ch=ch, precision=precision,
             rows_shift=rows_shift, cols_scale=cols_scale, out_u8=out_u8,
             ro=ro, co=co, tl=tl, orh=orh, orw=orw, h8=h8, w128=w128,
-            n_slots=n_slots, aligned=aligned,
+            n_slots=n_slots, aligned=aligned, nch=nch,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_hw().kernel_vmem_limit
         ),
-        grid=(bc, nbh),
+        grid=(bc // nch, nbh),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5 + [
             mat(bw.shape),
             mat(bh.shape),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, wout), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+            (nch, th, wout), lambda c, i: (c, i, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (bc, nbh * th, wout), jnp.uint8 if out_u8 else jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((n_slots, shp, swp), x.dtype),
+            pltpu.VMEM(win_shape, x.dtype),
             pltpu.SemaphoreType.DMA((n_slots, 4)),
         ],
         interpret=jax.default_backend() != "tpu",
@@ -1884,7 +1921,7 @@ def _dma_kernel_call_strip(
     jax.jit,
     static_argnames=(
         "plan", "precision", "out_u8", "tile", "chunks", "rows_prepadded",
-        "direct", "pipelined", "strip",
+        "direct", "pipelined", "strip", "nch",
     ),
 )
 def _blur_fused_dma_impl(
@@ -1898,6 +1935,7 @@ def _blur_fused_dma_impl(
     direct: bool | None = None,
     pipelined: bool = False,
     strip: bool | None = None,
+    nch: int = 1,
 ) -> jnp.ndarray:
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
@@ -1940,7 +1978,7 @@ def _blur_fused_dma_impl(
         )
     if direct:
         out = _dma_kernel_call_direct(
-            x, plan, precision, out_u8, th, tw, cw, ch
+            x, plan, precision, out_u8, th, tw, cw, ch, nch=nch
         )
         return out[:, :h, :w].reshape(lead + (h, w))
 

@@ -169,16 +169,40 @@ class DeviceSpec:
     def auto_fused_max_radius_u8(self) -> int:
         """AUTO's fused-vs-fft_mxu crossover, uint8 int8-e32 split path.
 
-        v5e measurement (``benchmarks/wide_radius.json``, 67 MP frame):
-        fused 1056 vs fft_mxu 720 MP/s at r=2046 and 684 vs 642 at
-        r=3328 -> crossover ~3500.
+        Round-5 re-measurement after the in-kernel-framing fft_mxu form
+        landed (1.44-1.56x; ``benchmarks/wide_radius_r5.json``, 67 MP
+        frame): dead heat at r=1537 (fused 59.8 vs fft 60.4 ms), fft
+        clearly ahead by r=2046 (74.0 vs 63.0) -> crossover ~1550
+        (was ~3500 against the pre-rotated-HBM fft form).
         """
-        return self._scale_by_flops_per_byte(3500)
+        return self._scale_by_flops_per_byte(1550)
 
     @property
     def auto_fused_max_radius_f32(self) -> int:
         """AUTO's fused-vs-fft_mxu crossover for float inputs (bf16x3
-        pass 2; v5e measured ~2560: 706 vs 776 MP/s at r=3328)."""
+        pass 2). Round-5 (``benchmarks/f32_crossover_r5.json``): fused
+        42.0 vs framed fft 54.8 ms at r=1024, 70.4 vs 65.8 at r=1537 ->
+        crossover ~1400 (was ~2560)."""
+        return self._scale_by_flops_per_byte(1400)
+
+    @property
+    def auto_fused_max_radius_u8_streamed(self) -> int:
+        """The fused-vs-fft crossover when the FFT path would have to
+        STRIP-STREAM (whole-frame intermediates over the HBM budget).
+
+        Streaming re-reads strip overlaps and loses the whole-frame
+        kernel's amortization, so the banded path stays profitable to a
+        much larger radius there: v5e 348 MP at r=2995 measured the
+        int16-E split at 341 ms vs the streamed FFT's ~500 (round 3).
+        Kept at the pre-framing whole-frame crossover value (the framed
+        form speeds strips too, so this is conservative; re-measure at a
+        giant point to lower it).
+        """
+        return self._scale_by_flops_per_byte(3500)
+
+    @property
+    def auto_fused_max_radius_f32_streamed(self) -> int:
+        """Float-input twin of ``auto_fused_max_radius_u8_streamed``."""
         return self._scale_by_flops_per_byte(2560)
 
     @property

@@ -1278,3 +1278,23 @@ def test_hybrid_precision_validation():
         fused_blur._blur_fused_planar(
             x8, plan, (16, 16), "hybrid", out_u8=True
         )
+
+
+def test_channel_folded_direct_dma_bit_identical(rng):
+    """Round-5 channel-folded DMA (one descriptor per window spanning all
+    channel planes, ``nch=3``) reproduces the per-plane direct kernel bit
+    for bit — same splice tables, same compute, 1/3 the descriptors."""
+    from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+        _blur_fused_dma_impl,
+    )
+
+    x = jnp.asarray((rng.random((2, 3, 96, 256)) * 255).astype(np.uint8))
+    for sigma, prec in ((2.0, "int8"), (6.0, "hybrid")):
+        plan = make_plan((96, 256), sigma)
+        a = np.asarray(
+            _blur_fused_dma_impl(x, plan, prec, True, direct=True)
+        )
+        b = np.asarray(
+            _blur_fused_dma_impl(x, plan, prec, True, direct=True, nch=3)
+        )
+        np.testing.assert_array_equal(a, b)

@@ -90,18 +90,21 @@ def test_pallas_path_is_differentiable(rng):
 
 
 def test_auto_routes_giant_radius_to_fft_mxu():
-    # past the fused crossover (~3500) the MXU FFT owns every size; below
-    # it the int8-e32 split keeps the banded path (measured faster to
-    # r=3328 on 67 MP)
-    mid = make_plan((8192, 8192), 900.0)  # r ~ 2995 < 3500
-    assert _resolve_engine(Engine.AUTO, mid) is Engine.FUSED
+    # past the round-5 fused crossover (~1550 with the framed fft form)
+    # the MXU FFT owns whole-frame-feasible sizes; below it the int8-e32
+    # split keeps the banded path
+    mid = make_plan((8192, 8192), 900.0)  # r ~ 2995 > 1550, FFT fits HBM
+    assert _resolve_engine(Engine.AUTO, mid) is Engine.FFT_MXU
+    below = make_plan((8192, 8192), 308.0)  # r ~ 1024 < 1550
+    assert _resolve_engine(Engine.AUTO, below) is Engine.FUSED
     plan = make_plan((16384, 16384), 1200.0)
     assert plan.col.support_radius > 3500
     assert _resolve_engine(Engine.AUTO, plan) is Engine.FFT_MXU
-    # 348 MP at r ~ 2995: the int16-E split fits HBM (measured 341 ms on
-    # chip vs the streamed FFT's ~500) so u8 stays FUSED; the float path's
-    # f32-intermediate split would not fit AND floats cross to the FFT at
-    # r ~ 2560 anyway
+    # 348 MP at r ~ 2995: the FFT side would have to STRIP-STREAM
+    # (intermediates > the HBM budget), where the banded path stays
+    # profitable to the streamed crossover (~3500): the int16-E split
+    # fits HBM (measured 341 ms vs the streamed FFT's ~500) so u8 stays
+    # FUSED; floats cross at the (streamed) f32 crossover ~2560
     giant = make_plan((14500, 24000), 900.0)
     assert _resolve_engine(Engine.AUTO, giant, in_bytes=1) is Engine.FUSED
     assert _resolve_engine(Engine.AUTO, giant, in_bytes=4) is Engine.FFT_MXU
@@ -127,6 +130,41 @@ def test_streamed_mxu_matches_whole(rng):
 def test_auto_float_crossover_is_lower():
     """Float inputs cannot ride the int8-e32 split, so AUTO hands them to
     the radius-independent MXU FFT earlier than uint8 frames."""
-    plan = make_plan((8192, 8192), 900.0)  # r ~ 2995: between the two
+    plan = make_plan((8192, 8192), 435.0)  # r ~ 1447: between 1400/1550
     assert _resolve_engine(Engine.AUTO, plan, in_bytes=1) is Engine.FUSED
     assert _resolve_engine(Engine.AUTO, plan, in_bytes=4) is Engine.FFT_MXU
+
+
+def test_framed_form_matches_einsum(rng):
+    """Round-5 in-kernel-framing form: same values as the einsum twin at
+    the smallest framed-applicable geometry (n=4096), f32 tolerance (the
+    framed factorization is (n/128, 128), so bf16x3 summation order
+    differs from both the einsum and the pre-rotated Pallas form)."""
+    from blur_algorithms_tpu.ops.fft_mxu import blur_fft_mxu, transform_length
+    from blur_algorithms_tpu.pallas_kernels import fft4step
+
+    h, w, sig = 1100, 1100, 400.0
+    plan = make_plan((h, w), sig)
+    n = transform_length(plan.row)
+    assert fft4step.framed_applicable(n)
+    x = jnp.asarray(rng.random((1, h, w)).astype(np.float32) * 255)
+    old = fft4step._FRAMED
+    fft4step._FRAMED = True
+    try:
+        a = np.asarray(fft4step.blur_fft_mxu_pallas(x, plan))
+    finally:
+        fft4step._FRAMED = old
+    b = np.asarray(blur_fft_mxu(x, plan))
+    np.testing.assert_allclose(a, b, atol=5e-2)
+
+
+def test_framed_applicable_gates():
+    """Short transforms (n1 < 32 at the swapped factorization) keep the
+    pre-rotated form; every wide-radius production length qualifies."""
+    from blur_algorithms_tpu.pallas_kernels.fft4step import framed_applicable
+
+    assert not framed_applicable(2048)
+    assert not framed_applicable(2176)
+    assert framed_applicable(4096)
+    assert framed_applicable(15360)
+    assert framed_applicable(16384)

@@ -110,8 +110,13 @@ class TestDeviceKeyedCrossovers:
 
     def test_v5e_values_are_the_measured_calibration(self):
         spec = hw.spec_for_kind("TPU v5 lite")
-        assert spec.auto_fused_max_radius_u8 == 3500
-        assert spec.auto_fused_max_radius_f32 == 2560
+        # round-5 re-measurement with the framed fft_mxu form
+        # (wide_radius_r5.json / f32_crossover_r5.json)
+        assert spec.auto_fused_max_radius_u8 == 1550
+        assert spec.auto_fused_max_radius_f32 == 1400
+        # the streamed-FFT regime keeps the pre-framing crossover
+        assert spec.auto_fused_max_radius_u8_streamed == 3500
+        assert spec.auto_fused_max_radius_f32_streamed == 2560
         assert spec.box_scan_crossover_radius == 1024
         assert spec.dma_max_radius == 600
 
@@ -129,7 +134,7 @@ class TestDeviceKeyedCrossovers:
         from blur_algorithms_tpu import api
         from blur_algorithms_tpu.ops.plan import make_plan
 
-        plan = make_plan((8192, 8192), 1720.0)  # r ~ 4000
+        plan = make_plan((8192, 8192), 900.0)  # r ~ 2995
         r = max(plan.col.support_radius, plan.row.support_radius)
         v5e = hw.spec_for_kind("TPU v5 lite")
         v6e = hw.spec_for_kind("TPU v6e")
