@@ -49,7 +49,7 @@ def main() -> int:
         def mk(nch):
             def step(v):
                 return _blur_fused_dma_impl(
-                    v, plan, "hybrid", True, direct=True, nch=nch
+                    v, plan, "hybrid", True, direct=True, strip=False, nch=nch
                 )
 
             return step

@@ -111,6 +111,16 @@ _HYBRID_FOLD_SHIFT = True
 _HYBRID_ROWS_F32 = False
 _TRUNC_STORE = True
 
+# Round-5 batch gate for the whole-strip splice form (verdict item 3):
+# auto-route ``strip=True`` only in the region two independent sessions
+# measured it faster — >= 9 flattened planes AND max support radius <= 32
+# (the sigma=10 anchor) — see the routing comment in
+# ``_blur_fused_dma_impl``. None disables auto-routing entirely.
+# v5e measurements; not scaled across kinds (the win is a structural
+# DMA-issue property, small either way, and the form is bit-identical).
+_STRIP_MIN_PLANES: int | None = 9
+_STRIP_MAX_RADIUS = 32
+
 # ``_ALIGNED_COMPUTE``: compute directly on the ALIGNED (shp, swp) window
 # buffer instead of slicing the true (sh, sw) halo window out of it,
 # folding the (ro, co) offset into the band operands as LEADING ZERO
@@ -1352,7 +1362,7 @@ def dma_form_applicable(
 def _dma_vmem_bytes(
     h: int, w: int, th: int, tw: int, rh: int, rw: int,
     in_b: int, mat_b: int, cw: int, ch: int, out_b: int | None = None,
-    n_slots: int | None = None,
+    n_slots: int | None = None, nch: int = 1,
 ) -> int:
     """VMEM bytes for one grid step of the DMA kernel at this geometry.
 
@@ -1375,8 +1385,11 @@ def _dma_vmem_bytes(
         # overrides (the slot-sweep probe) must not be admitted against
         # a 2-slot model (round-3 advisor finding)
         n_slots = _N_WIN_SLOTS
+    # the channel-folded form (nch > 1) scales the window slots and the
+    # double-buffered out strips by the folded plane count; the compute
+    # intermediates stay single-plane (planes are processed sequentially)
     return (
-        n_slots * shp * swp * in_b
+        n_slots * nch * shp * swp * in_b
         # the (co, ro) band terms and shp-tall intermediates below model
         # the ALIGNED-compute layout (zero-prepended bands, rows pass on
         # all shp sublanes). That mode is OFF (``_ALIGNED_COMPUTE`` —
@@ -1390,7 +1403,7 @@ def _dma_vmem_bytes(
         + shp * tw * 10  # r + e (int32) + e1/e0 (int8)
         + th * tw * 16  # p1/p23/p4 (int32) + the f32 tile
         # out strips (ceil128(w) wide) are double-buffered too
-        + 2 * th * min(nbw * tw, -(-w // 128) * 128) * out_b
+        + 2 * nch * th * min(nbw * tw, -(-w // 128) * 128) * out_b
     )
 
 
@@ -1935,7 +1948,7 @@ def _blur_fused_dma_impl(
     direct: bool | None = None,
     pipelined: bool = False,
     strip: bool | None = None,
-    nch: int = 1,
+    nch: int | None = None,
 ) -> jnp.ndarray:
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
@@ -1954,11 +1967,30 @@ def _blur_fused_dma_impl(
     nbh, nbw = -(-h // th), -(-w // tw)
 
     if strip is None:
-        # NOT auto-routed: the interleaved A/B (dma_strip_ab.json)
-        # measured the strip form neutral at batch-4 and slower for
-        # single frames, so it stays an explicit opt-in experiment
-        strip = False
-    if strip:
+        # Round-5 batch-gated routing (verdict item 3): two independent
+        # sessions measured the whole-strip form faster at the headline
+        # regime and slower outside it — round 4 (dma_strip_ab.json)
+        # batch-4 sigma=10: 0.947 -> 0.932 ms hybrid / 1.30 -> 1.29
+        # int8, single-frame sigma=48/90/120 SLOWER; round 5
+        # (dma_strip_batch_gate.json) planes 9/12 at sigma=10: 0.751 ->
+        # 0.731 / 1.025 -> 0.955, planes <= 6 and every sigma=48 batch
+        # point neutral-or-slower. So the route is the measured win
+        # region ONLY: >= 9 planes AND max radius <= 32 (the sigma=10
+        # anchor; r 33..158 is unmeasured and stays windowed). The form
+        # is bit-identical (test_band_fused strip-vs-direct test), so
+        # this is purely a perf crossover.
+        strip = (
+            _STRIP_MIN_PLANES is not None
+            and x.shape[0] >= _STRIP_MIN_PLANES
+            and max(rh, rw) <= _STRIP_MAX_RADIUS
+            and not rows_prepadded
+            and jax.default_backend() == "tpu"
+            and _strip_applicable(
+                h, w, th, tw, rh, rw, in_b, out_b, precision,
+                rows_prepadded,
+            )
+        )
+    elif strip:
         if not _strip_applicable(
             h, w, th, tw, rh, rw, in_b, out_b, precision, rows_prepadded
         ):
@@ -1966,6 +1998,7 @@ def _blur_fused_dma_impl(
                 "strip=True: the whole-strip kernel does not serve this "
                 f"geometry (shape {plan.shape}, tile {(th, tw)})"
             )
+    if strip:
         out = _dma_kernel_call_strip(
             x, plan, precision, out_u8, th, tw, cw, ch
         )
@@ -1976,6 +2009,22 @@ def _blur_fused_dma_impl(
             not pipelined  # the pipelined probe targets the assemble form
             and _direct_applicable(h, w, th, tw, rh, rw, rows_prepadded)
         )
+    if nch is None:
+        # channel folding auto-routes for SINGLE RGB frames only: the
+        # interleaved A/B (dma_ch3_ab.json + dma_ch3_ab2.json) measured
+        # 1.21x at single-4K sigma=10 (0.171 -> 0.141 ms) and ~neutral at
+        # sigma=48, but 3-20% SLOWER at batch >= 2 (the longer grid
+        # already hides per-window DMA latency and the 3x out strips
+        # cost); gated on the VMEM model at the folded footprint
+        nch = 1
+        if direct and x.shape[0] == 3 and jax.default_backend() == "tpu":
+            in_b_ = 1 if x.dtype == jnp.uint8 else 4
+            mat_b = 2 if precision == "int8" else 4
+            if _dma_vmem_bytes(
+                h, w, th, tw, rh, rw, in_b_, mat_b, cw, ch,
+                1 if out_u8 else 4, nch=3,
+            ) <= _hw().kernel_vmem_limit:
+                nch = 3
     if direct:
         out = _dma_kernel_call_direct(
             x, plan, precision, out_u8, th, tw, cw, ch, nch=nch

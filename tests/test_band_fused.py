@@ -1298,3 +1298,72 @@ def test_channel_folded_direct_dma_bit_identical(rng):
             _blur_fused_dma_impl(x, plan, prec, True, direct=True, nch=3)
         )
         np.testing.assert_array_equal(a, b)
+
+
+def test_channel_fold_routes_single_frame_only(monkeypatch):
+    """nch=3 auto-routes for a single RGB frame on TPU (measured 1.21x at
+    single-4K sigma=10, dma_ch3_ab.json) and never for batches (3-20%
+    slower at batch >= 2)."""
+    import jax
+
+    from blur_algorithms_tpu.pallas_kernels import fused_dma
+
+    calls = []
+    real = fused_dma._dma_kernel_call_direct
+
+    def spy(x, plan, precision, out_u8, th, tw, cw, ch, n_slots=None,
+            nch=1):
+        calls.append(nch)
+        return real(x, plan, precision, out_u8, th, tw, cw, ch,
+                    n_slots=n_slots, nch=nch)
+
+    monkeypatch.setattr(fused_dma, "_dma_kernel_call_direct", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    plan = make_plan((96, 256), 2.0)
+    x1 = jnp.zeros((3, 96, 256), jnp.uint8)   # single RGB frame
+    x2 = jnp.zeros((6, 96, 256), jnp.uint8)   # batch of 2
+    # interpret=False under the mocked backend: the pallas_call rejects
+    # off-chip lowering AFTER the routing decision was recorded
+    for x in (x1, x2):
+        try:
+            fused_dma._blur_fused_dma_impl.__wrapped__(
+                x, plan, "int8", True, direct=True
+            )
+        except Exception:
+            pass
+    assert calls == [3, 1]
+
+
+def test_strip_batch_gate_routes_measured_region_only(monkeypatch):
+    """Round-5 item 3: the whole-strip form auto-routes ONLY where it
+    measured faster (planes >= 9 AND r <= 32 — dma_strip_batch_gate.json
+    + dma_strip_ab.json); single frames and wide radii keep the windowed
+    direct form."""
+    import jax
+
+    from blur_algorithms_tpu.pallas_kernels import fused_dma
+
+    calls = []
+    monkeypatch.setattr(
+        fused_dma, "_dma_kernel_call_strip",
+        lambda *a, **k: calls.append("strip") or (_ for _ in ()).throw(
+            RuntimeError("stop")),
+    )
+    monkeypatch.setattr(
+        fused_dma, "_dma_kernel_call_direct",
+        lambda *a, **k: calls.append("direct") or (_ for _ in ()).throw(
+            RuntimeError("stop")),
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    plan10 = make_plan((2160, 3840), 10.0)   # r = 32
+    plan48 = make_plan((2160, 3840), 48.0)   # r = 159
+    big = jnp.zeros((12, 2160, 3840), jnp.uint8)   # batch-4 RGB
+    one = jnp.zeros((3, 2160, 3840), jnp.uint8)
+    for x, plan in ((big, plan10), (one, plan10), (big, plan48)):
+        try:
+            fused_dma._blur_fused_dma_impl.__wrapped__(
+                x, plan, "hybrid", True
+            )
+        except RuntimeError:
+            pass
+    assert calls == ["strip", "direct", "direct"]
