@@ -409,6 +409,470 @@ def _kernel_strip(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
         )
 
 
+def _row_splices_thin(nsteps, th, orh, h8):
+    """Splice table for ``th``-tall fetches of the padded rows
+    ``[k*th, (k+1)*th)`` (the resident form: shp == th may be SMALLER
+    than the ``orh`` top strip, so — unlike ``_row_splices`` — a fetch
+    can lie entirely inside ``top`` or ``bot`` and edge reads need their
+    own source offsets). Returns ``(special, ilo, ihi)``; ``special``
+    maps step -> ``[(kind, src_row0, dst_row0, height), ...]`` with kind
+    in {top, frame, bot}; all starts/heights are multiples of 8."""
+    special = {}
+    for k0 in range(nsteps):
+        rs, re = k0 * th - orh, k0 * th - orh + th
+        if 0 <= rs and re <= h8:
+            continue
+        segs = []
+        if rs < 0:  # padded rows [0, orh) live in `top`
+            segs.append(("top", k0 * th, 0, min(-rs, th)))
+        f0, f1 = max(rs, 0), min(re, h8)
+        if f1 > f0:
+            segs.append(("frame", f0, f0 - rs, f1 - f0))
+        if re > h8:  # padded rows >= orh + h8 live in `bot`
+            b0 = max(rs - h8, 0)
+            segs.append(("bot", b0, max(h8 - rs, 0), re - h8 - b0))
+        special[k0] = segs
+    ilo = max((k0 + 1 for k0 in special if k0 * th < orh), default=0)
+    ihi = min((k0 for k0 in special if k0 * th - orh + th > h8),
+              default=nsteps)
+    return special, ilo, ihi
+
+
+def _resident_geometry(
+    h: int, w: int, th: int, rh: int, rw: int, cwr: int
+) -> tuple[int, int, int, int, int, int, int, int, int, int]:
+    """Aligned geometry of the rows-resident form: edge-strip offsets,
+    ring warmup depth, and the padded strip width (wide enough for the
+    last rows chunk's ``krp`` lane load AND the lb|frame|rb legs)."""
+    orh = -(-rh // 8) * 8
+    orw = -(-rw // 128) * 128
+    ro, co = orh - rh, orw - rw
+    wout = -(-w // 128) * 128
+    kr = co + cwr + 2 * rw          # true rows contraction length
+    krp = -(-kr // 128) * 128       # aligned lane extent per chunk load
+    wp = max(wout - cwr + krp, orw + (w // 128) * 128 + 128)
+    npre = -(-(orh + rh) // th)     # warmup steps: npre*th >= orh + rh
+    nbh = -(-h // th)
+    return orh, orw, ro, co, wout, kr, krp, wp, npre, nbh
+
+
+def _resident_vmem_bytes(
+    h: int, w: int, th: int, rh: int, rw: int, in_b: int, out_b: int,
+    cwr: int, ch: int, lc: int, shift_ring: bool = True,
+) -> int:
+    """VMEM bytes for one grid step of the resident kernel (both rungs
+    put 2 bytes/px in the ring: bf16, or the two int8 digit planes)."""
+    orh, orw, ro, co, wout, kr, krp, wp, npre, nbh = _resident_geometry(
+        h, w, th, rh, rw, cwr
+    )
+    P = npre + 1
+    return (
+        (P if shift_ring else 2 * P) * th * wout * 2  # rows-output ring
+        + 2 * th * wp * in_b         # double-buffered input strips
+        + th * wp * in_b             # the recentred int8 strip value
+        + 2 * th * wout * out_b      # double-buffered out blocks
+        + kr * cwr * 2               # rows band digits / bf16 stack
+        + (ro + ch + 2 * rh) * ch * 4
+        + (ro + ch + 2 * rh) * lc * 8   # cols window load + dot temps
+        + th * krp * 2               # rows chunk slice + dot temps
+        + (4 << 20)                  # slack (Mosaic temporaries)
+    )
+
+
+def _resident_applicable(
+    h: int, w: int, th: int, rh: int, rw: int, in_b: int, out_b: int,
+    precision: str, rows_prepadded: bool, cwr: int = 128, ch: int = 120,
+    lc: int = 768, shift_ring: bool = True,
+) -> bool:
+    """True when the rows-resident form serves this geometry: u8 input,
+    an int8-rows rung (the ring stores the rows conv as bf16 / digit
+    planes), real vertical work, and the ring + strip buffers fitting
+    the VMEM budget."""
+    if rows_prepadded or h < 8 or w < 128 or th % 8 or th < 8:
+        return False
+    if precision not in ("int8", "hybrid") or in_b != 1:
+        return False
+    if rh < 1 or h < th:
+        return False
+    lc = min(lc, -(-w // 128) * 128)
+    return _resident_vmem_bytes(
+        h, w, th, rh, rw, in_b, out_b, cwr, min(ch, th), lc, shift_ring
+    ) <= _hw().wide_vmem_budget
+
+
+def _pick_tile_resident(plan: BlurPlan, precision: str,
+                        out_b: int = 1) -> int | None:
+    """Strip height for the resident form: the tallest VMEM-feasible
+    ``th`` in [120, 560] (taller strips amortize the MXU band loads of
+    the rows dots over more activation rows and halve per-step fixed
+    costs — the measured A/B trend is monotone in th; the shift ring
+    grows only ~2*th beyond its orh+rh floor), preferring heights that
+    divide H exactly within the feasible band."""
+    h, w = plan.shape
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    cwr, ch = _pick_chunks_dma(256, 128, rh, rw, precision)
+    fits = [
+        t for t in range(560, 112, -8)
+        if _resident_applicable(h, w, t, rh, rw, 1, out_b, precision,
+                                False, cwr, min(ch, t))
+    ]
+    if not fits:
+        return None
+    best = fits[0]
+    for t in fits:
+        if t >= best - 48 and h % t == 0:
+            return t
+    return best
+
+
+def _dma_kernel_call_resident(
+    x: jnp.ndarray,
+    plan: BlurPlan,
+    precision: str,
+    out_u8: bool,
+    th: int,
+    cwr: int,
+    ch: int,
+    lc: int = 768,
+    shift_ring: bool = True,
+) -> jnp.ndarray:
+    """Rows-resident pallas_call on the ORIGINAL ``(bc, h, w)`` frame ->
+    uncropped ``(bc, nbh*th, wout)`` — see ``_kernel_resident``."""
+    h, w = plan.shape
+    rh, rw = plan.col.support_radius, plan.row.support_radius
+    orh, orw, ro, co, wout, kr, krp, wp, npre, nbh = _resident_geometry(
+        h, w, th, rh, rw, cwr
+    )
+    bc = x.shape[0]
+    nsteps = npre + nbh
+    h8, w128 = (h // 8) * 8, (w // 128) * 128
+    hp = nsteps * th
+    wr = wp - orw - w128
+    lc = min(lc, wout)
+
+    top, bot, _hb = _topbot_strips(x, rh, rw, orh, orw, hp, wp)
+    lbs, rbs = _lr_borders(x, rw, orw, wr)
+    bw, bh, rows_shift, cols_scale = _band_operands(
+        plan, precision, cwr, ch, co=co, ro=ro
+    )
+    P = npre + 1
+    nring = P * th if shift_ring else 2 * P * th
+    if precision == "int8":
+        ring_spec = pltpu.VMEM((2, nring, wout), jnp.int8)
+    else:
+        ring_spec = pltpu.VMEM((nring, wout), jnp.bfloat16)
+
+    mat = lambda shape: pl.BlockSpec(
+        shape, (lambda c, k: (0,) * len(shape)), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_resident, th=th, wp=wp, wout=wout, cwr=cwr, kr=kr,
+            krp=krp, ch=ch, lc=lc, npre=npre, nsteps=nsteps,
+            precision=precision, rows_shift=rows_shift,
+            cols_scale=cols_scale, out_u8=out_u8, ro=ro, co=co, orh=orh,
+            orw=orw, h8=h8, w128=w128, rh=rh, rw=rw, bc=bc,
+            shift_ring=shift_ring,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_hw().kernel_vmem_limit
+        ),
+        grid=(bc, nsteps),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5 + [
+            mat(bw.shape),
+            mat(bh.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, wout),
+            lambda c, k: (c, jnp.clip(k - npre, 0, nbh - 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (bc, nbh * th, wout), jnp.uint8 if out_u8 else jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, th, wp), x.dtype),
+            pltpu.VMEM((th, wp), jnp.int8),
+            ring_spec,
+            pltpu.SemaphoreType.DMA((2, 5)),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(x, top, bot, lbs, rbs, bw, bh)
+    return out
+
+
+def _kernel_resident(x_hbm, top, bot, lb, rb, bw_ref, bh_ref, out_ref,
+                     buf, xcs, ring, sem, *,
+                     th: int, wp: int, wout: int, cwr: int, kr: int,
+                     krp: int, ch: int, lc: int, npre: int, nsteps: int,
+                     precision: str, rows_shift: int, cols_scale: int,
+                     out_u8: bool, ro: int, co: int, orh: int, orw: int,
+                     h8: int, w128: int, rh: int, rw: int, bc: int,
+                     shift_ring: bool = True):
+    """Rows-resident full-width form (round-5 verdict item 4).
+
+    The windowed/strip forms refetch the ``2rh`` vertical halo of every
+    row strip from HBM and RECOMPUTE its rows-pass output (at the 348 MP
+    sweep point that is a 1.43x rows redundancy and a ~5x input-traffic
+    ratio — ``benchmarks/giant_decompose.json``). This form walks the
+    frame top-to-bottom in full-width strips of ``th`` NEW rows per grid
+    step and keeps the rows-pass output RESIDENT in a VMEM ring across
+    steps, so
+
+    * every input byte is fetched from HBM exactly once (3-5 splice DMAs
+      per strip: lb | frame | rb plus top/bot edge strips — the same
+      legs as the strip form, but ``th`` tall instead of ``th + 2rh``),
+    * every rows-pass value is computed exactly once, and
+    * the cols pass consumes the ring with NO HBM round trip of the
+      intermediate (the round-trip the old split form paid, 101 ms at
+      this point).
+
+    Ring protocol: ``P = npre + 1`` segments of ``th`` rows each, with
+    ``npre = ceil((orh + rh) / th)`` warmup steps per channel. Step
+    ``k`` rows-passes padded frame rows ``[k*th, (k+1)*th)`` and writes
+    them DOUBLE (segment ``k % P`` and its ``+P`` twin in a ``2P``-
+    segment buffer), so the sliding cols window — which starts at
+    segment ``(k+1) % P`` and spans ``P`` segments — is always
+    CONTIGUOUS: no ring wrap-around dots, no per-step shift copies (a
+    shift variant moves ``(P-1)*th*wout`` bytes per step; the double
+    write costs only one extra ``th*wout`` store). Output strip
+    ``i = k - npre`` stores once the window is full.
+
+    Bit-identity: the rows chunks contract the ``co``-zero-folded band
+    against lane-ALIGNED slices and the cols chunks the ``ro``-folded
+    band against 8-aligned ring slices — the ``_ALIGNED_COMPUTE`` fold
+    argument (zero taps contribute exact zeros, int32 accumulation is
+    order-free, the f32 cols dot keeps its term order), so outputs are
+    BIT-IDENTICAL to the windowed direct form at the same (cw, ch)
+    policy. Lane blocks of ``lc`` use the clamped-start trick (the last
+    block recomputes a few identical lanes) — stores are idempotent.
+
+    Reference anchor: the engine family this serves is the
+    pocketfft-backed wide-sigma path (/root/reference/Source.cpp:429-570)
+    at its largest published geometry (py/performance.ipynb pffft[45],
+    24000x14500 = 1728.56 ms).
+    """
+    c = pl.program_id(0)
+    k = pl.program_id(1)
+    g = c * nsteps + k  # linear grid step, for cross-step prefetch
+    P = npre + 1
+    row_tab, ilo, ihi = _row_splices_thin(nsteps, th, orh, h8)
+    wr = wp - orw - w128
+
+    def legs(slot, c_, k_, gate):
+        """(cond, make-descriptor) DMA legs splicing the ``th`` NEW
+        padded rows ``[k_*th, (k_+1)*th)`` into ``buf[slot]``."""
+        ps = []
+
+        def seg(fr0, dr0, fh):
+            return [
+                lambda fr0=fr0, dr0=dr0, fh=fh: pltpu.make_async_copy(
+                    lb.at[c_, pl.ds(fr0, fh), pl.ds(0, orw)],
+                    buf.at[slot, pl.ds(dr0, fh), pl.ds(0, orw)],
+                    sem.at[slot, 2],
+                ),
+                lambda fr0=fr0, dr0=dr0, fh=fh: pltpu.make_async_copy(
+                    x_hbm.at[c_, pl.ds(fr0, fh), pl.ds(0, w128)],
+                    buf.at[slot, pl.ds(dr0, fh), pl.ds(orw, w128)],
+                    sem.at[slot, 3],
+                ),
+                lambda fr0=fr0, dr0=dr0, fh=fh: pltpu.make_async_copy(
+                    rb.at[c_, pl.ds(fr0, fh), pl.ds(0, wr)],
+                    buf.at[slot, pl.ds(dr0, fh), pl.ds(orw + w128, wr)],
+                    sem.at[slot, 4],
+                ),
+            ]
+
+        for k0, segs in row_tab.items():
+            cond = gate & (k_ == k0)
+            for kind, s0, d0, hg in segs:
+                if kind == "top":
+                    ps.append((cond, lambda s0=s0, d0=d0, hg=hg:
+                               pltpu.make_async_copy(
+                                   top.at[c_, pl.ds(s0, hg), pl.ds(0, wp)],
+                                   buf.at[slot, pl.ds(d0, hg),
+                                          pl.ds(0, wp)],
+                                   sem.at[slot, 0],
+                               )))
+                elif kind == "bot":
+                    ps.append((cond, lambda s0=s0, d0=d0, hg=hg:
+                               pltpu.make_async_copy(
+                                   bot.at[c_, pl.ds(s0, hg), pl.ds(0, wp)],
+                                   buf.at[slot, pl.ds(d0, hg),
+                                          pl.ds(0, wp)],
+                                   sem.at[slot, 1],
+                               )))
+                else:  # frame piece: lb | frame | rb column splice
+                    for mk in seg(s0, d0, hg):
+                        ps.append((cond, mk))
+        if ihi > ilo:
+            rsafe = jnp.clip(
+                k_ * (th // 8) - orh // 8, 0, max((h8 - th) // 8, 0)
+            ) * 8
+            cond = gate & (k_ >= ilo) & (k_ < ihi)
+            for mk in seg(rsafe, 0, th):
+                ps.append((cond, mk))
+        return ps
+
+    def start(slot, c_, k_, gate):
+        for cond, mk in legs(slot, c_, k_, gate):
+            pl.when(cond)(lambda mk=mk: mk().start())
+
+    def wait(slot, c_, k_, gate):
+        for cond, mk in legs(slot, c_, k_, gate):
+            pl.when(cond)(lambda mk=mk: mk().wait())
+
+    slot = g % 2
+    start(slot, c, k, g == 0)  # prime the first strip
+    g1 = g + 1
+    c1 = jnp.minimum(g1 // nsteps, bc - 1)
+    k1 = g1 % nsteps
+    start((g + 1) % 2, c1, k1, g1 < bc * nsteps)
+    wait(slot, c, k, g >= 0)
+
+    f32 = jnp.float32
+
+    def dot(a, b, acc):
+        return jax.lax.dot_general(
+            a, b, ((((0,), (0,))), ((), ())), preferred_element_type=acc
+        )
+
+    # ---- rows pass: th new rows -> the ring
+    # Two ring protocols: ``shift_ring`` writes at the STATIC tail
+    # position npre*th and block-shifts the window down one segment at
+    # the end of every step ((npre+1)*th rows total — the smaller ring
+    # buys TALLER strips, whose rows dots amortize the MXU band loads
+    # over more activation rows); the double-write protocol writes each
+    # segment at (k % P)*th AND its +P twin in a 2P ring (no shift
+    # copies, dynamic offsets, twice the footprint).
+    # (offsets are computed in 8-sublane / 128-lane units so Mosaic can
+    # statically prove tiling divisibility — the jsafe/rsafe trick)
+    a0 = npre * th if shift_ring else ((k % P) * (th // 8)) * 8
+    if precision == "ablate_fetch":
+        # probe only: DMA legs + loop + a touch store — the fetch floor
+        out_ref[0, :8, pl.ds(0, 128)] = buf[slot][:8, :128]
+        return
+    # recentre the WHOLE strip once into the int8 staging scratch (a
+    # per-chunk recentre would redo the 2rw overlap ~10x, and Mosaic has
+    # no dynamic_slice on values — ref slices with pl.ds are fine)
+    xcs[:, :] = jax.lax.bitcast_convert_type(
+        buf[slot][:, :] ^ jnp.uint8(128), jnp.int8
+    )
+
+    def rows_chunk(kk, _):
+        xs = xcs[:, pl.ds(kk * cwr, krp)][:, :kr]
+        r = (
+            jax.lax.dot_general(
+                xs, bw_ref[0][:kr], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) * 128
+            + jax.lax.dot_general(
+                xs, bw_ref[1][:kr], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        )
+        if precision in ("hybrid", "ablate_rows"):
+            y = r.astype(f32).astype(jnp.bfloat16)  # fold-shift form
+            ring[pl.ds(a0, th), pl.ds(kk * cwr, cwr)] = y
+            if not shift_ring:
+                ring[pl.ds(a0 + P * th, th), pl.ds(kk * cwr, cwr)] = y
+        else:  # exact int8 digit pipeline: store the E digits
+            e = (r + (1 << (rows_shift - 1))) >> rows_shift
+            e1 = (e + 64) >> 7
+            e0 = (e - e1 * 128).astype(jnp.int8)
+            e1 = e1.astype(jnp.int8)
+            ring[0, pl.ds(a0, th), pl.ds(kk * cwr, cwr)] = e1
+            ring[1, pl.ds(a0, th), pl.ds(kk * cwr, cwr)] = e0
+            if not shift_ring:
+                ring[0, pl.ds(a0 + P * th, th), pl.ds(kk * cwr, cwr)] = e1
+                ring[1, pl.ds(a0 + P * th, th), pl.ds(kk * cwr, cwr)] = e0
+        return 0
+
+    jax.lax.fori_loop(0, wout // cwr, rows_chunk, 0, unroll=False)
+
+    # ---- cols pass + store (window full once the warmup is done)
+    base = 0 if shift_ring else (((k + 1) % P) * (th // 8)) * 8
+    nkl = -(-wout // lc)
+
+    @pl.when(k >= npre)
+    def _():
+        if precision == "ablate_rows":
+            # probe only: fetch + rows dots + ring writes (+ shift), no
+            # cols stage — a touch store keeps the out block written
+            out_ref[0, :8, pl.ds(0, 128)] = (
+                ring[:8, :128].astype(jnp.int32).astype(out_ref.dtype)
+            )
+            return
+        for m0 in range(0, th, ch):
+            chm = min(ch, th - m0)
+            kl = ro + chm + 2 * rh
+
+            if precision == "hybrid":
+                b0 = bh_ref[0][:kl, :chm]
+                inv = 1.0 / (127.0 * float(1 << rows_shift))
+
+                def lane_blk(j, _, m0=m0, chm=chm, kl=kl, b0=b0, inv=inv):
+                    l0 = jnp.minimum(
+                        j * (lc // 128), (wout - lc) // 128
+                    ) * 128
+                    ys = ring[pl.ds(base + m0, kl), pl.ds(l0, lc)]
+                    o = dot(b0, ys, f32) * inv + 128.0
+                    _store_res(out_ref, o, m0, chm, l0, lc, out_u8)
+                    return 0
+
+                jax.lax.fori_loop(0, nkl, lane_blk, 0, unroll=False)
+            else:
+                b0 = bh_ref[0][:kl, :chm]
+                b1 = bh_ref[1][:kl, :chm]
+                inv = 1.0 / (127.0 * cols_scale)
+
+                def lane_blk(j, _, m0=m0, chm=chm, kl=kl, b0=b0, b1=b1,
+                             inv=inv):
+                    l0 = jnp.minimum(
+                        j * (lc // 128), (wout - lc) // 128
+                    ) * 128
+                    s1 = ring[0, pl.ds(base + m0, kl), pl.ds(l0, lc)]
+                    s0 = ring[1, pl.ds(base + m0, kl), pl.ds(l0, lc)]
+                    p1 = dot(b0, s1, jnp.int32)
+                    p23 = dot(b0, s0, jnp.int32) + dot(b1, s1, jnp.int32)
+                    p4 = dot(b1, s0, jnp.int32)
+                    o = (
+                        p1.astype(f32) * (16384.0 * inv)
+                        + p23.astype(f32) * (128.0 * inv)
+                        + p4.astype(f32) * inv
+                        + 128.0
+                    )
+                    _store_res(out_ref, o, m0, chm, l0, lc, out_u8)
+                    return 0
+
+                jax.lax.fori_loop(0, nkl, lane_blk, 0, unroll=False)
+
+    if shift_ring:
+        # slide the window down one segment; ascending static block
+        # copies are safe (each dst segment sits below the next src)
+        for p in range(npre):
+            s0, s1 = p * th, (p + 1) * th
+            if precision in ("hybrid", "ablate_rows"):
+                ring[s0:s1, :] = ring[s1 : s1 + th, :]
+            else:
+                ring[0, s0:s1, :] = ring[0, s1 : s1 + th, :]
+                ring[1, s0:s1, :] = ring[1, s1 : s1 + th, :]
+
+
+def _store_res(out_ref, o, m0, chm, l0, lc, out_u8):
+    """Round/cast + store one (chm, lc) cols block of the resident form
+    (same rounding path as ``_compute_store``)."""
+    if out_u8:
+        if _TRUNC_STORE:
+            o = jnp.clip(o + 0.5, 0.0, 255.5)
+        else:
+            o = jnp.clip(jnp.floor(o + 0.5), 0.0, 255.0)
+        o = o.astype(jnp.int32).astype(jnp.uint8)
+    else:
+        o = o.astype(jnp.float32)
+    out_ref[0, pl.ds(m0, chm), pl.ds(l0, lc)] = o
+
+
 def _store_tile(out_ref, outf, j, *, tw: int, nbw: int, tl: int,
                 out_u8: bool):
     """Round/cast + store one (th, tw) tile at window column ``j``."""
@@ -1934,7 +2398,7 @@ def _dma_kernel_call_strip(
     jax.jit,
     static_argnames=(
         "plan", "precision", "out_u8", "tile", "chunks", "rows_prepadded",
-        "direct", "pipelined", "strip", "nch",
+        "direct", "pipelined", "strip", "nch", "resident",
     ),
 )
 def _blur_fused_dma_impl(
@@ -1949,18 +2413,44 @@ def _blur_fused_dma_impl(
     pipelined: bool = False,
     strip: bool | None = None,
     nch: int | None = None,
+    resident: bool | None = None,
 ) -> jnp.ndarray:
     h, w = plan.shape
     rh, rw = plan.col.support_radius, plan.row.support_radius
     in_b = 1 if planar.dtype == jnp.uint8 else 4
     out_b = 1 if out_u8 else 4
+
+    lead = planar.shape[:-2]
+    if resident:
+        # rows-resident full-width form (its own tile policy: short
+        # full-width strips; `tile` may pin (th, *) for sweeps)
+        thr = tile[0] if tile else _pick_tile_resident(
+            plan, precision, out_b
+        )
+        cwr, chr_ = chunks or _pick_chunks_dma(
+            thr or 256, 128, rh, rw, precision
+        )
+        if thr is None or not _resident_applicable(
+            h, w, thr, rh, rw, in_b, out_b, precision, rows_prepadded,
+            cwr, min(chr_, thr or 8),
+        ):
+            raise ValueError(
+                "resident=True: the rows-resident kernel does not serve "
+                f"this geometry (shape {plan.shape}, precision "
+                f"{precision})"
+            )
+        x = planar.reshape((-1,) + planar.shape[-2:])
+        out = _dma_kernel_call_resident(
+            x, plan, precision, out_u8, thr, cwr, min(chr_, thr)
+        )
+        return out[:, :h, :w].reshape(lead + (h, w))
+
     th, tw = tile or _pick_tile_dma(plan, in_b, precision, out_b=out_b)
     cw, ch = chunks or _pick_chunks_dma(th, tw, rh, rw, precision)
     orh, orw, ro, co, sh, sw, shp, swp = _align_geometry(
         th, tw, rh, rw, rows_prepadded
     )
 
-    lead = planar.shape[:-2]
     x = planar.reshape((-1,) + planar.shape[-2:])
     if x.dtype != jnp.uint8:
         x = x.astype(jnp.float32)

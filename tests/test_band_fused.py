@@ -1367,3 +1367,91 @@ def test_strip_batch_gate_routes_measured_region_only(monkeypatch):
         except RuntimeError:
             pass
     assert calls == ["strip", "direct", "direct"]
+
+
+def test_resident_dma_kernel_bit_identical(rng):
+    """The rows-resident full-width kernel (round-5 verdict item 4: each
+    input byte fetched once, rows-pass output held in a VMEM ring across
+    strips) reproduces the windowed direct kernel bit for bit on both
+    int8-rows rungs — the co/ro zero-folded band operands keep every dot
+    bit-equal (``_ALIGNED_COMPUTE`` argument). Covers th < orh (several
+    pure-`top` warmup fetches), ragged heights, and a tail cols chunk."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from blur_algorithms_tpu.ops.plan import make_plan
+    from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+        _blur_fused_dma_impl,
+    )
+
+    cases = [
+        # (h, w, sigma, th): r=12 -> orh=16 > th=8 exercises warmup-only
+        # top fetches; 200/48 is ragged (ceil -> 5 strips, junk tail)
+        (96, 640, 4.0, 16),
+        (200, 384, 11.0, 48),
+        (104, 896, (2.0, 13.0), 24),  # anisotropic: rh != rw
+    ]
+    from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+        _dma_kernel_call_resident,
+    )
+
+    for h, w, sigma, th in cases:
+        plan = make_plan((h, w), sigma)
+        img = (rng.random((3, h, w)) * 255).astype(np.uint8)
+        x = jnp.asarray(img)
+        for prec in ("int8", "hybrid"):
+            ref = np.asarray(
+                _blur_fused_dma_impl(x, plan, prec, True, strip=False)
+            )
+            # the routed protocol (shift ring) through the public impl
+            res = np.asarray(
+                _blur_fused_dma_impl(x, plan, prec, True, tile=(th, 0),
+                                     resident=True)
+            )
+            np.testing.assert_array_equal(
+                ref, res, err_msg=f"{(h, w, sigma, th, prec)}"
+            )
+            # the double-write ring protocol (kept as the measured
+            # alternative; giant_resident_ab.json)
+            dbl = np.asarray(
+                _dma_kernel_call_resident(
+                    x, plan, prec, True, th, 128, 24, shift_ring=False
+                )[:, :h, :w]
+            )
+            np.testing.assert_array_equal(
+                ref, dbl, err_msg=f"double {(h, w, sigma, th, prec)}"
+            )
+
+
+def test_resident_applicable_gates():
+    """Geometry/rung gates of the resident form: int8-rows rungs only
+    (the ring stores the rows conv as bf16 / digit planes), u8 input
+    only, and the ring must fit the VMEM budget at giant widths."""
+    from blur_algorithms_tpu.pallas_kernels.fused_dma import (
+        _pick_tile_resident,
+        _resident_applicable,
+    )
+    from blur_algorithms_tpu.ops.plan import make_plan
+
+    # the 348 MP sweep geometry: both rungs fit at the policy heights
+    assert _resident_applicable(24000, 14500, 160, 514, 514, 1, 1,
+                                "hybrid", False)
+    assert _resident_applicable(24000, 14500, 160, 514, 514, 1, 1,
+                                "int8", False)
+    # bf16x3 / bf16 rungs have no int8 rows pass -> not served
+    assert not _resident_applicable(24000, 14500, 160, 514, 514, 1, 1,
+                                    "bf16x3", False)
+    # float input is not served (the recentre assumes u8)
+    assert not _resident_applicable(24000, 14500, 160, 514, 514, 4, 4,
+                                    "hybrid", False)
+    # prepadded multi-chip shards keep the windowed form
+    assert not _resident_applicable(24000, 14500, 160, 514, 514, 1, 1,
+                                    "hybrid", True)
+    # the picker returns a feasible height at the giant point and
+    # refuses when even th=120 blows the budget (absurd radius)
+    plan = make_plan((24000, 14500), 155.0)
+    th = _pick_tile_resident(plan, "hybrid")
+    assert th is not None and th % 8 == 0
+    assert not _resident_applicable(24000, 14500, 120, 6000, 6000, 1, 1,
+                                    "hybrid", False)
